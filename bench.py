@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Per-round benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line with per-query wall-clock seconds.
+
+Queries are materialized with a count-collect (``df.count()`` after the
+full plan — no driver-side data transfer beyond the result cardinality),
+timed individually after a session warm-up query so JVM startup isn't
+billed to q-times.  ``total`` is the sum of query times (not session
+startup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+    from gmail_etl_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark("gmail-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = {name: cq for name, cq in CATALOG.items() if cq.headline}
+    # warm-up: touch every table once so file listing + footer reads are
+    # not attributed to the first query.
+    from gmail_etl_spark.plans.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    times: dict[str, float] = {}
+    for name, cq in sorted(headline.items()):
+        t0 = time.perf_counter()
+        df = cq.builder(spark, sf_dir)
+        n = len(df.collect())
+        times[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""U1 — HTML → text as an Arrow-vectorized pandas UDF (SURVEY §2.7).
+
+The reference runs BeautifulSoup per message in a driver loop
+(``resources/gmail_functions.py:294-295``).  Here the parse runs
+executor-side over Arrow batches; the UDF is the *only* Python stage in
+the pipeline and is fed a single pre-projected string column, so the
+optimization barrier it creates is as narrow as possible (SURVEY §4).
+
+bs4 is not a baked-in dependency, so the parser is stdlib
+``html.parser`` with ``get_text(strip=True)``-equivalent semantics:
+every text node is stripped and non-empty nodes concatenated without a
+separator; character/entity references resolve to unicode first (so
+``&nbsp;`` survives to the sanitize step, which drops it as non-ASCII,
+matching the reference's ``encode('ascii','ignore')``).  If bs4 is
+importable we delegate to it for exact parity.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+try:  # pragma: no cover - environment-dependent
+    from bs4 import BeautifulSoup  # type: ignore
+
+    _HAS_BS4 = True
+except Exception:  # pragma: no cover
+    _HAS_BS4 = False
+
+#: Elements whose content BeautifulSoup's get_text would still emit but
+#: browsers treat as non-content; the reference keeps them (html.parser
+#: builds a plain tree), so we keep them too — except scripts/styles are
+#: *data* to HTMLParser and still surface as text nodes.  Parity with
+#: bs4 'html.parser' means: keep everything that is CDATA/text.
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+
+    def handle_data(self, data: str) -> None:
+        stripped = data.strip()
+        if stripped:
+            self.chunks.append(stripped)
+
+
+def strip_html(html: str | None) -> str | None:
+    """``BeautifulSoup(html,'html.parser').get_text(strip=True)``."""
+    if html is None:
+        return None
+    if _HAS_BS4:
+        return BeautifulSoup(html, "html.parser").get_text(strip=True)
+    parser = _TextExtractor()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass
+    return "".join(parser.chunks)
+
+
+@pandas_udf(StringType())
+def html_to_text(col: pd.Series) -> pd.Series:
+    return col.map(strip_html)

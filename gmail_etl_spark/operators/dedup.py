@@ -1,0 +1,231 @@
+"""Deduplication operators at training-data scale (SURVEY §2.8 D1/D2).
+
+Generalizes the reference's only join — the ledger anti-join dedup
+(``resources/gmail_functions.py:115-126,172-178``; ``init.sql:25-28``) —
+into the dedup family a 100 TB text pipeline needs:
+
+* **exact**: content-hash groupBy (one shuffle on a 32-byte key);
+* **near-dup MinHash+LSH**: shingle → minhash signature → band buckets →
+  candidate join → exact-Jaccard verify.  Everything is built from
+  JVM-side expressions (``xxhash64`` as the seeded hash family) — no
+  Python in the path, no driver-side state, and the only shuffles are
+  the band-bucket groupBys whose keys are (band, bucket-hash), which is
+  uniform by construction;
+* **SimHash**: 64-bit near-dup signature via per-token hash bit voting;
+* **exact Jaccard**: token-level pair verification (the oracle for the
+  approximate paths).
+
+All operators take/return DataFrames so they compose with the rest of
+the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# D1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Canonical row per distinct content: min id wins.
+
+    Returns (content_hash, canonical_id, dup_count).  At 100 TB the
+    groupBy shuffles 32-byte hashes + ids only — content bytes never
+    move (Catalyst prunes them after the hash projection).
+    """
+    return (
+        df.select(
+            F.sha2(F.col(content_col), 256).alias("content_hash"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def dedup_keep_first(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Window-based dedup keeping the first row per key (ST2 batch form)."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash (D2)
+# ---------------------------------------------------------------------------
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles as an array column (JVM-side)."""
+    toks = _tokens(text)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(sh: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(i, shingle).  xxhash64's seed argument gives an indexed
+    hash family without any Python or random state."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact verify.
+
+    rows-per-band = n_hashes / bands; a pair collides in some band with
+    probability 1-(1-j^r)^b (j = true Jaccard).  Candidates are verified
+    with exact shingle-Jaccard so the output has no false positives —
+    recall is the only approximation (SURVEY D2).
+
+    Scale shape: signatures are one narrow projection; the bucket join
+    shuffles (band_id, band_hash) keys — uniformly distributed by the
+    hash — and the verify join touches only candidate pairs.
+    """
+    rows_per_band = n_hashes // bands
+    sh = shingles(F.col(text_col), k)
+    sigs = df.select(
+        F.col(id_col).alias("id"), sh.alias("shingles"), minhash_signature(sh, n_hashes).alias("sig")
+    )
+    banded = sigs.select(
+        "id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "shingles", "bb.band", "bb.bucket")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    candidates = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.shingles").alias("a_sh"),
+            F.col("b.shingles").alias("b_sh"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    return (
+        candidates.select(
+            "a_id",
+            "b_id",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (D2 oracle path)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """All-pairs token-set Jaccard via an inverted-index join.
+
+    Explodes distinct tokens, joins postings on token, counts common
+    tokens per pair — the classic sparse similarity join: cost is
+    sum over tokens of df(token)^2, not n^2.  Callers bound the input
+    (or pre-filter by LSH) at scale.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("token"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("n_tok").alias("a_n"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("n_tok").alias("b_n"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("a_n") + F.col("b_n") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (D2 alternate signature)
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: each distinct token votes ±1 on every
+    bit of its xxhash64; the signature sign-thresholds the vote sums.
+    Near-dups differ in few bits (hamming distance on one BIGINT)."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    bit_votes = [
+        F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t, b=b: acc
+            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for b in range(64)
+    ]
+    sig = None
+    for b, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))

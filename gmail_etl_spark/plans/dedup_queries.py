@@ -1,0 +1,146 @@
+"""Dedup catalog entries (D1/D2, J1–J3 generalized)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmail_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+)
+from gmail_etl_spark.plans.catalog import load_table, query
+
+# ---------------------------------------------------------------------------
+# q40 — exact content dedup (D1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY sha256(text)
+    ORDER BY canonical_id
+    """,
+    survey="D1,J3",
+    headline=True,
+)
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text").orderBy("canonical_id")
+
+
+# ---------------------------------------------------------------------------
+# q41 — window-based canonical row selection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q41_dedup_canonical_rows",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+    ORDER BY doc_id
+    """,
+    survey="D1",
+)
+def q41_dedup_canonical_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — cross-run ledger anti-join (J1/J2 at scale)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q42_ledger_anti_join",
+    oracle="""
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM documents p
+        WHERE p.doc_id % 7 = 0 AND sha256(p.text) = sha256(d.text)
+    )
+    ORDER BY d.doc_id
+    """,
+    survey="J1,J2,D1",
+)
+def q42_ledger_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's processed-ledger dedup (N+1 point lookups,
+    ``resources/gmail_functions.py:172-178``) as one hash anti-join:
+    a simulated ledger (every 7th doc's content hash) filters the batch."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "content_hash", F.sha2("text", 256)
+    )
+    ledger = d.filter(F.col("doc_id") % 7 == 0).select("content_hash")
+    return (
+        d.join(ledger, "content_hash", "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — exact n-gram Jaccard pairs (D2 oracle path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q43_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+        FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
+    ORDER BY a_id, b_id
+    """,
+    survey="D2",
+)
+def q43_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return jaccard_pairs(d, "doc_id", "text", threshold=0.8).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# q44 — MinHash + LSH near-dup pairs (D2 scale path; rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q44_minhash_lsh",
+    oracle=None,  # approximate recall — verified against q43 in tests
+    survey="D2",
+)
+def q44_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", k=3, n_hashes=32, bands=16, threshold=0.5
+    ).orderBy("a_id", "b_id")

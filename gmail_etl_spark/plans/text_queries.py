@@ -1,0 +1,217 @@
+"""Text-analysis catalog (SURVEY §2.8 row X3): tokenization, token
+stats, quality scoring, language features, fingerprinting — the
+training-data-pipeline text operators, all JVM-side array/string
+expressions (no Python in the hot path) with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmail_etl_spark.plans.catalog import load_table, query
+
+STOPWORDS = ("the", "a")
+
+
+# ---------------------------------------------------------------------------
+# q30 — corpus language distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q30_lang_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    survey="X3",
+)
+def q30_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_chars"
+            ),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — per-document token statistics (headline text op)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q31_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           length(replace(text, ' ', '')) AS content_chars,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey="X3",
+    headline=True,
+)
+def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    content_chars = F.length(F.regexp_replace("text", " ", ""))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        content_chars.alias("content_chars"),
+        (content_chars.cast("double") / F.size(toks).cast("double")).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q32 — global token frequency (explode → count → top-k)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q32_token_freq",
+    oracle="""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 25
+    """,
+    survey="X3",
+)
+def q32_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — quality scoring (stopword ratio bands)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q33_quality_score",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}'))) AS n_stopwords
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, n_stopwords,
+           CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           CASE WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.05 THEN 'low'
+                WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.15 THEN 'mid'
+                ELSE 'high' END AS stopword_band
+    FROM scored
+    ORDER BY doc_id
+    """,
+    survey="X3",
+)
+def q33_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ratio = n_stop.cast("double") / n_tokens.cast("double")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio < 0.05, "low").when(ratio < 0.15, "mid").otherwise("high").alias(
+            "stopword_band"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q34 — document fingerprint (normalized content hash)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q34_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey="X3,D1",
+)
+def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: sorted distinct token set
+    hashed — the canonical-form trick that catches shuffled duplicates
+    exact hashing misses."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " "))))
+    return d.select("doc_id", F.sha2(canon, 256).alias("fingerprint")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q35 — language-feature table (lang-ID heuristic features)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q35_langid_features",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(length(regexp_replace(text, '[^aeiou]', '', 'g'))) AS DOUBLE)
+               / CAST(SUM(length(replace(text, ' ', ''))) AS DOUBLE) AS vowel_ratio,
+           CAST(SUM(length(replace(text, ' ', ''))) AS DOUBLE)
+               / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS mean_word_len,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    survey="X3",
+)
+def q35_langid_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language n-gram-style feature aggregates — the profile table a
+    nearest-profile language-ID classifier scores against."""
+    d = load_table(spark, sf_dir, "documents")
+    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
+    content = F.length(F.regexp_replace("text", " ", ""))
+    n_toks = F.size(F.split("text", " "))
+    return (
+        d.select("lang", vowels.alias("v"), content.alias("c"), n_toks.alias("t"))
+        .groupBy("lang")
+        .agg(
+            (F.sum("v").cast("double") / F.sum("c").cast("double")).alias("vowel_ratio"),
+            (F.sum("c").cast("double") / F.sum("t").cast("double")).alias("mean_word_len"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
