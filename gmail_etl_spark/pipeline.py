@@ -38,12 +38,16 @@ def read_raw(spark: SparkSession, path: str) -> DataFrame:
     (``resources/gmail_functions.py:127-129``); PERMISSIVE mode
     reproduces the reference's skip-unparsable-blob behavior (``:261``).
     """
-    return (
+    df = (
         spark.read.schema(RAW_MESSAGE_SCHEMA)
         .option("multiLine", True)
         .option("mode", "PERMISSIVE")
         .json(path)
     )
+    # PERMISSIVE turns an unparsable blob into one all-null row; dropping
+    # null ids reproduces the reference's skip-bad-blob `except: pass`
+    # (real Gmail messages always carry an id).
+    return df.filter(F.col("id").isNotNull())
 
 
 def transform_stage1(raw: DataFrame) -> DataFrame:

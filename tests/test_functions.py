@@ -1,0 +1,264 @@
+"""Unit goldens for the scalar kernels and UDF stages (SURVEY §5.2).
+
+The reference-semantics checks here are *independent*: expected values
+are hand-written or derived with json.loads object_hook (the
+reference's own mechanism, reimplemented minimally), not with the
+engine's code paths.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmail_etl_spark.functions.html import strip_html
+from gmail_etl_spark.functions.scalar import (
+    ascii_sanitize,
+    b64url_decode_utf8,
+    body_text_fixed_depth,
+    header_map,
+    lenient_timestamp,
+    parse_sender,
+)
+from gmail_etl_spark.functions.vendor import extract_indeed_fields
+from gmail_etl_spark.schemas import RAW_MESSAGE_SCHEMA
+from gmail_etl_spark.sources.fixtures import b64u, fixture_messages
+
+
+def _one_value(spark, col, data=None, schema=None):
+    if data is None:
+        df = spark.range(1)
+    else:
+        df = spark.createDataFrame(data, schema)
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+# ---------------------------------------------------------------------------
+# P2 header pivot
+# ---------------------------------------------------------------------------
+
+
+def test_header_map_last_wins_case_insensitive(spark):
+    data = [
+        (
+            [
+                {"name": "Subject", "value": "first"},
+                {"name": "SUBJECT", "value": "second"},
+                {"name": "From", "value": "x@y.z"},
+            ],
+        )
+    ]
+    schema = "headers array<struct<name:string,value:string>>"
+    df = spark.createDataFrame(data, schema)
+    row = df.select(
+        header_map(F.col("headers"))["subject"].alias("s"),
+        header_map(F.col("headers"))["from"].alias("f"),
+        header_map(F.col("headers"))["date"].alias("d"),
+    ).collect()[0]
+    assert row["s"] == "second"  # last wins
+    assert row["f"] == "x@y.z"
+    assert row["d"] is None  # missing header → null
+
+
+# ---------------------------------------------------------------------------
+# F2/F3 sender parse
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("Alice Doe <alice@example.com>", "alice@example.com"),
+        ("bob@example.com", "bob@example.com"),  # no angle brackets
+        ("Weird <Nested <c@d.e>", "c@d.e"),  # split takes LAST segment
+        ("  spaced  <s@t.u>  ", "s@t.u"),
+        ("Trailing> <t@u.v>", "t@u.v"),
+    ],
+)
+def test_parse_sender(spark, raw, expected):
+    v = _one_value(spark, parse_sender(F.col("s")), [(raw,)], "s string")
+    assert v == expected
+
+
+# ---------------------------------------------------------------------------
+# F5 ascii sanitize
+# ---------------------------------------------------------------------------
+
+
+def test_ascii_sanitize(spark):
+    v = _one_value(
+        spark, ascii_sanitize(F.col("s")), [("café\r\nnaïve±x",)], "s string"
+    )
+    # python reference: 'café\r\nnaïve±x'.encode('ascii','ignore') minus \r\n
+    expected = (
+        "café\r\nnaïve±x".encode("ascii", "ignore").decode().replace("\r", "").replace("\n", "")
+    )
+    assert v == expected == "cafnavex"
+
+
+# ---------------------------------------------------------------------------
+# F6 base64url decode
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("text", ["hello", "root~body?>", "nested>leaf?", "ü ünïcode"])
+def test_b64url_roundtrip(spark, text):
+    encoded = base64.urlsafe_b64encode(text.encode()).decode()
+    v = _one_value(spark, b64url_decode_utf8(F.col("s")), [(encoded,)], "s string")
+    assert v == text
+
+
+# ---------------------------------------------------------------------------
+# F7 lenient timestamp
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,expected_iso",
+    [
+        ("Mon, 15 May 2023 10:30:00 +0000", "2023-05-15 10:30:00"),
+        ("15 May 2023 10:30:00 +0000", "2023-05-15 10:30:00"),
+        ("Mon, 15 May 2023 10:30:00 +0200", "2023-05-15 08:30:00"),  # UTC normalized
+        ("2023-05-15T10:30:00+00:00", "2023-05-15 10:30:00"),
+        ("2023-05-15 10:30:00", "2023-05-15 10:30:00"),
+        ("Mon, 15 May 2023 10:30:00 +0000 (UTC)", "2023-05-15 10:30:00"),
+        ("total garbage", None),
+    ],
+)
+def test_lenient_timestamp(spark, raw, expected_iso):
+    v = _one_value(
+        spark,
+        F.date_format(lenient_timestamp(F.col("s")), "yyyy-MM-dd HH:mm:ss"),
+        [(raw,)],
+        "s string",
+    )
+    assert v == expected_iso
+
+
+# ---------------------------------------------------------------------------
+# F9 body assembly: engine expression vs the reference's own mechanism
+# (json.loads object_hook) on every fixture message
+# ---------------------------------------------------------------------------
+
+
+def _reference_scan(item: dict) -> list[str]:
+    """The reference's find_json_values mechanism, verbatim semantics:
+    object_hook collects dict['data'] at every dict close
+    (``resources/gmail_functions.py:195-204``)."""
+    results: list[str] = []
+
+    def hook(d):
+        if "data" in d:
+            results.append(d["data"])
+        return d
+
+    json.loads(json.dumps(item), object_hook=hook)
+    return [r for r in results if r is not None]
+
+
+def test_body_assembly_matches_reference_scan(spark):
+    msgs = fixture_messages()
+    df = spark.createDataFrame(msgs, RAW_MESSAGE_SCHEMA)
+    got = {
+        r["id"]: r["body"]
+        for r in df.select(
+            "id", body_text_fixed_depth(F.col("payload")).alias("body")
+        ).collect()
+    }
+    for item in msgs:
+        expected = " ".join(
+            base64.urlsafe_b64decode(d).decode("utf-8") for d in _reference_scan(item)
+        )
+        assert got[item["id"]] == expected, item["id"]
+
+
+def test_body_assembly_multipart_order(spark):
+    """Document order: payload.body, then per part: body before subparts."""
+    msg = {
+        "id": "order",
+        "payload": {
+            "mimeType": "multipart/mixed",
+            "headers": [],
+            "body": {"data": b64u("A")},
+            "parts": [
+                {
+                    "mimeType": "m",
+                    "body": {"data": b64u("B")},
+                    "parts": [
+                        {"mimeType": "t", "body": {"data": b64u("C")}},
+                        {"mimeType": "t", "body": {"data": b64u("D")}},
+                    ],
+                },
+                {"mimeType": "t", "body": {"data": b64u("E")}, "parts": None},
+            ],
+        },
+    }
+    df = spark.createDataFrame([msg], RAW_MESSAGE_SCHEMA)
+    body = df.select(body_text_fixed_depth(F.col("payload")).alias("b")).collect()[0]["b"]
+    assert body == "A B C D E"
+    ref = " ".join(
+        base64.urlsafe_b64decode(d).decode() for d in _reference_scan(msg)
+    )
+    assert body == ref
+
+
+# ---------------------------------------------------------------------------
+# U1 html → text
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "html,expected",
+    [
+        ("<p>Hello <b>world</b></p>", "Helloworld"),
+        ("plain text", "plain text"),
+        ("<div> a </div><div> b </div>", "ab"),
+        ("<p>x&amp;y</p>", "x&y"),
+        ("", ""),
+    ],
+)
+def test_strip_html(html, expected):
+    assert strip_html(html) == expected
+
+
+def test_strip_html_nbsp_to_ascii():
+    # &nbsp; → U+00A0 survives strip, dropped by ascii sanitize (ref :295)
+    out = strip_html("<h1>Invoice&nbsp;42</h1>")
+    assert out == "Invoice\xa042"
+    assert out.encode("ascii", "ignore").decode() == "Invoice42"
+
+
+# ---------------------------------------------------------------------------
+# U3 indeed extract
+# ---------------------------------------------------------------------------
+
+
+def test_extract_indeed_positional():
+    html = (
+        '<div dir="rtl"><a>View</a><p>Engineer</p>'
+        "<p>Acme - Chicago, IL</p><p>Acme Corp</p></div>"
+    )
+    assert extract_indeed_fields(html) == ("Engineer", "Acme Corp", "Chicago, IL")
+
+
+def test_extract_indeed_malformed():
+    assert extract_indeed_fields("<p>no rtl</p>") == (None, None, None)
+    assert extract_indeed_fields(None) == (None, None, None)
+    # rtl present but too few elements → positional IndexError → empty
+    assert extract_indeed_fields('<div dir="rtl"><p>only one</p></div>') == (
+        None,
+        None,
+        None,
+    )
+
+
+def test_extract_indeed_ignores_outside_rtl():
+    html = (
+        "<p>outside</p>"
+        '<div dir="rtl"><a>a0</a><p>p1</p><p>x - loc</p><p>p3</p></div>'
+        "<p>after</p>"
+    )
+    assert extract_indeed_fields(html) == ("p1", "p3", "loc")
