@@ -214,15 +214,18 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bit of its xxhash64; the signature sign-thresholds the vote sums.
     Near-dups differ in few bits (hamming distance on one BIGINT)."""
     toks = F.array_distinct(_tokens(F.col(text_col)))
-    bit_votes = [
-        F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t, b=b: acc
-            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for b in range(64)
-    ]
+
+    def _vote(b: int):
+        # closure factory: PySpark HOF lambdas must take exactly the
+        # declared arity (a defaulted 3rd param breaks arity detection)
+        def fn(acc, t):
+            return acc + F.when(
+                F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return fn
+
+    bit_votes = [F.aggregate(toks, F.lit(0), _vote(b)) for b in range(64)]
     sig = None
     for b, vote in enumerate(bit_votes):
         bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))

@@ -144,3 +144,17 @@ def q44_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         d, "doc_id", "text", k=3, n_hashes=32, bands=16, threshold=0.5
     ).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# q45 — SimHash signatures (D2 alternate; rows-only — xxhash64 bit votes
+# have no DuckDB equivalent; properties verified in tests/test_operators.py)
+# ---------------------------------------------------------------------------
+
+
+@query("q45_simhash", oracle=None, survey="D2")
+def q45_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmail_etl_spark.operators.dedup import simhash_signatures
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return simhash_signatures(d, "doc_id", "text").orderBy("id")

@@ -1,0 +1,134 @@
+"""Structured Streaming jobs (SURVEY §2.6 ST1–ST5, §2.8 X5).
+
+The reference's incremental machinery maps 1:1 onto streaming
+primitives:
+
+* ST1 trigger/schedule  (`gmail_dag.py:5` @daily)            → ``trigger(availableNow=True)`` run per schedule
+* ST2 exactly-once dedup (`gmail_functions.py:115-137`)      → checkpoint + ``dropDuplicates('id')``
+* ST3 source progress    (`nextPageToken`, not persisted)    → source offsets in the checkpoint
+* ST4 processed-commit   (move blob to raw/processed/, :312) → ``cleanSource='archive'``
+* ST5 task DAG           (`gmail_dag.py:6-9`)                → ``foreachBatch`` composing both stages
+
+The checkpoint *subsumes* the JDBC ledger: offsets + state make re-runs
+ingest nothing, which is exactly what the `emails` table was for.  X5
+adds what the reference never had — event-time windows + watermarks for
+late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmail_etl_spark.pipeline import transform_stage1
+from gmail_etl_spark.schemas import RAW_MESSAGE_SCHEMA
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+
+def read_raw_stream(
+    spark: SparkSession, raw_dir: str, archive_dir: str | None = None
+) -> DataFrame:
+    """S3/S4 as a file-source stream; ST4 via cleanSource archiving."""
+    reader = (
+        spark.readStream.schema(RAW_MESSAGE_SCHEMA)
+        .option("multiLine", True)
+        .option("mode", "PERMISSIVE")
+        .option("maxFilesPerTrigger", 64)
+    )
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    return reader.json(raw_dir).filter(F.col("id").isNotNull())
+
+
+#: events stream schema: ts arrives as epoch-nanos (parquet NANOS under
+#: nanosAsLong) and is converted exactly like the batch loader.
+_EVENTS_DDL = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.readStream.schema(_EVENTS_DDL).parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ---------------------------------------------------------------------------
+# ST1/ST2/ST5 — the pipeline as an exactly-once stream
+# ---------------------------------------------------------------------------
+
+
+def stream_raw_to_stage1(
+    spark: SparkSession,
+    raw_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    archive_dir: str | None = None,
+    await_termination: bool = True,
+):
+    """Raw blobs → stage-1 parquet, exactly-once.
+
+    ``foreachBatch`` composes in-batch dedup + the full transform
+    (ST5); the checkpoint carries source offsets (ST3) so a restart
+    ingests only new blobs — the ledger's purpose with no ledger.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stage1 = transform_stage1(batch_df.dropDuplicates(["id"]))
+        stage1.write.mode("append").parquet(out_dir)
+
+    q = (
+        read_raw_stream(spark, raw_dir, archive_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+# ---------------------------------------------------------------------------
+# X5 — event-time windows + watermark; ST2 — stateful dedup
+# ---------------------------------------------------------------------------
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding counts — identical expression to the
+    batch catalog q60/q61, so batch results oracle the stream."""
+    win = (
+        F.window("ts", window) if slide is None else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """ST2 as streaming state: drop duplicate event_ids within the
+    watermark horizon (bounded state — the scalable form of the ledger)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

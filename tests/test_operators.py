@@ -1,0 +1,174 @@
+"""Property tests for the extension operators (SURVEY §5.4): dedup
+idempotence, LSH recall vs the exact-Jaccard oracle, SimHash locality,
+kNN sanity, the distributed Gmail source, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmail_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, n=200):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(F.col("doc_id") < n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup properties
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_idempotent(spark):
+    d = _docs(spark)
+    once = exact_dedup(d, "doc_id", "text")
+    # dedup of the canonical set keeps every row (dup_count all 1)
+    canon = d.join(once.select(F.col("canonical_id").alias("doc_id")), "doc_id", "left_semi")
+    twice = exact_dedup(canon, "doc_id", "text")
+    assert twice.count() == once.count()
+    assert twice.filter(F.col("dup_count") > 1).count() == 0
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    d = _docs(spark, 50)
+    dup = d.withColumn("doc_id", F.col("doc_id") + 1000)  # same text, new ids
+    res = exact_dedup(d.unionByName(dup), "doc_id", "text")
+    assert res.count() == 50
+    assert res.filter(F.col("dup_count") == 2).count() == 50
+    # canonical id is the min → always the original
+    assert res.filter(F.col("canonical_id") >= 1000).count() == 0
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Near-identical planted pairs must be recovered by LSH with high
+    recall; every reported pair must also be exact-verified (no FPs)."""
+    d = _docs(spark, 100).select("doc_id", "text")
+    # plant near-duplicates: drop the first token
+    near = d.select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 2, 100000)).alias("text"),
+    )
+    corpus = d.unionByName(near)
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in jaccard_pairs(corpus, "doc_id", "text", 0.7)
+        .filter((F.col("b_id") - F.col("a_id")) == 5000)
+        .collect()
+    }
+    approx = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.0).collect()
+    }
+    planted_exact = {p for p in exact}
+    assert planted_exact, "fixture should produce high-jaccard planted pairs"
+    recall = len(planted_exact & approx) / len(planted_exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_minhash_pairs_are_verified(spark):
+    """Output jaccard values equal the exact jaccard (verify step)."""
+    d = _docs(spark, 60).select("doc_id", "text")
+    near = d.select((F.col("doc_id") + 5000).alias("doc_id"), F.col("text"))
+    got = minhash_lsh_pairs(d.unionByName(near), "doc_id", "text", threshold=0.99)
+    planted = got.filter((F.col("b_id") - F.col("a_id")) == 5000)
+    assert planted.count() == 60  # identical docs always collide in every band
+    assert planted.filter(F.col("jaccard") < 1.0).count() == 0
+
+
+def test_simhash_locality(spark):
+    d = _docs(spark, 40).select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 5000).alias("doc_id"), F.col("text"))
+    sigs = simhash_signatures(d.unionByName(dup), "doc_id", "text")
+    a = sigs.filter(F.col("id") < 5000).select(F.col("id"), F.col("simhash").alias("sa"))
+    b = sigs.filter(F.col("id") >= 5000).select(
+        (F.col("id") - 5000).alias("id"), F.col("simhash").alias("sb")
+    )
+    joined = a.join(b, "id")
+    # identical text → identical signature
+    assert joined.filter(F.col("sa") != F.col("sb")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# gmail source
+# ---------------------------------------------------------------------------
+
+
+def test_fetch_messages_distributed(spark):
+    from gmail_etl_spark.sources.fixtures import fixture_messages
+    from gmail_etl_spark.sources.gmail import MockGmailClient, fetch_messages
+
+    msgs = fixture_messages()
+
+    def factory():
+        return MockGmailClient(msgs, page_size=3)
+
+    raw = fetch_messages(spark, factory, limit=300)
+    assert raw.count() == len(msgs)
+    assert sorted(r["id"] for r in raw.select("id").collect()) == sorted(
+        m["id"] for m in msgs
+    )
+    # limit honored (reference cap semantics, :151)
+    assert fetch_messages(spark, factory, limit=4).count() == 4
+
+
+def test_fetch_messages_respects_ledger(spark):
+    from gmail_etl_spark.sources.fixtures import fixture_messages
+    from gmail_etl_spark.sources.gmail import MockGmailClient, fetch_messages
+
+    msgs = fixture_messages()
+    ledger = spark.createDataFrame([(m["id"],) for m in msgs[:4]], "id string")
+
+    def factory():
+        return MockGmailClient(msgs)
+
+    raw = fetch_messages(spark, factory, ledger=ledger)
+    assert raw.count() == len(msgs) - 4
+
+
+def test_fetched_messages_flow_through_pipeline(spark):
+    from gmail_etl_spark.pipeline import transform_stage1
+    from gmail_etl_spark.plans.gmail_queries import expected_stage1_rows
+    from gmail_etl_spark.sources.fixtures import fixture_messages
+    from gmail_etl_spark.sources.gmail import MockGmailClient, fetch_messages
+
+    msgs = fixture_messages()
+    raw = fetch_messages(spark, lambda: MockGmailClient(msgs))
+    got = {r["id"]: r["body"] for r in transform_stage1(raw).collect()}
+    expected = {r["id"]: r["body"] for r in expected_stage1_rows()}
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_media_features_header_convention(spark):
+    from gmail_etl_spark.operators.multimodal import attach_media_features
+
+    payload = (640).to_bytes(2, "big") + (480).to_bytes(2, "big") + b"png " + b"rest"
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"xy"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in attach_media_features(df).collect()}
+    assert rows[1]["width"] == 640 and rows[1]["height"] == 480
+    assert rows[1]["format"] == "png "
+    assert rows[1]["byte_len"] == len(payload)
+    assert rows[2]["format"] == "raw" and rows[2]["width"] is None
+
+
+def test_real_decoder_is_marked_stub():
+    from gmail_etl_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
