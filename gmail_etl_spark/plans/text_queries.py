@@ -215,3 +215,64 @@ def q35_langid_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q36 — BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+
+#: word / number / single non-space symbol — the classic pre-tokenizer
+#: shape used before BPE merges.
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "q36_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey="X3",
+)
+def q36_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q37 — rolling-hash fingerprint (polynomial over token stream)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q37_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_transform(string_split(text, ' '), t -> length(t) + 1),
+               (acc, x) -> (acc * 31 + x) % 1000000007
+           ) AS rolling_fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey="X3,D1",
+)
+def q37_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the token-length stream — order
+    sensitive (unlike q34's set fingerprint), so shuffled token order
+    changes the fingerprint.  Pure JVM fold, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    fp = F.aggregate(
+        F.transform(toks, lambda t: (F.length(t) + F.lit(1)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("rolling_fp")).orderBy("doc_id")
