@@ -79,3 +79,92 @@ def q51_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return cosine_topk(queries, emb, k=3, cell_col="label").orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q46 — embedding-cosine near-duplicate pairs (D2 embedding variant)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q46_embedding_near_dup",
+    oracle="""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 100
+        UNION ALL
+        SELECT vec_id + 1000, embedding::DOUBLE[]
+        FROM embeddings WHERE vec_id < 100
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+    ORDER BY a_id, b_id
+    """,
+    survey="D2,X1",
+)
+def q46_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-threshold near-dup over an embedding column: the corpus is
+    seeded with exact copies (ids +1000) so the >=0.99 band is exactly
+    the planted pairs — same construction on both engines."""
+    from gmail_etl_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    copies = base.select((F.col("vec_id") + 1000).alias("vec_id"), "v")
+    corpus = base.unionByName(copies)
+    a = corpus.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(sim >= 0.99)
+        .select("a_id", "b_id", F.round(sim, 6).alias("sim"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — per-label centroids (IVF training shape), long form
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q52_label_centroids",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(SUM(CAST(val AS DECIMAL(20,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS centroid_val
+    FROM flat
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+    survey="X1",
+)
+def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell centroid table — what an IVF coarse quantizer trains.
+    posexplode → (label, dim) partial aggregation: one shuffle of
+    (label, dim, partial-sum) triples regardless of corpus size.
+    DECIMAL(20,12) sums keep the result accumulation-order-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).select("label", (F.col("pos") + 1).alias("dim"), "val")
+    return (
+        flat.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(20,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("centroid_val")
+        )
+        .orderBy("label", "dim")
+    )
