@@ -656,3 +656,106 @@ def q19_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — lag/lead navigation windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q80_window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) AS ts_us,
+           LAG(event_id) OVER w AS prev_event_id,
+           LEAD(event_id) OVER w AS next_event_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts_us, event_id
+    """,
+    survey="2.5-window",
+)
+def q80_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    return e.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+    ).orderBy("user_id", "ts_us", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q81 — range-frame window (trailing 90-day spend)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q81_window_range_frame",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           day_no,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey ORDER BY day_no
+               RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_90d_spend
+    FROM (
+        SELECT *, date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS day_no
+        FROM orders
+    )
+    ORDER BY custkey, day_no, orderkey
+    """,
+    survey="2.5-window-range",
+)
+def q81_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a day-number axis: trailing-window aggregations
+    (the time-series rolling metric) without self-joins."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "day_no",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-90, 0)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        "day_no",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_90d_spend"),
+    ).orderBy("custkey", "day_no", "orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q82 — distribution windows: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q82_window_distribution",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           NTILE(4) OVER w AS price_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    ORDER BY orderkey
+    """,
+    survey="2.5-window",
+)
+def q82_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("orderkey")

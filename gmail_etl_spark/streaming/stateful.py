@@ -1,0 +1,50 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY §2.6 — the extension point for operators Structured Streaming's
+builtins can't express).
+
+``running_user_totals`` keeps an explicit per-user accumulator (event
+count + value total) across micro-batches — the generalization of the
+reference's ledger state from "seen ids" to arbitrary per-key
+aggregates.  State is per-key and partitioned by the groupBy, so it
+scales horizontally; at 100 TB the knob that matters is state-store
+size per key-partition, bounded here by one 2-field row per user.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-total) maintained across batches."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
