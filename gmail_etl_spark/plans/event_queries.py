@@ -25,7 +25,7 @@ from gmail_etl_spark.plans.catalog import load_table, query
     SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events
     GROUP BY bucket_start, event_type
     ORDER BY bucket_start, event_type
@@ -39,7 +39,9 @@ def q60_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "sum_value"
+            ),
         )
         .select(
             F.col("w.start").cast("long").alias("bucket_start"),
