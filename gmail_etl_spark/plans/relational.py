@@ -770,3 +770,40 @@ def q82_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     ).orderBy("orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q83/q84 — sketch aggregates (approximate; rows-only for the driver,
+# tolerance-tested against their exact counterparts in tests/)
+# ---------------------------------------------------------------------------
+
+
+@query("q83_approx_count_distinct", oracle=None, survey="2.5-approx")
+def q83_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts: the sketch that replaces exact
+    COUNT(DISTINCT) at 100 TB (mergeable, fixed memory, one pass —
+    exact distinct needs a full shuffle of the key universe)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("q84_approx_percentile", oracle=None, survey="2.5-approx")
+def q84_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-style approximate percentiles (percentile_approx): the
+    single-pass mergeable form of q19's exact interpolated percentiles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias("p99_approx"),
+        )
+        .orderBy("l_returnflag")
+    )

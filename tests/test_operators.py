@@ -172,3 +172,49 @@ def test_real_decoder_is_marked_stub():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+# ---------------------------------------------------------------------------
+# sketch aggregates: within tolerance of exact
+# ---------------------------------------------------------------------------
+
+
+def test_approx_count_distinct_tolerance(spark):
+    from gmail_etl_spark.plans.catalog import CATALOG
+
+    approx = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in CATALOG["q83_approx_count_distinct"].builder(spark, SF_DIR).collect()
+    }
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v <= 0.05, (k, approx[k], v)
+
+
+def test_approx_percentile_tolerance(spark):
+    from gmail_etl_spark.plans.catalog import CATALOG
+
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p99_approx"])
+        for r in CATALOG["q84_approx_percentile"].builder(spark, SF_DIR).collect()
+    }
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p99"])
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    for k, (e50, e99) in exact.items():
+        a50, a99 = approx[k]
+        assert abs(a50 - e50) / e50 <= 0.05
+        assert abs(a99 - e99) / e99 <= 0.05
