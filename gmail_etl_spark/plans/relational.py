@@ -2,9 +2,10 @@
 (J1-class), aggregations, windows, sorts, set ops, rollup (SURVEY §2.2,
 §2.3, §2.5).
 
-Oracle-hash discipline: money aggregates go through DECIMAL(12,2) exact
-sums (accumulation-order independent) then cast to double identically on
-both engines; every LIMIT is preceded by a total order.
+Oracle-hash discipline: money aggregates use order-independent exact
+arithmetic on both engines — integer-cents sums (_cents) on the headline
+queries, DECIMAL(12,2) sums (_dsum) elsewhere — then one final division/
+cast to double; every LIMIT is preceded by a total order.
 """
 
 from __future__ import annotations
@@ -806,4 +807,87 @@ def q84_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias("p99_approx"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q85/q86 — SQL surface: scalar + correlated subqueries (Catalyst
+# decorrelation), expressed through spark.sql over registered views
+# ---------------------------------------------------------------------------
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for t in names:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "q85_scalar_subquery",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_premium
+    FROM part
+    WHERE p_retailprice > (
+        SELECT SUM(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0
+               / CAST(COUNT(*) AS DOUBLE)
+        FROM part
+    )
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    survey="2.5-subquery",
+)
+def q85_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery through the engine's SQL entry point — identical
+    text modulo dialect; the threshold is a decimal-exact global mean so
+    the comparison boundary is engine-independent."""
+    _register(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_premium
+        FROM part
+        WHERE p_retailprice > (
+            SELECT SUM(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0
+                   / CAST(COUNT(*) AS DOUBLE)
+            FROM part
+        )
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """
+    )
+
+
+@query(
+    "q86_correlated_subquery",
+    oracle="""
+    SELECT l.l_partkey AS partkey, COUNT(*) AS n_above_avg
+    FROM lineitem l
+    WHERE l.l_extendedprice > (
+        SELECT SUM(CAST(round(l2.l_extendedprice * 100) AS BIGINT)) / 100.0
+               / CAST(COUNT(*) AS DOUBLE)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY l.l_partkey
+    ORDER BY partkey
+    """,
+    survey="2.5-subquery",
+)
+def q86_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join; the reference's N+1 ledger lookup was exactly this
+    shape done by hand (``resources/gmail_functions.py:172-178``)."""
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_partkey AS partkey, COUNT(*) AS n_above_avg
+        FROM lineitem l
+        WHERE l.l_extendedprice > (
+            SELECT SUM(CAST(round(l2.l_extendedprice * 100) AS BIGINT)) / 100.0
+                   / CAST(COUNT(*) AS DOUBLE)
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY l.l_partkey
+        ORDER BY partkey
+        """
     )
