@@ -51,6 +51,30 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
+    # Gmail-pipeline throughput: the reference's whole workload is ~300
+    # messages per serial run (resources/gmail_functions.py:151); here
+    # 20,000 messages run through the full stage-1 transform (header
+    # pivot, date parse, body decode, html strip, vendor enrichment).
+    from pyspark.sql import functions as F
+
+    from gmail_etl_spark.pipeline import transform_stage1
+    from gmail_etl_spark.sources.fixtures import fixture_raw_df
+
+    corpus = (
+        fixture_raw_df(spark)
+        .crossJoin(spark.range(2000).select(F.col("id").alias("_rep")))
+        .withColumn("id", F.concat_ws("-", "id", "_rep"))
+        .drop("_rep")
+    )
+    transform_stage1(corpus).count()  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_msgs = transform_stage1(corpus).count()
+        best = min(best, time.perf_counter() - t0)
+    assert n_msgs == 20000
+    times["gmail_pipeline_20k_msgs"] = round(best, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_wall_clock",

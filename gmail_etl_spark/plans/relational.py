@@ -646,10 +646,10 @@ def q18_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_quantity_percentiles",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_quantity, 0.5) AS p50,
-           quantile_cont(l_quantity, 0.9) AS p90,
-           quantile_cont(l_quantity, 0.99) AS p99,
-           median(l_extendedprice) AS median_price
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+           round(quantile_cont(l_quantity, 0.99), 4) AS p99,
+           round(median(l_extendedprice), 4) AS median_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -661,10 +661,12 @@ def q19_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
-            F.percentile("l_quantity", F.lit(0.9)).alias("p90"),
-            F.percentile("l_quantity", F.lit(0.99)).alias("p99"),
-            F.median("l_extendedprice").alias("median_price"),
+            # interpolation formulas can differ by 1 ulp across engines;
+            # in-query rounding pins the hashed value on both sides
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("l_quantity", F.lit(0.99)), 4).alias("p99"),
+            F.round(F.median("l_extendedprice"), 4).alias("median_price"),
         )
         .orderBy("l_returnflag")
     )
