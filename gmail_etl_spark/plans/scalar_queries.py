@@ -265,3 +265,60 @@ def q28_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("source", r"src([0-9]+)", 1).cast("int").alias("source_id"),
         F.regexp_extract("text", r"^([a-z]+) ([a-z]+)", 2).alias("second_word"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q87/q88 — grouped pandas-UDF surface (UDAF + grouped map), oracle-exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q87_grouped_agg_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_quantity) AS BIGINT)) / 100.0
+               / CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+               AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    survey="2.7-udaf",
+)
+def q87_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (Arrow-batched UDAF) with integer-exact
+    internals, hash-matched against the pure-SQL weighted mean."""
+    from gmail_etl_spark.functions.grouped import weighted_avg_price_cents
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            weighted_avg_price_cents("l_extendedprice", "l_quantity").alias(
+                "weighted_avg_price"
+            )
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q88_grouped_map_sequence",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+               AS seq
+    FROM events
+    ORDER BY user_id, seq
+    """,
+    survey="2.7-grouped-map",
+)
+def q88_grouped_map_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped map: whole-group pandas computation
+    (per-user ordinal sequence), checked against the window-function
+    oracle."""
+    from gmail_etl_spark.functions.grouped import per_key_sequence
+
+    e = load_table(spark, sf_dir, "events")
+    return per_key_sequence(e, "user_id", "ts", "event_id").orderBy("user_id", "seq")
