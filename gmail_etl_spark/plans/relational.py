@@ -893,3 +893,99 @@ def q86_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY partkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q89/q90 — outer-join and cross-join surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q89_full_outer_join",
+    oracle="""
+    WITH cust_rev AS (
+        SELECT c.c_nationkey AS nationkey,
+               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    ),
+    supp AS (
+        SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cr.nationkey, s.nationkey) AS nationkey,
+           cr.revenue, s.n_suppliers
+    FROM cust_rev cr FULL OUTER JOIN supp s ON cr.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+    survey="J-full-outer",
+)
+def q89_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    cust_rev = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg((F.sum(_cents("o_totalprice")) / F.lit(100.0)).alias("revenue"))
+    )
+    supp = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    cr, sp = cust_rev.alias("cr"), supp.alias("sp")
+    return (
+        cr.join(sp, F.col("cr.nationkey") == F.col("sp.nationkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("cr.nationkey"), F.col("sp.nationkey")).alias("nationkey"),
+            "revenue",
+            "n_suppliers",
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "q90_cross_join_grid",
+    oracle="""
+    SELECT r.r_name AS region, s.status, COALESCE(cnt.n, 0) AS n_orders
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+    LEFT JOIN (
+        SELECT n.n_regionkey AS rk, o.o_orderstatus AS st, COUNT(*) AS n
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_regionkey, o.o_orderstatus
+    ) cnt ON cnt.rk = r.r_regionkey AND cnt.st = s.status
+    ORDER BY region, status
+    """,
+    survey="J-cross",
+)
+def q90_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense grid via cross join + left join — the dimension-completion
+    pattern (every (region, status) cell present even at zero)."""
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    statuses = o.select(F.col("o_orderstatus").alias("status")).distinct()
+    counts = (
+        o.join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .groupBy(n["n_regionkey"].alias("rk"), o["o_orderstatus"].alias("st"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = r.crossJoin(F.broadcast(statuses))
+    return (
+        grid.join(
+            counts,
+            (counts["rk"] == r["r_regionkey"]) & (counts["st"] == grid["status"]),
+            "left",
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            "status",
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("region", "status")
+    )

@@ -276,3 +276,33 @@ def q37_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % 1000000007,
     )
     return d.select("doc_id", fp.alias("rolling_fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q38 — edit distance (fuzzy matching kernel)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q38_levenshtein",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS first_token,
+           string_split(text, ' ')[-1] AS last_token,
+           levenshtein(string_split(text, ' ')[1], string_split(text, ' ')[-1]) AS edit_dist
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY doc_id
+    """,
+    survey="X3",
+)
+def q38_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.split(F.col("text"), " ")
+    first, last = F.element_at(toks, 1), F.element_at(toks, -1)
+    return d.select(
+        "doc_id",
+        first.alias("first_token"),
+        last.alias("last_token"),
+        F.levenshtein(first, last).alias("edit_dist"),
+    ).orderBy("doc_id")

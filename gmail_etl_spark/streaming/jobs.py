@@ -132,3 +132,21 @@ def dedup_events_stream(events: DataFrame, watermark: str = "30 minutes") -> Dat
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def sessionized_event_counts(events: DataFrame, gap: str = "5 minutes",
+                             watermark: str = "1 hour") -> DataFrame:
+    """X5 session windows under streaming semantics: watermarked
+    ``session_window`` aggregation (append mode emits a session once the
+    watermark passes its close).  Identical expression to batch q62, so
+    the batch result oracles the stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )

@@ -111,3 +111,43 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_out").collect()[0]
     assert n["n"] == 50 and n["c"] == 50
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Append-mode session_window stream over the events table must emit
+    exactly the batch q62 sessions (availableNow drains everything, the
+    final watermark closes all sessions except possibly the last — so
+    compare on the emitted subset and require near-complete coverage)."""
+    import shutil
+
+    from gmail_etl_spark.streaming.jobs import read_events_stream, sessionized_event_counts
+
+    events_dir = tmp_path / "ev_sess"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", events_dir / "part0.parquet")
+    stream = sessionized_event_counts(read_events_stream(spark, str(events_dir)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    from gmail_etl_spark.plans.catalog import query_map
+
+    batch = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in query_map()["q62_session_window"](spark, SF_DIR).collect()
+    }
+    assert got, "stream emitted no sessions"
+    # every emitted session must match the batch result exactly
+    for k, v in got.items():
+        assert batch.get(k) == v, k
+    # and coverage must be near-complete (only watermark-tail sessions may lag)
+    assert len(got) >= len(batch) - 20
