@@ -306,3 +306,52 @@ def q38_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         last.alias("last_token"),
         F.levenshtein(first, last).alias("edit_dist"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q39 — language-ID classification (n-gram profile nearest-neighbor)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q39_langid_classify",
+    oracle="""
+    WITH train AS (SELECT * FROM documents WHERE doc_id >= 100),
+    test AS (SELECT * FROM documents WHERE doc_id < 100),
+    prof AS (
+        SELECT lang, substr(text, i, 2) AS bigram, COUNT(*) AS prof_cnt
+        FROM train, UNNEST(range(1, length(text))) AS t(i)
+        GROUP BY lang, bigram
+    ),
+    vecs AS (
+        SELECT doc_id, substr(text, i, 2) AS bigram, COUNT(*) AS doc_cnt
+        FROM test, UNNEST(range(1, length(text))) AS t(i)
+        GROUP BY doc_id, bigram
+    ),
+    scored AS (
+        SELECT v.doc_id, p.lang, SUM(v.doc_cnt * p.prof_cnt) AS score
+        FROM vecs v JOIN prof p USING (bigram)
+        GROUP BY v.doc_id, p.lang
+    )
+    SELECT doc_id, lang AS predicted_lang, score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, lang) AS rn
+        FROM scored
+    )
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    survey="X3",
+)
+def q39_langid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram profile language ID: profiles trained on doc_id>=100,
+    docs under 100 classified by integer dot-product argmax — the full
+    train/classify pipeline as one declarative plan
+    (operators/text.py::langid_classify)."""
+    from gmail_etl_spark.operators.text import langid_classify
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") >= 100)
+    test = d.filter(F.col("doc_id") < 100)
+    return langid_classify(train, test).orderBy("doc_id")
