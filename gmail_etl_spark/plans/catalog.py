@@ -72,6 +72,28 @@ class CatalogQuery:
 CATALOG: dict[str, CatalogQuery] = {}
 
 
+#: Semantic configs every catalog query depends on.  All are
+#: runtime-settable, so they are applied defensively to whatever session
+#: the caller provides (the driver harness builds its own SparkSession
+#: without gmail_etl_spark.session's config): LAST_WIN reproduces the
+#: reference's last-wins header loop (P2), UTC pins epoch casts and
+#: date formatting, nanosAsLong makes events.parquet readable.
+_SEMANTIC_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_semantic_conf(spark: SparkSession) -> None:
+    for k, v in _SEMANTIC_CONF.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+
+
 def query(
     name: str,
     oracle: str | None,
@@ -82,8 +104,14 @@ def query(
     """Decorator registering a (spark, sf_dir) -> DataFrame builder."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_semantic_conf(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
         CATALOG[name] = CatalogQuery(
-            name=name, builder=fn, oracle=oracle, survey=survey, headline=headline, tags=tags
+            name=name, builder=wrapped, oracle=oracle, survey=survey, headline=headline, tags=tags
         )
         return fn
 
