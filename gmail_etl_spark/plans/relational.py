@@ -170,11 +170,13 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = load_table(spark, sf_dir, "lineitem")
-    # region/nation/customer are dimension-sized at any SF → broadcast
-    # keeps the only shuffle on the orders⋈lineitem fact join.
+    # region/nation have bounded cardinality at any SF → hint them;
+    # customer grows with SF, so its join strategy is left to size
+    # statistics (auto-broadcast under the 64m threshold, shuffled hash
+    # join beyond it) — a forced hint would OOM a 100 TB run.
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(n["n_name"].alias("nation"))
@@ -970,7 +972,7 @@ def q90_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     statuses = o.select(F.col("o_orderstatus").alias("status")).distinct()
     counts = (
-        o.join(c, c["c_custkey"] == o["o_custkey"])
+        o.join(c, c["c_custkey"] == o["o_custkey"])  # strategy by size stats
         .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
         .groupBy(n["n_regionkey"].alias("rk"), o["o_orderstatus"].alias("st"))
         .agg(F.count(F.lit(1)).alias("n"))
