@@ -115,10 +115,12 @@ def minhash_lsh_pairs(
     hash — and the verify join touches only candidate pairs.
     """
     rows_per_band = n_hashes // bands
-    sh = shingles(F.col(text_col), k)
+    # materialize the shingle array once, then derive the signature from
+    # the column — otherwise the shingle expression is inlined into all
+    # n_hashes aggregates and evaluated n_hashes times per row.
     sigs = df.select(
-        F.col(id_col).alias("id"), sh.alias("shingles"), minhash_signature(sh, n_hashes).alias("sig")
-    )
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shingles")
+    ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
     banded = sigs.select(
         "id",
         "shingles",

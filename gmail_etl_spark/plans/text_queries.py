@@ -355,3 +355,69 @@ def q39_langid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.col("doc_id") >= 100)
     test = d.filter(F.col("doc_id") < 100)
     return langid_classify(train, test).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q93 — TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q93_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id < 200
+    ),
+    tf_counts AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+    ),
+    df_counts AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id < 200),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               round(t.tf * ln(CAST((SELECT n FROM n_docs) AS DOUBLE) / d.df), 6)
+                   AS tfidf
+        FROM tf_counts t JOIN df_counts d USING (term)
+    )
+    SELECT doc_id, term, tf, df, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    WHERE rn <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+    survey="X3",
+)
+def q93_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with integer tf/df and one rounded float step: the IDF log
+    is the only non-integer operation, rounded in-query on both engines
+    (libm ulp differences otherwise leak into the hash)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
