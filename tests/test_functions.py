@@ -125,6 +125,8 @@ def test_b64url_roundtrip(spark, text):
         ("2023-05-15T10:30:00+00:00", "2023-05-15 10:30:00"),
         ("2023-05-15 10:30:00", "2023-05-15 10:30:00"),
         ("Mon, 15 May 2023 10:30:00 +0000 (UTC)", "2023-05-15 10:30:00"),
+        ("Mon, 15 May 2023 10:30:00 GMT", "2023-05-15 10:30:00"),
+        ("15 May 2023 10:30:00 UTC", "2023-05-15 10:30:00"),
         ("total garbage", None),
     ],
 )
