@@ -105,3 +105,49 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Lake-layout posture: stage-1-style data partitioned by a low-
+    cardinality column must scan only the selected partition
+    (PartitionFilters in the plan, not a full-data filter)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == "es")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    n_es = docs.filter(F.col("lang") == "es").count()
+    assert back.count() == n_es
+
+
+def test_dedup_operators_at_100x_fixture_scale(spark):
+    """Synthetic 50k-doc corpus (100x the fixture): exact dedup and the
+    MinHash+LSH path must produce exactly the planted duplicate
+    structure — evidence the operators hold beyond toy size."""
+    from gmail_etl_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+    base = (
+        spark.range(25_000)
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{w}"), F.md5(F.concat(F.col("id"), F.lit(w))).substr(1, 4))
+                    for w in range(12)
+                ],
+            ),
+        )
+        .select(F.col("id").alias("doc_id"), "text")
+    )
+    dups = base.select((F.col("doc_id") + 25_000).alias("doc_id"), "text")
+    corpus = base.unionByName(dups)  # 50k rows, every text exactly twice
+    res = exact_dedup(corpus, "doc_id", "text")
+    assert res.count() == 25_000
+    assert res.filter(F.col("dup_count") != 2).count() == 0
+    # LSH on a 2k slice: every planted identical pair must be found
+    slice_ = corpus.filter((F.col("doc_id") < 1000) | (
+        (F.col("doc_id") >= 25_000) & (F.col("doc_id") < 26_000)))
+    pairs = minhash_lsh_pairs(slice_, "doc_id", "text", threshold=0.99)
+    assert pairs.filter((F.col("b_id") - F.col("a_id")) == 25_000).count() == 1000
