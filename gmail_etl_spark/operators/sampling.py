@@ -1,0 +1,94 @@
+"""Dataset curation operators: deterministic splits, per-class caps,
+stratified sampling, benchmark decontamination (SURVEY §2.8 — the
+selection half of a training-data pipeline).
+
+Reproducibility rule: every selection here keys on *content hashes or
+ids*, never on RNG state, so re-running the pipeline (or running it on
+a different cluster layout) selects the identical rows.  That is what
+makes 100 TB curation auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_split(
+    df: DataFrame, content_col: str, train_pct: int = 80
+) -> DataFrame:
+    """Deterministic train/eval split on a content hash.
+
+    Bucket = first byte of sha2(content) (uniform 0..255); rows with
+    bucket < 256*pct/100 are 'train'.  Content-keyed, so duplicate texts
+    always land in the same split — id-keyed splits leak near-dups
+    across the boundary.
+    """
+    bucket = F.conv(F.substring(F.sha2(F.col(content_col), 256), 1, 2), 16, 10).cast("int")
+    threshold = int(256 * train_pct / 100)
+    return df.withColumn(
+        "split", F.when(bucket < threshold, "train").otherwise("eval")
+    )
+
+
+def per_class_cap(
+    df: DataFrame, class_col: str, content_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """Class-balanced cap: keep at most ``cap`` rows per class, chosen
+    by content-hash order (deterministic, unbiased by ingestion order).
+    The window shuffles one partition per class — for heavy classes at
+    scale pre-aggregate with a (class, salt) two-phase variant."""
+    w = Window.partitionBy(class_col).orderBy(
+        F.sha2(F.col(content_col), 256), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): the quota-matching
+    primitive for language/source mixing.  Seeded but RNG-based — use
+    hash_split when byte-reproducibility across engines matters."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def contamination_report(
+    benchmark: DataFrame,
+    train: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: fraction of each benchmark document's
+    k-token shingles that appear anywhere in the training corpus.
+
+    Returns (id, n_shingles, n_contaminated, contamination) — flag or
+    drop docs above a threshold before evaluation.  The train side
+    reduces to a distinct-shingle set (one shuffle), the probe is a
+    broadcast-friendly semi-join per shingle: integer counts, exact.
+    """
+    from gmail_etl_spark.operators.dedup import shingles
+
+    bench_sh = benchmark.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    train_sh = (
+        train.select(F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = bench_sh.join(train_sh, "shingle", "left")
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("contamination"),
+    )

@@ -140,6 +140,6 @@ def _ensure_loaded() -> None:
     from gmail_etl_spark.plans import relational, scalar_queries, text_queries  # noqa: F401
     from gmail_etl_spark.plans import dedup_queries, similarity_queries, event_queries  # noqa: F401
     from gmail_etl_spark.plans import gmail_queries, multimodal_queries  # noqa: F401
-    from gmail_etl_spark.plans import temporal_queries  # noqa: F401
+    from gmail_etl_spark.plans import sampling_queries, temporal_queries  # noqa: F401
 
     _LOADED = True

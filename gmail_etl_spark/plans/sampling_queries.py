@@ -1,0 +1,138 @@
+"""Dataset-curation catalog entries: deterministic splits, class caps,
+decontamination — all content-hash keyed so DuckDB reproduces them
+exactly; plus RNG sampling as rows-only with statistical tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmail_etl_spark.operators.sampling import (
+    contamination_report,
+    hash_split,
+    per_class_cap,
+    stratified_sample,
+)
+from gmail_etl_spark.plans.catalog import load_table, query
+
+# ---------------------------------------------------------------------------
+# q94 — deterministic content-hash train/eval split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q94_hash_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+    FROM (
+        -- first hash byte < 0xcc (204 = floor(256*0.8)); fixed-width
+        -- lowercase hex compares lexicographically == numerically
+        SELECT doc_id,
+               CASE WHEN substr(sha256(text), 1, 2) < 'cc'
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents
+    )
+    GROUP BY split
+    ORDER BY split
+    """,
+    survey="sampling,D1",
+)
+def q94_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "text", train_pct=80)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — class-balanced cap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q95_per_class_cap",
+    oracle="""
+    SELECT lang, doc_id
+    FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY sha256(text), doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= 20
+    ORDER BY lang, doc_id
+    """,
+    survey="sampling",
+)
+def q95_per_class_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        per_class_cap(d, "lang", "text", "doc_id", cap=20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96 — stratified sampling (RNG; rows-only, proportions tested)
+# ---------------------------------------------------------------------------
+
+
+@query("q96_stratified_sample", oracle=None, survey="sampling")
+def q96_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    fractions = {lang: 0.5 for lang in langs}
+    return (
+        stratified_sample(d, "lang", fractions)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 — benchmark decontamination report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q97_contamination",
+    oracle="""
+    WITH bench AS (SELECT * FROM documents WHERE doc_id < 50),
+    train AS (SELECT * FROM documents WHERE doc_id >= 100),
+    bench_sh AS (
+        -- per-doc DISTINCT mirrors the operator's array_distinct
+        SELECT DISTINCT doc_id AS id,
+               array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM bench),
+             UNNEST(range(1, greatest(len(toks) - 1, 2))) AS t(i)
+    ),
+    train_sh AS (
+        SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM (SELECT string_split(text, ' ') AS toks FROM train),
+             UNNEST(range(1, greatest(len(toks) - 1, 2))) AS t(i)
+    )
+    SELECT id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS contamination
+    FROM bench_sh b LEFT JOIN train_sh t USING (shingle)
+    GROUP BY id
+    ORDER BY id
+    """,
+    survey="sampling,D2",
+)
+def q97_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment decontamination (Dolma/RedPajama-style):
+    flag benchmark docs whose 3-gram shingles blanket-appear in the
+    training corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 50)
+    train = d.filter(F.col("doc_id") >= 100)
+    return contamination_report(bench, train, "doc_id", "text", k=3).orderBy("id")

@@ -180,11 +180,11 @@ def test_real_decoder_is_marked_stub():
 
 
 def test_approx_count_distinct_tolerance(spark):
-    from gmail_etl_spark.plans.catalog import CATALOG
+    from gmail_etl_spark.plans.catalog import query_map
 
     approx = {
         r["o_orderstatus"]: r["approx_customers"]
-        for r in CATALOG["q83_approx_count_distinct"].builder(spark, SF_DIR).collect()
+        for r in query_map()["q83_approx_count_distinct"](spark, SF_DIR).collect()
     }
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     exact = {
@@ -198,11 +198,11 @@ def test_approx_count_distinct_tolerance(spark):
 
 
 def test_approx_percentile_tolerance(spark):
-    from gmail_etl_spark.plans.catalog import CATALOG
+    from gmail_etl_spark.plans.catalog import query_map
 
     approx = {
         r["l_returnflag"]: (r["p50_approx"], r["p99_approx"])
-        for r in CATALOG["q84_approx_percentile"].builder(spark, SF_DIR).collect()
+        for r in query_map()["q84_approx_percentile"](spark, SF_DIR).collect()
     }
     l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     exact = {
@@ -218,3 +218,26 @@ def test_approx_percentile_tolerance(spark):
         a50, a99 = approx[k]
         assert abs(a50 - e50) / e50 <= 0.05
         assert abs(a99 - e99) / e99 <= 0.05
+
+
+def test_stratified_sample_proportions(spark):
+    from gmail_etl_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sampled = stratified_sample(d, "lang", {k: 0.5 for k in totals})
+    got = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, total in totals.items():
+        frac = got.get(lang, 0) / total
+        assert 0.3 <= frac <= 0.7, (lang, frac)  # Bernoulli 0.5 within wide bounds
+
+
+def test_hash_split_is_content_keyed(spark):
+    """Duplicate texts must land in the same split regardless of id."""
+    from gmail_etl_spark.operators.sampling import hash_split
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    dup = d.withColumn("doc_id", F.col("doc_id") + 9000)
+    s = hash_split(d.unionByName(dup), "text")
+    sides = s.groupBy("text").agg(F.countDistinct("split").alias("k"))
+    assert sides.filter(F.col("k") > 1).count() == 0
