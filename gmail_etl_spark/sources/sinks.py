@@ -58,3 +58,61 @@ def archive_files(spark: SparkSession, src_dir: str, archive_dir: str, suffix: s
             fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst_path, p.getName()))
             moved += 1
     return moved
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    table_path: str,
+    key: str,
+    order_col: str | None = None,
+) -> None:
+    """MERGE-style upsert into a parquet table: new rows win on key
+    collision (latest by ``order_col`` if given, else new-batch wins).
+
+    Plain-parquet formulation of the ledger/J2 write path: read existing,
+    union, keep one row per key, rewrite.  On a real lake this is Delta/
+    Iceberg MERGE INTO with file-level pruning; the full-rewrite form
+    here is correct at any scale but costs a table rewrite — partition
+    the table and restrict the rewrite to touched partitions when keys
+    are partition-aligned.
+    """
+    from pyspark.sql import Window
+
+    try:
+        existing = spark.read.parquet(table_path)
+        existing = existing.withColumn("_prio", F.lit(0))
+    except Exception:
+        existing = None
+    ranked = new_rows.withColumn("_prio", F.lit(1))
+    if existing is not None:
+        ranked = existing.unionByName(ranked)
+    order = [F.desc("_prio")] + ([F.desc(order_col)] if order_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    merged = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_prio")
+    )
+    # localCheckpoint materializes the merge before the overwrite breaks
+    # its own input lineage (classic read-modify-overwrite hazard).
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(table_path)
+
+
+def compact_parquet(spark: SparkSession, path: str, target_file_bytes: int = 134_217_728) -> int:
+    """Small-file compaction: rewrite a parquet dir into
+    ceil(bytes/target) files.  The 100 TB hygiene op — streaming sinks
+    and per-batch appends accrete small files that wreck scan
+    parallelism (one task per tiny file) and NameNode/list costs.
+    Returns the new file count."""
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    df.localCheckpoint(eager=True).repartition(n_files).write.mode("overwrite").parquet(path)
+    return n_files

@@ -63,3 +63,33 @@ def test_archive_files_moves_processed(spark, tmp_path):
         "a.json",
         "b.json",
     ]
+
+
+def test_upsert_by_key(spark, tmp_path):
+    from gmail_etl_spark.sources.sinks import upsert_by_key
+
+    path = str(tmp_path / "tbl")
+    first = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "id long, v string, ver int"
+    )
+    upsert_by_key(spark, first, path, "id")
+    second = spark.createDataFrame(
+        [(2, "B2", 20), (4, "d", 20)], "id long, v string, ver int"
+    )
+    upsert_by_key(spark, second, path, "id")
+    got = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("B2", 20), 3: ("c", 10), 4: ("d", 20)}
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from gmail_etl_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    docs = spark.read.parquet(f"{__import__('tests.conftest', fromlist=['SF_DIR']).SF_DIR}/documents.parquet")
+    docs.repartition(37).write.parquet(path)  # fragment: 37 tiny files
+    before = len(glob.glob(path + "/part-*"))
+    assert before == 37
+    n = compact_parquet(spark, path, target_file_bytes=256 * 1024 * 1024)
+    after = len(glob.glob(path + "/part-*"))
+    assert after == n == 1
+    assert spark.read.parquet(path).count() == docs.count()
