@@ -991,3 +991,42 @@ def q90_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — argmin/argmax aggregates (min_by / max_by)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q91_min_by_max_by",
+    oracle="""
+    SELECT l_returnflag,
+           arg_max(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 100000000
+                               + l_orderkey) AS priciest_orderkey,
+           arg_min(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 100000000
+                               + l_orderkey) AS cheapest_orderkey,
+           MAX(l_extendedprice) AS max_price,
+           MIN(l_extendedprice) AS min_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    survey="2.5-agg",
+)
+def q91_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax with a composite (price, orderkey) ordering key so
+    ties resolve identically on both engines (bare max_by/arg_max are
+    tie-nondeterministic)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    combined = _cents("l_extendedprice") * F.lit(100000000) + F.col("l_orderkey")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.max_by("l_orderkey", combined).alias("priciest_orderkey"),
+            F.min_by("l_orderkey", combined).alias("cheapest_orderkey"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.min("l_extendedprice").alias("min_price"),
+        )
+        .orderBy("l_returnflag")
+    )

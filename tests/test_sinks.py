@@ -93,3 +93,30 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     after = len(glob.glob(path + "/part-*"))
     assert after == n == 1
     assert spark.read.parquet(path).count() == docs.count()
+
+
+def test_cli_stage1_and_query(spark, tmp_path):
+    """CLI surface: stage1 batch + query subcommands (in-process main)."""
+    import json as _json
+
+    from gmail_etl_spark.cli import main
+    from gmail_etl_spark.sources.fixtures import fixture_messages
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "b.json").write_text(_json.dumps(fixture_messages()))
+    rc = main(
+        [
+            "stage1",
+            "--raw",
+            str(raw) + "/*.json",
+            "--out",
+            str(tmp_path / "out"),
+            "--ledger",
+            str(tmp_path / "ledger"),
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "out")).count() == len(fixture_messages())
+    assert main(["query", "q10_distinct_flags", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert main(["query", "no_such_query"]) == 2
