@@ -168,6 +168,110 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components — near-dup pairs → duplicate clusters (D2 end-game)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (u < v) form, self-loops dropped."""
+    return (
+        e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _directed(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def connected_components(
+    edges: DataFrame, src: str = "u", dst: str = "v", max_iter: int = 25
+) -> DataFrame:
+    """Component label (min node id in the component) per node, via the
+    alternating large-star / small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Pure DataFrame composition — each round is two groupBy/join stages
+    over the edge set, and the edge set contracts toward a star per
+    component in O(log n) rounds, so a 100 TB pair set converges in a
+    bounded number of shuffles (vs O(diameter) for naive label
+    propagation).  ``localCheckpoint`` truncates lineage each round so
+    the plan doesn't grow with iterations.
+
+    Input: any DataFrame of undirected pairs (direction/duplicates/
+    self-loops tolerated).  Output: (node, component) covering every
+    node incident to an edge; singleton nodes never enter the edge set
+    and keep their identity label implicitly (callers left-join).
+    """
+    e = _canonical_edges(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+
+    def _star(d: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min(N(u) ∪ {u}) over the (possibly filtered) neighborhood
+        nbrs = d if large else d.filter(F.col("v") <= F.col("u"))
+        m = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
+        )
+        if large:
+            # connect strictly-larger neighbors to m(u)
+            moved = (
+                d.filter(F.col("v") > F.col("u"))
+                .join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+        else:
+            moved = (
+                nbrs.join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+        return _canonical_edges(moved.union(m.select(F.col("u"), F.col("m").alias("v"))))
+
+    def _checksum(d: DataFrame) -> tuple[int, int]:
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e = _star(_directed(e), large=True)
+        e = _star(_directed(e), large=False).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged edge set is a star per component: (leaf, root) with root
+    # the component min; the root itself gets its own-label row.
+    leaves = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = e.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
+    return leaves.union(roots).distinct()
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+) -> DataFrame:
+    """End-to-end near-dedup: given candidate duplicate pairs (from
+    ``minhash_lsh_pairs`` or ``jaccard_pairs``), cluster them with
+    connected components and keep one canonical row per cluster (min id)
+    plus every unclustered row.  Returns ``df``'s schema filtered."""
+    comp = connected_components(
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    )
+    return (
+        df.join(comp, df[id_col] == comp["node"], "left")
+        .filter(F.col("component").isNull() | (F.col("component") == df[id_col]))
+        .select(*[df[c] for c in df.columns])
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (D2 oracle path)
 # ---------------------------------------------------------------------------
 

@@ -147,6 +147,92 @@ def q44_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q47/q48 — near-dup clustering via connected components (D2 end-game)
+# ---------------------------------------------------------------------------
+
+#: exact-Jaccard pair edges + min-reachable-id components, as one
+#: recursive CTE (DuckDB recursive CTEs dedup via UNION, so the reach
+#: relation is finite and the fixpoint terminates on cyclic edge sets).
+_CC_ORACLE_PREFIX = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+        FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT a_id, b_id
+      FROM common
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE CAST(n_common AS DOUBLE)
+            / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.95
+    ),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    reach(id, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+"""
+
+
+def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", threshold=0.95)
+
+
+@query(
+    "q47_near_dup_clusters",
+    oracle=_CC_ORACLE_PREFIX
+    + """
+    SELECT id AS doc_id, component FROM comp ORDER BY doc_id
+    """,
+    survey="D2",
+)
+def q47_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: exact-Jaccard pairs (≥0.95) →
+    alternating large-star/small-star connected components → (doc_id,
+    component=min id in cluster).  The oracle recomputes the same
+    components with a DuckDB recursive CTE (min reachable id)."""
+    from gmail_etl_spark.operators.dedup import connected_components
+
+    comp = connected_components(
+        _jaccard_edges(spark, sf_dir).select(
+            F.col("a_id").alias("u"), F.col("b_id").alias("v")
+        )
+    )
+    return comp.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
+
+
+@query(
+    "q48_near_dedup",
+    oracle=_CC_ORACLE_PREFIX
+    + """
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    LEFT JOIN comp ON comp.id = d.doc_id
+    WHERE comp.id IS NULL OR comp.component = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    survey="D2,J3",
+)
+def q48_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: keep one canonical doc (min id) per
+    near-dup cluster plus every unclustered doc."""
+    from gmail_etl_spark.operators.dedup import near_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return near_dedup(d, "doc_id", _jaccard_edges(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # q45 — SimHash signatures (D2 alternate; rows-only — xxhash64 bit votes
 # have no DuckDB equivalent; properties verified in tests/test_operators.py)
 # ---------------------------------------------------------------------------

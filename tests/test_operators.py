@@ -9,9 +9,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from gmail_etl_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
+    near_dedup,
     simhash_signatures,
 )
 from tests.conftest import SF_DIR
@@ -82,6 +84,59 @@ def test_minhash_pairs_are_verified(spark):
     planted = got.filter((F.col("b_id") - F.col("a_id")) == 5000)
     assert planted.count() == 60  # identical docs always collide in every band
     assert planted.filter(F.col("jaccard") < 1.0).count() == 0
+
+
+def test_connected_components_chain_and_cycle(spark):
+    """A chain (1-2-3-4), a cycle (10-11-12-10), and an isolated pair:
+    labels are the component minimum regardless of edge orientation,
+    duplicates, or self-loops in the input."""
+    edges = spark.createDataFrame(
+        [
+            (2, 1), (2, 3), (3, 4),          # chain, mixed direction
+            (10, 11), (11, 12), (12, 10),    # cycle
+            (20, 21), (21, 20), (20, 20),    # pair w/ dup + self-loop
+        ],
+        "u long, v long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 64-node path is worst-case for naive propagation (diameter 63);
+    large-star/small-star must still converge within max_iter=25
+    (O(log n) rounds)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "u long, v long"
+    )
+    comp = connected_components(edges)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == 64
+
+
+def test_near_dedup_keeps_canonical_and_singletons(spark):
+    d = _docs(spark, 30).select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    both = d.unionByName(dup)
+    pairs = jaccard_pairs(both, "doc_id", "text", threshold=0.999)
+    kept = near_dedup(both, "doc_id", pairs)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # every planted duplicate (doc_id+5000) has a smaller-id original in
+    # its cluster, so none survives canonical selection
+    assert all(i not in kept_ids for i in range(5000, 5010))
+    assert kept.count() < both.count()
+    # dedup is idempotent
+    again = near_dedup(kept, "doc_id", jaccard_pairs(kept, "doc_id", "text", 0.999))
+    assert again.count() == kept.count()
 
 
 def test_simhash_locality(spark):
