@@ -75,6 +75,70 @@ def main() -> None:
     assert n_msgs == 20000
     times["gmail_pipeline_20k_msgs"] = round(best, 3)
 
+    # --- scale-path entries (single timed run each; the figure of merit
+    # is throughput at 100k synthetic rows, not steady-state latency) ---
+    from gmail_etl_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from gmail_etl_spark.operators.similarity import cosine_topk_vectorized
+
+    # 100k x 64-dim embeddings: brute-force cosine top-10 via the
+    # Arrow/numpy kernel (one matmul per batch, partial top-k merge).
+    emb = (
+        spark.range(100_000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000)) / 500.0 - 1.0,
+            ).alias("embedding"),
+        )
+        .repartition(32)
+        .cache()
+    )
+    emb.count()
+    t0 = time.perf_counter()
+    n = cosine_topk_vectorized(emb.filter(F.col("vec_id") < 8), emb, k=10).count()
+    assert n == 80
+    times["knn_100k_vectorized"] = round(time.perf_counter() - t0, 3)
+
+    # 100k docs in planted near-dup groups of 10: MinHash+LSH candidate
+    # pairs -> connected components -> exactly 10,000 clusters.
+    docs = (
+        spark.range(100_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(29)),
+                    lambda j: F.when(
+                        j == F.pmod(F.col("id"), F.lit(10)).cast("int"),
+                        F.conv(F.hex(F.abs(F.xxhash64(F.col("id"), j))), 16, 36),
+                    ).otherwise(
+                        F.conv(
+                            F.hex(F.abs(F.xxhash64(F.floor(F.col("id") / 10), j))), 16, 36
+                        )
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .repartition(32)
+        .cache()
+    )
+    docs.count()
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=16, bands=8, threshold=0.5
+    )
+    comp = connected_components(
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    )
+    n_clusters = comp.select("component").distinct().count()
+    assert n_clusters == 10_000, n_clusters
+    times["near_dedup_100k_docs"] = round(time.perf_counter() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_wall_clock",

@@ -110,9 +110,12 @@ def minhash_lsh_pairs(
     with exact shingle-Jaccard so the output has no false positives —
     recall is the only approximation (SURVEY D2).
 
-    Scale shape: signatures are one narrow projection; the bucket join
-    shuffles (band_id, band_hash) keys — uniformly distributed by the
-    hash — and the verify join touches only candidate pairs.
+    Scale shape: the band-bucket self-join is *narrow* — only (id, band,
+    bucket) rows move, never shingle payloads, so the join side stays
+    kilobytes-per-million-docs and can't trigger a runaway broadcast.
+    Shingle arrays re-enter by id only for the candidate pairs that
+    survive bucketing, which is the standard LSH verify shape: shuffle
+    volume is O(candidates), not O(corpus × bands).
     """
     rows_per_band = n_hashes // bands
     # materialize the shingle array once, then derive the signature from
@@ -123,7 +126,6 @@ def minhash_lsh_pairs(
     ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
     banded = sigs.select(
         "id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -137,9 +139,12 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "shingles", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
+    # both sides of every join below are corpus-sized: hint shuffle-hash
+    # so the planner never attempts a broadcast off a bad size estimate
+    # (range/explode-derived stats wildly under-count array payloads).
     left = banded.alias("a")
-    right = banded.alias("b")
+    right = banded.hint("shuffle_hash").alias("b")
     candidates = (
         left.join(
             right,
@@ -147,13 +152,13 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.shingles").alias("a_sh"),
-            F.col("b.shingles").alias("b_sh"),
-        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+    )
+    sh = sigs.select("id", "shingles").hint("shuffle_hash")
+    candidates = (
+        candidates.join(sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh")), "a_id")
+        .join(sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh")), "b_id")
     )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size("a_sh") + F.size("b_sh") - inter

@@ -82,6 +82,46 @@ def q51_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q53 — brute-force cosine top-k, Arrow/numpy kernel (X1 scale path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q53_knn_vectorized",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_vec FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               round(list_cosine_similarity(q.q_vec, c.c_vec), 6) AS sim
+        FROM q CROSS JOIN c
+        WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    survey="X1",
+)
+def q53_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as q50, executed through the mapInPandas/BLAS
+    kernel (one matmul per Arrow batch, per-batch partial top-k) — the
+    form that holds at 100 TB, where per-row array expressions lose to
+    batched linear algebra."""
+    from gmail_etl_spark.operators.similarity import cosine_topk_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_vectorized(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # q46 — embedding-cosine near-duplicate pairs (D2 embedding variant)
 # ---------------------------------------------------------------------------
 

@@ -75,6 +75,14 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = builder.master(master)
     conf = dict(ENGINE_CONF)
+    # Driver memory only applies at JVM launch: in local mode the driver
+    # JVM *is* the executor, and Spark's 1g default starves broadcast
+    # builds and shuffle buffers on a large host.  On a cluster this is
+    # spark-submit's concern, so it's env-overridable and ignored once a
+    # JVM exists.
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

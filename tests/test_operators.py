@@ -139,6 +139,30 @@ def test_near_dedup_keeps_canonical_and_singletons(spark):
     assert again.count() == kept.count()
 
 
+def test_vectorized_knn_matches_jvm_path(spark):
+    """The mapInPandas/BLAS kernel must reproduce the JVM array-expression
+    top-k exactly (same ids, same ranks, sims within rounding), including
+    across many small Arrow batches (partial top-k merge is lossless)."""
+    from gmail_etl_spark.operators.similarity import cosine_topk, cosine_topk_vectorized
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.repartition(16)  # force many partial top-k merges
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in cosine_topk(queries, emb, k=7).collect()
+    }
+    vec = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in cosine_topk_vectorized(queries, corpus, k=7).collect()
+    }
+    assert set(exact) == set(vec)
+    for key, (nid, sim) in exact.items():
+        vnid, vsim = vec[key]
+        assert vnid == nid, f"{key}: neighbor {vnid} != {nid}"
+        assert abs(vsim - sim) <= 1e-6
+
+
 def test_simhash_locality(spark):
     d = _docs(spark, 40).select("doc_id", "text")
     dup = d.select((F.col("doc_id") + 5000).alias("doc_id"), F.col("text"))
