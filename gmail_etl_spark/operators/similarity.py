@@ -73,6 +73,90 @@ def cosine_topk(
     )
 
 
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane components in
+    [-1, 1), derived from a splitmix64-style integer mix of (plane, j) —
+    reproducible across sessions with no RNG state."""
+    out = []
+    for j in range(dim):
+        x = (plane * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (1 << 64)
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) % (1 << 64)
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) % (1 << 64)
+        x ^= x >> 31
+        out.append((x % (1 << 53)) / float(1 << 52) - 1.0)
+    return out
+
+
+def hyperplane_lsh_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate embedding pairs via sign-random-projection LSH
+    (Charikar'02): bit p of a vector's signature is sign(v · h_p) for a
+    fixed pseudo-random hyperplane h_p; P[bits agree] = 1 - θ/π, so
+    near-parallel vectors collide in some band of bits with high
+    probability.  Candidates are verified with exact cosine — no false
+    positives, recall is the only approximation.
+
+    Same scale shape as ``minhash_lsh_pairs``: signatures and the
+    band-bucket self-join are narrow (id, band, bucket); vectors re-enter
+    by id only for surviving candidates.  All JVM expressions — the dot
+    products against literal hyperplanes run in whole-stage codegen.
+    """
+    rows_per_band = n_planes // bands
+    v = F.col("v")
+    bits = [
+        (_dot(v, F.array(*[F.lit(c) for c in _hyperplane(p, dim)])) > 0).cast("int")
+        for p in range(n_planes)
+    ]
+    sig = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select("id", "v", F.array(*bits).alias("bits"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("bits")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    candidates = (
+        banded.alias("a")
+        .join(
+            banded.hint("shuffle_hash").alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    vecs = sig.select("id", "v").hint("shuffle_hash")
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        candidates.join(vecs.select(F.col("id").alias("a_id"), F.col("v").alias("va")), "a_id")
+        .join(vecs.select(F.col("id").alias("b_id"), F.col("v").alias("vb")), "b_id")
+        .filter(sim >= threshold)
+        .select("a_id", "b_id", F.round(sim, 6).alias("sim"))
+    )
+
+
 def cosine_topk_vectorized(
     queries: DataFrame,
     corpus: DataFrame,

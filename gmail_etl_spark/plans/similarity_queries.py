@@ -122,6 +122,29 @@ def q53_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q54 — sign-random-projection LSH near-dup pairs (X1/D2 scale path;
+# rows-only — banding recall is probabilistic; verified in tests)
+# ---------------------------------------------------------------------------
+
+
+@query("q54_hyperplane_lsh", oracle=None, survey="X1,D2")
+def q54_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs without the O(n²) cross join: hyperplane
+    LSH bucket join + exact-cosine verify (no false positives).  Corpus
+    seeded with exact copies (ids +1000, as in q46) so the ≥0.99 band is
+    the planted pairs — identical vectors collide in every band, so the
+    banding loses none of them."""
+    from gmail_etl_spark.operators.similarity import hyperplane_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    copies = emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    return hyperplane_lsh_pairs(
+        corpus, "vec_id", "embedding", dim=64, n_planes=16, bands=4, threshold=0.99
+    ).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
 # q46 — embedding-cosine near-duplicate pairs (D2 embedding variant)
 # ---------------------------------------------------------------------------
 

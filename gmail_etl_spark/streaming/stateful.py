@@ -48,3 +48,57 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 arbitrary-state API
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 4.0, and the TWS wire protocol needs protobuf at
+    # runtime (its state-server messages are proto-encoded); environments
+    # without google.protobuf fall back to applyInPandasWithState above.
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotalsProcessor(StatefulProcessor):
+        """Same per-user accumulator as ``running_user_totals``, on the
+        Spark 4 ``transformWithStateInPandas`` API: typed ValueState in
+        the state store (RocksDB-backed on a cluster) instead of a
+        single opaque state tuple — the forward-compatible form, with
+        per-state TTL, timers, and list/map state available when an
+        operator needs them."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_totals_tws(events: DataFrame) -> DataFrame:
+        """``running_user_totals`` through transformWithStateInPandas."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - pyspark 3.x fallback
+    running_user_totals_tws = None

@@ -163,6 +163,29 @@ def test_vectorized_knn_matches_jvm_path(spark):
         assert abs(vsim - sim) <= 1e-6
 
 
+def test_hyperplane_lsh_recall_and_no_false_positives(spark):
+    """Planted exact copies share every signature bit, so they collide in
+    every band → recall 1.0 on them; and the exact-cosine verify step
+    means nothing below the threshold survives."""
+    from gmail_etl_spark.operators.similarity import cosine, hyperplane_lsh_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    copies = emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label")
+    corpus = emb.unionByName(copies)
+    got = hyperplane_lsh_pairs(corpus, "vec_id", "embedding", threshold=0.999)
+    planted = got.filter((F.col("b_id") - F.col("a_id")) == 1000)
+    assert planted.count() == 100
+    # verify step: every surviving pair's true cosine clears the threshold
+    a = corpus.select(F.col("vec_id").alias("a_id"),
+                      F.col("embedding").cast("array<double>").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("b_id"),
+                      F.col("embedding").cast("array<double>").alias("vb"))
+    joined = got.join(a, "a_id").join(b, "b_id")
+    assert joined.filter(cosine(F.col("va"), F.col("vb")) < 0.999).count() == 0
+
+
 def test_simhash_locality(spark):
     d = _docs(spark, 40).select("doc_id", "text")
     dup = d.select((F.col("doc_id") + 5000).alias("doc_id"), F.col("text"))

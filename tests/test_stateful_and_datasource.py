@@ -55,6 +55,56 @@ def test_running_user_totals_across_batches(spark, tmp_path):
     assert got == exp
 
 
+def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas processor must produce the
+    same final running totals as the applyInPandasWithState operator and
+    the batch aggregation, with state carried across two triggers."""
+    from gmail_etl_spark.streaming.stateful import running_user_totals_tws
+
+    if running_user_totals_tws is None:
+        import pytest
+
+        pytest.skip("transformWithStateInPandas unavailable (needs pyspark>=4 + protobuf)")
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = pd.read_parquet(f"{SF_DIR}/events.parquet").head(200)
+    base.iloc[:100].to_parquet(src / "a.parquet")
+    base.iloc[100:].to_parquet(src / "b.parquet")
+
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src))
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        running_user_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+            FROM tws_totals
+        ) WHERE rn = 1
+        """
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()}
+    exp = {
+        int(uid): (int(g["event_id"].count()), round(float(g["value"].sum()), 2))
+        for uid, g in base.groupby("user_id")
+    }
+    assert got == exp
+
+
 def test_gmail_datasource_roundtrip(spark):
     """spark.read.format('gmail') must produce the same stage-1 output
     as the fixture DataFrame path."""
