@@ -421,3 +421,98 @@ def q93_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "tfidf")
         .orderBy("doc_id", F.desc("tfidf"), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# q55 — quality-filter rule chain (Gopher/C4-style curation gates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q55_quality_filter_rules",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lang,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+               length(text) AS n_chars_txt
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               n_tokens,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+               CAST(list_max(list_transform(list_distinct(toks),
+                    t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE) AS top_tok_frac,
+               CAST(n_digits AS DOUBLE) / CAST(n_chars_txt AS DOUBLE) AS digit_ratio,
+               lang
+        FROM m
+    )
+    SELECT doc_id, n_tokens,
+           round(mean_tok_len, 6) AS mean_tok_len,
+           round(top_tok_frac, 6) AS top_tok_frac,
+           concat_ws(',',
+               CASE WHEN n_tokens < 15 THEN 'min_tokens' END,
+               CASE WHEN n_tokens > 5000 THEN 'max_tokens' END,
+               CASE WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0 THEN 'mean_tok_len' END,
+               CASE WHEN digit_ratio > 0.2 THEN 'digit_ratio' END,
+               CASE WHEN top_tok_frac > 0.2 THEN 'top_tok_frac' END,
+               CASE WHEN lang <> 'en' THEN 'lang' END) AS failed_rules,
+           (n_tokens >= 15 AND n_tokens <= 5000
+            AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+            AND digit_ratio <= 0.2 AND top_tok_frac <= 0.2
+            AND lang = 'en') AS keep
+    FROM r
+    ORDER BY doc_id
+    """,
+    survey="X3,P5",
+)
+def q55_quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composable curation gates in the Gopher/C4 style: every rule is a
+    named JVM-side predicate; the output carries the failed-rule list so
+    downstream jobs can audit drop reasons.  All whole-stage-codegen
+    expressions — no shuffle at all for a pure filter pass at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    mean_tok_len = (
+        F.aggregate(F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v)
+        .cast("double") / n_tokens.cast("double")
+    )
+    top_tok_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).cast("double") / n_tokens.cast("double")
+    )
+    digit_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double")
+        / F.length(F.col("text")).cast("double")
+    )
+    rules = [
+        ("min_tokens", n_tokens < 15),
+        ("max_tokens", n_tokens > 5000),
+        ("mean_tok_len", (mean_tok_len < 2.0) | (mean_tok_len > 12.0)),
+        ("digit_ratio", digit_ratio > 0.2),
+        ("top_tok_frac", top_tok_frac > 0.2),
+        ("lang", F.col("lang") != "en"),
+    ]
+    failed = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    keep = None
+    for _, cond in rules:
+        keep = ~cond if keep is None else keep & ~cond
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(top_tok_frac, 6).alias("top_tok_frac"),
+        failed.alias("failed_rules"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")

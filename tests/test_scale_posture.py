@@ -151,3 +151,39 @@ def test_dedup_operators_at_100x_fixture_scale(spark):
         (F.col("doc_id") >= 25_000) & (F.col("doc_id") < 26_000)))
     pairs = minhash_lsh_pairs(slice_, "doc_id", "text", threshold=0.99)
     assert pairs.filter((F.col("b_id") - F.col("a_id")) == 25_000).count() == 1000
+
+
+def test_q55_quality_filter_is_shuffle_free(spark):
+    """A pure filter/score pass must not shuffle: one scan, one project,
+    no Exchange anywhere in the plan."""
+    df = CATALOG["q55_quality_filter_rules"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    body = plan.split("AdaptiveSparkPlan")[0]
+    # orderBy adds a final sort Exchange (driver-side presentation);
+    # everything before it must be exchange-free
+    assert body.count("Exchange") <= 1
+
+
+def test_lsh_self_joins_never_broadcast(spark):
+    """Both LSH band-bucket self-joins are corpus-sized on both sides:
+    the shuffle_hash hint must defeat mis-estimated broadcasts."""
+    from gmail_etl_spark.operators.dedup import minhash_lsh_pairs
+    from gmail_etl_spark.operators.similarity import hyperplane_lsh_pairs
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("a"), F.conv(F.hex(F.abs(F.xxhash64("id"))), 16, 36)).alias("text"),
+    )
+    plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text"))
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+    emb = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(15)),
+                    lambda j: F.pmod(F.xxhash64(F.col("id"), j), F.lit(100)) / 50.0 - 1.0
+                    ).alias("embedding"),
+    )
+    plan = _plan(hyperplane_lsh_pairs(emb, dim=16, n_planes=8, bands=2))
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
