@@ -187,3 +187,16 @@ def test_lsh_self_joins_never_broadcast(spark):
     plan = _plan(hyperplane_lsh_pairs(emb, dim=16, n_planes=8, bands=2))
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_q57_all_predicates_reach_scan(spark):
+    """TPC-H Q6 shape: shipdate/discount/quantity filters must all push
+    to the parquet scan, and the plan must stay in one codegen stage up
+    to the partial aggregate."""
+    df = CATALOG["q57_forecast_revenue"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    # map-side combine: partial HashAggregate below the Exchange, final above
+    assert plan.count("HashAggregate") >= 2
