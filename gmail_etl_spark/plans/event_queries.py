@@ -168,3 +168,133 @@ def q63_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — ordered conversion funnel (view → click → purchase per user)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q67_event_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           epoch_us(v.v_ts) AS view_us,
+           epoch_us(c.c_ts) AS click_us,
+           epoch_us(p.p_ts) AS purchase_us,
+           1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT AS steps_completed
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    ORDER BY v.user_id
+    """,
+    survey="X5,2.5-agg",
+)
+def q67_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first view, first click strictly after that view,
+    first purchase strictly after that click.  Three filtered min-aggs
+    joined on user_id — each stage's join key is the aggregation key, so
+    the per-stage shuffles reuse the same partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("v_ts").alias("view_us"),
+            F.unix_micros("c_ts").alias("click_us"),
+            F.unix_micros("p_ts").alias("purchase_us"),
+            (
+                F.lit(1)
+                + F.col("c_ts").isNotNull().cast("int")
+                + F.col("p_ts").isNotNull().cast("int")
+            ).alias("steps_completed"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68 — winsorized robust stats per event type (curation: outlier clipping)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q68_winsorized_stats",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           SUM(CAST(round(least(greatest(e.value, b.lo), b.hi) * 100) AS BIGINT)) / 100.0
+               AS winsorized_sum,
+           SUM((e.value < b.lo)::INT) AS n_clipped_low,
+           SUM((e.value > b.hi)::INT) AS n_clipped_high,
+           COUNT(*) AS n_events
+    FROM events e JOIN b ON b.event_type = e.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    survey="X3,2.5-agg",
+)
+def q68_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize values at the exact per-group p05/p95, then aggregate in
+    integer cents (order-independent).  The percentile table is tiny (one
+    row per event type) and broadcasts back onto the scan."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.sum(F.round(clipped * 100).cast("bigint")) / F.lit(100.0)).alias(
+                "winsorized_sum"
+            ),
+            F.sum((F.col("value") < F.col("lo")).cast("int")).alias("n_clipped_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("int")).alias("n_clipped_high"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
