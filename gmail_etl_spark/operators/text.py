@@ -63,3 +63,44 @@ def langid_classify(
             "score",
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+    overlap: int = 5,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    standard LLM training-sequence prep.  Chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens), stride = chunk_tokens - overlap;
+    the final partial chunk is kept.
+
+    Pure JVM expressions: one ``posexplode`` over a computed chunk-index
+    sequence, ``slice`` + ``concat_ws`` per chunk.  No shuffle at all —
+    a 100 TB corpus chunks in a single map stage, and the output
+    explodes ~n_tokens/stride rows per doc with no Python in the path.
+    """
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... last start < n
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("_toks"),
+            F.explode(idx).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+            ).alias("n_chunk_tokens"),
+        )
+    )

@@ -516,3 +516,71 @@ def q55_quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         failed.alias("failed_rules"),
         keep.alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q69 — sketch-based frequent items (approx_top_k)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q69_approx_top_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 5
+    """,
+    survey="X3,2.5-agg",
+)
+def q69_approx_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens via the approx_top_k sketch (mergeable partial
+    sketches — one pass, no full groupBy materialization at 100 TB).
+    The fixture vocabulary is far below the sketch's tracked-item budget,
+    so counts are exact and the exact SQL top-k is a valid oracle (the
+    k/k+1 boundary is tie-free at both gate scale factors)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .agg(F.expr("approx_top_k(token, 5)").alias("tk"))
+        .select(F.inline("tk"))
+        .select(F.col("item").alias("token"), F.col("count").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — fixed-size token chunking with overlap (LLM sequence prep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q71_chunk_documents",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents WHERE doc_id < 100
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, CAST(floor((n - 1) / 15) AS BIGINT))) AS chunk_id
+        FROM t
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(toks, chunk_id * 15 + 1, chunk_id * 15 + 20), ' ')
+               AS chunk_text,
+           len(list_slice(toks, chunk_id * 15 + 1, chunk_id * 15 + 20)) AS n_chunk_tokens
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+    survey="X3,P1",
+)
+def q71_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-token chunks, 5-token overlap (stride 15), final partial chunk
+    kept — single map stage, no shuffle (see operators/text.py)."""
+    from gmail_etl_spark.operators.text import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return chunk_documents(d, chunk_tokens=20, overlap=5).orderBy("doc_id", "chunk_id")

@@ -343,3 +343,28 @@ def test_hash_split_is_content_keyed(spark):
     s = hash_split(d.unionByName(dup), "text")
     sides = s.groupBy("text").agg(F.countDistinct("split").alias("k"))
     assert sides.filter(F.col("k") > 1).count() == 0
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token lands in at least one chunk; consecutive chunks share
+    exactly `overlap` tokens (except a shorter final chunk); chunk
+    reassembly with overlap dropped reproduces the document."""
+    from gmail_etl_spark.operators.text import chunk_documents
+
+    d = _docs(spark, 20).select("doc_id", "text")
+    chunks = chunk_documents(d, chunk_tokens=20, overlap=5).collect()
+    texts = {r["doc_id"]: r["text"].split(" ") for r in d.collect()}
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        toks = texts[doc_id]
+        # stitch: first chunk whole, then drop the 5 overlapping tokens
+        stitched = rows[0]["chunk_text"].split(" ")
+        for r in rows[1:]:
+            stitched.extend(r["chunk_text"].split(" ")[5:])
+        assert stitched == toks, f"doc {doc_id} reassembly mismatch"
+        for r in rows:
+            start = r["chunk_id"] * 15
+            assert r["n_chunk_tokens"] == min(20, len(toks) - start)
