@@ -92,3 +92,57 @@ def contamination_report(
             / F.count(F.lit(1)).cast("double")
         ).alias("contamination"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int = 2048,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Greedy first-fit-decreasing packing of items (chunks/documents)
+    into fixed-token training sequences.
+
+    Packing is inherently sequential, so parallelism comes from sharding:
+    items hash into ``n_buckets`` independent buckets (at 100 TB, raise
+    n_buckets to ~tasks); each bucket packs deterministically in one
+    ``applyInPandas`` group — sorted by (tokens desc, id), first fit.
+    Output: (bucket, seq_id, item id, item tokens); sequence ids are
+    globally unique as bucket * 1e9 + local index.
+
+    Guarantees: every input row appears exactly once; no sequence
+    exceeds ``budget`` (items larger than budget get a singleton
+    sequence); byte-identical output across runs (total order + stable
+    algorithm, no RNG).
+    """
+    import pandas as pd
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "item_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        seq_ids, seq_space = [], []  # seq_space[i] = remaining tokens
+        assigned = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            for i, room in enumerate(seq_space):
+                if n <= room:
+                    seq_space[i] = room - n
+                    assigned.append(i)
+                    break
+            else:
+                seq_space.append(max(budget - n, 0))
+                assigned.append(len(seq_space) - 1)
+        pdf["seq_id"] = [bucket * 1_000_000_000 + i for i in assigned]
+        return pdf[["bucket", "seq_id", "item_id", "n_tokens"]]
+
+    items = df.select(
+        F.col(id_col).alias("item_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias("bucket"),
+    )
+    return items.groupBy("bucket").applyInPandas(
+        _pack, "bucket long, seq_id long, item_id long, n_tokens long"
+    )

@@ -136,3 +136,27 @@ def q97_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") < 50)
     train = d.filter(F.col("doc_id") >= 100)
     return contamination_report(bench, train, "doc_id", "text", k=3).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# q72 — greedy sequence packing of token chunks (rows-only: FFD packing
+# has no SQL equivalent; invariants tested in tests/test_operators.py)
+# ---------------------------------------------------------------------------
+
+
+@query("q72_pack_sequences", oracle=None, survey="X3,2.7-udf")
+def q72_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk the corpus (q71 shape) then pack chunks into ≤64-token
+    training sequences with first-fit-decreasing inside hash buckets —
+    deterministic output (total order + stable algorithm, no RNG)."""
+    from gmail_etl_spark.operators.sampling import pack_sequences
+    from gmail_etl_spark.operators.text import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    chunks = chunk_documents(d, chunk_tokens=20, overlap=5).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+        "n_chunk_tokens",
+    )
+    return pack_sequences(chunks, "chunk_key", "n_chunk_tokens", budget=64).orderBy(
+        "bucket", "seq_id", "item_id"
+    )

@@ -368,3 +368,33 @@ def test_chunk_documents_coverage_and_overlap(spark):
         for r in rows:
             start = r["chunk_id"] * 15
             assert r["n_chunk_tokens"] == min(20, len(toks) - start)
+
+
+def test_pack_sequences_invariants(spark):
+    """Every chunk packed exactly once, no sequence over budget, and the
+    packing is deterministic across runs."""
+    from gmail_etl_spark.operators.sampling import pack_sequences
+    from gmail_etl_spark.operators.text import chunk_documents
+
+    d = _docs(spark, 200).select("doc_id", "text")
+    chunks = chunk_documents(d, chunk_tokens=20, overlap=5).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+        "n_chunk_tokens",
+    )
+    packed = pack_sequences(chunks, "chunk_key", "n_chunk_tokens", budget=64)
+    assert packed.count() == chunks.count()
+    assert packed.select("item_id").distinct().count() == chunks.count()
+    over = (
+        packed.groupBy("seq_id")
+        .agg(F.sum("n_tokens").alias("total"))
+        .filter(F.col("total") > 64)
+    )
+    assert over.count() == 0
+    # determinism: identical assignment on a re-run
+    again = pack_sequences(chunks, "chunk_key", "n_chunk_tokens", budget=64)
+    diff = packed.exceptAll(again)
+    assert diff.count() == 0
+    # packing efficiency: FFD should stay well above naive one-per-seq
+    n_seqs = packed.select("seq_id").distinct().count()
+    total_tokens = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    assert n_seqs <= (total_tokens // 64) * 2 + 64  # ≥ ~50% fill
