@@ -298,3 +298,56 @@ def q68_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 — z-score outliers per event type (exact integer-sum moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q73_value_outliers",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS s1,
+               SUM(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS s2,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((CAST(round(e.value * 100) AS BIGINT) - CAST(m.s1 AS DOUBLE) / m.n)
+                 / sqrt(CAST(m.s2 AS DOUBLE) / m.n
+                        - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n)),
+                 6) AS z
+    FROM events e JOIN m ON m.event_type = e.event_type
+    WHERE abs((CAST(round(e.value * 100) AS BIGINT) - CAST(m.s1 AS DOUBLE) / m.n)
+              / sqrt(CAST(m.s2 AS DOUBLE) / m.n
+                     - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n))) > 2.5
+    ORDER BY e.event_id
+    """,
+    survey="X3,2.5-agg",
+)
+def q73_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score per event against its type's moments.  Both
+    moments are exact integer-cents sums (order-independent); the mean /
+    variance / sqrt arithmetic is then identical double math on both
+    engines, rounded in-query.  The moments table is one row per type —
+    broadcast back onto the scan, no second shuffle of the fact table."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    m = e.groupBy("event_type").agg(
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = (cents - mean) / F.sqrt(var)
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+        .orderBy("event_id")
+    )
