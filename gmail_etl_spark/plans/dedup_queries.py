@@ -244,3 +244,83 @@ def q45_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return simhash_signatures(d, "doc_id", "text").orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# q74 — cross-source overlap matrix (containment between corpora)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q74_source_overlap",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT source, token AS shingle
+        FROM (
+            SELECT source,
+                   unnest(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                   )) AS token
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+    common AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_common,
+           round(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS containment_a,
+           round(CAST(n_common AS DOUBLE) / sb.n_sh, 6) AS containment_b
+    FROM common
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+    survey="D2,X3",
+)
+def q74_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-shingle containment between source corpora — the
+    contamination matrix a curation pipeline uses to find leaking or
+    mirrored sources.  Inverted-index join on shingle (cost Σ df(s)²,
+    never |A|×|B|); per-source shingle sets are the same distinct-explode
+    used by the decontamination operator (q97)."""
+    from gmail_etl_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "source", F.explode(shingles(F.col("text"), 3)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("a_n"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("b_n"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(F.col("n_common").cast("double") / F.col("a_n"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_common").cast("double") / F.col("b_n"), 6).alias(
+                "containment_b"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
