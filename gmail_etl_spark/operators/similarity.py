@@ -228,3 +228,73 @@ def cosine_topk_vectorized(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def train_kmeans(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means as a DataFrame iteration — the IVF coarse-quantizer
+    trainer (q51's cell assignment, learned instead of given).
+
+    Deterministic: centroids initialize from the k lowest-id vectors, and
+    every assignment argmin tie-breaks on cluster index.  Scale shape per
+    iteration: centroids are k×dim literals compiled into the plan (a
+    broadcast in spirit, no join), assignment is a map-only argmin in
+    whole-stage codegen, and the recompute shuffles only k×dim partial
+    (sum, count) pairs per partition — corpus rows never shuffle.
+
+    Returns (assignments DataFrame (id, cluster), final centroids).
+    """
+    dim_rows = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in dim_rows]
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+
+    def _assign(cents: list[list[float]]):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(c) for c in cent]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+            for cent in cents
+        ]
+        pairs = F.array(
+            *[
+                F.struct(d.alias("dist"), F.lit(i).alias("cluster"))
+                for i, d in enumerate(dists)
+            ]
+        )
+        # array_min on structs orders by (dist, cluster): deterministic tie-break
+        return base.withColumn("cluster", F.array_min(pairs)["cluster"])
+
+    for _ in range(iters):
+        assigned = _assign(centroids)
+        stats = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # empty clusters keep position
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["s"] / r["n"]
+        for ci, dims in by_cluster.items():
+            new_c[ci] = [dims[j] for j in range(len(dims))]
+        centroids = new_c
+    return _assign(centroids).select("id", "cluster"), centroids

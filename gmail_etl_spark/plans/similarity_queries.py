@@ -231,3 +231,22 @@ def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — learned IVF: k-means training + cell assignment (rows-only:
+# Lloyd's iterations aren't SQL-expressible; determinism, nearest-centroid
+# correctness, and inertia descent are tested in tests/test_operators.py)
+# ---------------------------------------------------------------------------
+
+
+@query("q75_kmeans_cells", oracle=None, survey="X1")
+def q75_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer (deterministic Lloyd's, k=8,
+    3 iterations) and emit each vector's learned cell — the input the
+    cell-probe search (q51) consumes."""
+    from gmail_etl_spark.operators.similarity import train_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, _ = train_kmeans(emb, k=8, iters=3)
+    return assign.select(F.col("id").alias("vec_id"), "cluster").orderBy("vec_id")

@@ -398,3 +398,34 @@ def test_pack_sequences_invariants(spark):
     n_seqs = packed.select("seq_id").distinct().count()
     total_tokens = packed.agg(F.sum("n_tokens")).collect()[0][0]
     assert n_seqs <= (total_tokens // 64) * 2 + 64  # ≥ ~50% fill
+
+
+def test_kmeans_trainer_properties(spark):
+    """Deterministic across runs; every point lands on its true nearest
+    centroid; training reduces inertia vs the init assignment."""
+    import math
+
+    from gmail_etl_spark.operators.similarity import train_kmeans
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assign1, cents1 = train_kmeans(emb, k=5, iters=3)
+    assign2, cents2 = train_kmeans(emb, k=5, iters=3)
+    assert cents1 == cents2
+    assert assign1.exceptAll(assign2).count() == 0
+
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    got = {r["id"]: r["cluster"] for r in assign1.collect()}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    for vid, v in rows.items():
+        dists = [d2(v, c) for c in cents1]
+        best = min(range(len(cents1)), key=lambda i: (dists[i], i))
+        assert math.isclose(dists[got[vid]], dists[best], rel_tol=1e-9)
+
+    # inertia decreases vs iteration 0
+    _, cents0 = train_kmeans(emb, k=5, iters=0)
+    inertia0 = sum(min(d2(v, c) for c in cents0) for v in rows.values())
+    inertiaN = sum(min(d2(v, c) for c in cents1) for v in rows.values())
+    assert inertiaN <= inertia0
