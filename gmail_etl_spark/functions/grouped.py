@@ -53,3 +53,34 @@ def per_key_sequence(df: DataFrame, key: str, order: str, id_col: str) -> DataFr
         )
 
     return df.select(key, order, id_col).groupBy(key).applyInPandas(seq, out_schema)
+
+
+def arrow_value_histogram(
+    df: DataFrame, key: str = "user_id", value_col: str = "value", bin_width: int = 50
+) -> DataFrame:
+    """Per-key value histogram through ``applyInArrow`` — the zero-copy
+    grouped-map API (no pandas conversion at all; the kernel sees a
+    ``pyarrow.Table`` and answers with one).  Counts are integers, so the
+    operator is SQL-oracle-checkable despite the Python kernel.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        key_val = tbl.column(key)[0].as_py()
+        bins = pc.floor(pc.divide(tbl.column(value_col), float(bin_width)))
+        counts = pa.table({"bin": bins.cast(pa.int64())}).group_by("bin").aggregate(
+            [("bin", "count")]
+        )
+        n = counts.num_rows
+        return pa.table(
+            {
+                key: pa.array([key_val] * n, pa.int64()),
+                "bin": counts.column("bin"),
+                "n": counts.column("bin_count"),
+            }
+        )
+
+    return df.select(key, value_col).groupBy(key).applyInArrow(
+        hist, f"{key} long, bin long, n long"
+    )

@@ -351,3 +351,28 @@ def q73_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — applyInArrow grouped histogram (2.7 extension surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q79_arrow_histogram",
+    oracle="""
+    SELECT user_id, CAST(floor(value / 50.0) AS BIGINT) AS bin, COUNT(*) AS n
+    FROM events
+    WHERE user_id < 30
+    GROUP BY user_id, CAST(floor(value / 50.0) AS BIGINT)
+    ORDER BY user_id, bin
+    """,
+    survey="2.7-udf",
+)
+def q79_arrow_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value histogram via the zero-copy applyInArrow grouped
+    map — integer bins/counts make the Python kernel oracle-checkable."""
+    from gmail_etl_spark.functions.grouped import arrow_value_histogram
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return arrow_value_histogram(e, "user_id", "value", 50).orderBy("user_id", "bin")

@@ -1178,3 +1178,97 @@ def q58_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q76 — large-quantity orders (TPC-H Q18 shape: agg subquery semi-join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q76_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) / 100.0 AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 20000
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 25
+    """,
+    survey="2.3-join,2.5-agg,P4",
+)
+def q76_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the HAVING subquery reduces to an aggregated
+    key set that semi-joins the fact table before the detail join — at
+    100 TB the semi-join side is orderkey + one long, shuffled once on
+    the same key as the main aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("q"))
+        .filter(F.col("q") > 20000)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg((F.sum(_cents("l_quantity")) / F.lit(100.0)).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78 — frame-boundary navigation (first/last/nth value)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q78_window_navigation",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    survey="2.5-window",
+)
+def q78_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value with explicit frames: last_price uses the
+    full-partition frame (the default RANGE frame would truncate at the
+    current row) — raw stored doubles pass through unaggregated, so no
+    rounding is needed."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w_full).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
