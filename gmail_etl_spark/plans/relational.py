@@ -1272,3 +1272,110 @@ def q78_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — promo revenue share per month (TPC-H Q14 shape: conditional agg
+# over a broadcast dimension join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q77_promo_revenue_share",
+    oracle="""
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+           SUM(CASE WHEN p.p_type = 'ECONOMY'
+                    THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                    ELSE 0 END) / 10000.0 AS promo_revenue,
+           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0
+               AS total_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY strftime(o.o_orderdate, '%Y-%m')
+    ORDER BY month
+    """,
+    survey="2.3-join,2.5-agg,P5",
+)
+def q77_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: part broadcasts (dimension), the conditional
+    numerator and the total run in one pass — the ratio is left to the
+    consumer so both sums stay integer-exact."""
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            (F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))) / F.lit(10000.0)).alias("promo_revenue"),
+            (F.sum(rev) / F.lit(10000.0)).alias("total_revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q92 — weekly cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q92_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(floor(date_diff('day', f.cohort_week,
+                                    date_trunc('week', e.ts)) / 7) AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    survey="X5,2.5-agg",
+)
+def q92_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users keyed by first-seen ISO week,
+    activity counted per week offset.  All integer counts and integer
+    day arithmetic — engine-exact.  The first_seen table shuffles once
+    on user_id, the same key as the activity join."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
