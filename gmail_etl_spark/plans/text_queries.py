@@ -584,3 +584,54 @@ def q71_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return chunk_documents(d, chunk_tokens=20, overlap=5).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# q98 — intra-document repetition score (Gopher repetition gate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q98_repetition_score",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) - 2 AS n_grams,
+               len(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+               ))) AS n_distinct
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT doc_id, n_grams, n_distinct,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS dup_gram_frac
+    FROM g
+    ORDER BY doc_id
+    """,
+    survey="X3",
+)
+def q98_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of repeated 3-grams inside each document — the Gopher
+    repetition gate.  Pure array expressions; integer counts, one
+    rounded division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    return (
+        d.filter(n >= 3)
+        .select(
+            "doc_id",
+            (n - 2).alias("n_grams"),
+            F.size(F.array_distinct(grams)).alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_gram_frac",
+            F.round(1.0 - F.col("n_distinct").cast("double") / F.col("n_grams"), 6),
+        )
+        .orderBy("doc_id")
+    )
