@@ -151,3 +151,66 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
         assert batch.get(k) == v, k
     # and coverage must be near-complete (only watermark-tail sessions may lag)
     assert len(got) >= len(batch) - 20
+
+
+def test_stream_to_partitioned_lake_with_compaction(spark, tmp_path):
+    """Full lake lifecycle: events stream into a date-partitioned parquet
+    lake (many small files), compaction rewrites each partition, and the
+    read-back plan prunes partitions — the e2e posture a streaming sink
+    needs at 100 TB."""
+    import pandas as pd
+
+    from gmail_etl_spark.sources.sinks import compact_parquet
+    from tests.conftest import SF_DIR
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = pd.read_parquet(f"{SF_DIR}/events.parquet").head(400)
+    for i in range(4):  # 4 triggers → many small files
+        base.iloc[i * 100 : (i + 1) * 100].to_parquet(src / f"{i}.parquet")
+
+    from pyspark.sql import functions as F
+
+    lake = str(tmp_path / "lake")
+    stream = spark.readStream.schema(
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src))
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+            "event_date"
+        ).mode("append").parquet(lake)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    back = spark.read.parquet(lake)
+    assert back.count() == 400
+    # pick one real partition and compact it
+    part_dirs = [p for p in (tmp_path / "lake").iterdir() if p.name.startswith("event_date=")]
+    assert part_dirs, "partitioned layout expected"
+    target = sorted(part_dirs)[0]
+    before = len(list(target.glob("*.parquet")))
+    compact_parquet(spark, str(target))
+    after = len(list(target.glob("*.parquet")))
+    assert after <= before and after >= 1
+    # partition pruning on the read-back
+    one_date = target.name.split("=", 1)[1]
+    plan = (
+        spark.read.parquet(lake)
+        .filter(F.col("event_date") == one_date)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    )
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:160]
+    # content integrity after compaction
+    assert spark.read.parquet(lake).count() == 400
