@@ -1427,3 +1427,67 @@ def q99_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — calendar spine with gap filling (dense month series join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q100_monthly_revenue_dense",
+    oracle="""
+    WITH months AS (
+        SELECT strftime(m, '%Y-%m') AS month
+        FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                            TIMESTAMP '1996-12-01',
+                                            INTERVAL 1 MONTH)) AS m)
+    ),
+    rev AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY strftime(o_orderdate, '%Y-%m')
+    )
+    SELECT months.month,
+           COALESCE(rev.revenue, 0.0) AS revenue,
+           COALESCE(rev.n_orders, 0) AS n_orders
+    FROM months LEFT JOIN rev ON rev.month = months.month
+    ORDER BY months.month
+    """,
+    survey="2.5-agg,2.3-join",
+)
+def q100_monthly_revenue_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense monthly series: a generated calendar spine left-joins the
+    aggregate so empty months surface as zeros — the gap-filling shape
+    reports need.  The spine is driver-free (sequence + explode, 24
+    rows) and broadcasts."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("1996-12-01").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("m")
+    ).select(F.date_format("m", "yyyy-MM").alias("month"))
+    rev = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        (F.sum(_cents("o_totalprice")) / F.lit(100.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        F.broadcast(months)
+        .join(rev, "month", "left")
+        .select(
+            "month",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("month")
+    )
