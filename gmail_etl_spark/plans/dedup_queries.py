@@ -156,7 +156,7 @@ def q44_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_ORACLE_PREFIX = """
     WITH RECURSIVE toks AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
-        FROM documents
+        FROM documents WHERE doc_id < 1000
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
     common AS (
@@ -184,7 +184,9 @@ _CC_ORACLE_PREFIX = """
 
 
 def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # bounded slice: fixtures grow with SF, but the correctness surface
+    # (and the recursive-CTE oracle's fixpoint) should stay O(1000 docs)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return jaccard_pairs(d, "doc_id", "text", threshold=0.95)
 
 
@@ -218,7 +220,8 @@ def q47_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, d.lang
     FROM documents d
     LEFT JOIN comp ON comp.id = d.doc_id
-    WHERE comp.id IS NULL OR comp.component = d.doc_id
+    WHERE d.doc_id < 1000
+      AND (comp.id IS NULL OR comp.component = d.doc_id)
     ORDER BY d.doc_id
     """,
     survey="D2,J3",
@@ -228,7 +231,11 @@ def q48_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster plus every unclustered doc."""
     from gmail_etl_spark.operators.dedup import near_dedup
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id", "lang")
+    )
     return near_dedup(d, "doc_id", _jaccard_edges(spark, sf_dir)).orderBy("doc_id")
 
 
