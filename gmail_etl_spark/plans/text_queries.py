@@ -635,3 +635,125 @@ def q98_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — vocabulary build + token-id encoding (tokenizer training shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q101_encode_tokens",
+    oracle="""
+    WITH vocab AS (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) - 1 AS token_id
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY token_id
+        LIMIT 32
+    ),
+    pos AS (
+        SELECT doc_id, t.token, t.pos
+        FROM documents,
+             LATERAL (SELECT unnest(string_split(text, ' ')) AS token,
+                             generate_subscripts(string_split(text, ' '), 1) AS pos) t
+        WHERE doc_id < 50
+    )
+    SELECT p.doc_id,
+           list(COALESCE(v.token_id, -1) ORDER BY p.pos) AS ids,
+           COUNT(*) AS n_tokens,
+           SUM((v.token_id IS NULL)::INT) AS n_unk
+    FROM pos p LEFT JOIN vocab v ON v.token = p.token
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+    survey="X3,2.5-agg",
+)
+def q101_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training shape: build a frequency-ranked vocabulary
+    (top 32, deterministic tie-break), then encode each document as its
+    token-id sequence with -1 for OOV.  The vocabulary is tiny →
+    broadcast; encoding is posexplode + broadcast join + ordered
+    re-aggregation.  At 100 TB the vocab build is one map-side-combined
+    count and the encode pass never shuffles document content — only
+    (doc_id, pos, id) triples."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "token_id",
+            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("token"))) - 1,
+        )
+        .filter(F.col("token_id") < 32)
+        .select("token", "token_id")
+    )
+    pos = (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+    )
+    enc = pos.join(F.broadcast(vocab), "token", "left")
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", F.coalesce("token_id", F.lit(-1)).alias("tid"))
+                    )
+                ),
+                lambda s: s["tid"],
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("token_id").isNull().cast("int")).alias("n_unk"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q102 — blocked edit-distance similarity join over the vocabulary
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q102_token_edit_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT a.token AS a_token, b.token AS b_token,
+           levenshtein(a.token, b.token) AS dist
+    FROM toks a
+    JOIN toks b
+      ON substr(a.token, 1, 1) = substr(b.token, 1, 1)
+     AND a.token < b.token
+    WHERE levenshtein(a.token, b.token) <= 2
+    ORDER BY a_token, b_token
+    """,
+    survey="X3,D2",
+)
+def q102_token_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-miss token pairs by edit distance with prefix blocking: the
+    self-join keys on the first character (an equality key → hash join,
+    never a cross join), then verifies lev ≤ 2 inside the block.  Same
+    blocking in the oracle, so results are exact-identical; the blocking
+    recall tradeoff is the documented scale strategy for string
+    similarity joins."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token")).distinct()
+    a = toks.select(F.col("token").alias("a_token"))
+    b = toks.select(F.col("token").alias("b_token"))
+    return (
+        a.join(
+            b,
+            (F.substring("a_token", 1, 1) == F.substring("b_token", 1, 1))
+            & (F.col("a_token") < F.col("b_token")),
+        )
+        .withColumn("dist", F.levenshtein("a_token", "b_token"))
+        .filter(F.col("dist") <= 2)
+        .orderBy("a_token", "b_token")
+    )
