@@ -1491,3 +1491,98 @@ def q100_monthly_revenue_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — GROUPING SETS (the general form of q13 rollup / q17 cube)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q103_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+           COUNT(*) AS n,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    survey="2.5-agg",
+)
+def q103_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (the DataFrame
+    rollup/cube of q13/q17 are special cases).  GROUPING() flags
+    disambiguate real NULL keys from subtotal rows."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+               COUNT(*) AS n,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q104 — share-within-group (percent of regional revenue per nation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q104_nation_revenue_share",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           cents / 100.0 AS revenue,
+           round(CAST(cents AS DOUBLE)
+                 / SUM(cents) OVER (PARTITION BY region), 6) AS region_share
+    FROM rev
+    ORDER BY region, nation
+    """,
+    survey="2.5-window,2.3-join",
+)
+def q104_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total within group: the windowed denominator sums the
+    same exact integer cents as the numerator, so the share is one
+    deterministic double division (rounded in-query on both sides)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    )
+    w = Window.partitionBy("region")
+    return (
+        rev.select(
+            "region",
+            "nation",
+            (F.col("cents") / F.lit(100.0)).alias("revenue"),
+            F.round(F.col("cents").cast("double") / F.sum("cents").over(w), 6).alias(
+                "region_share"
+            ),
+        )
+        .orderBy("region", "nation")
+    )
