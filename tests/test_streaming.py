@@ -214,3 +214,44 @@ def test_stream_to_partitioned_lake_with_compaction(spark, tmp_path):
     assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:160]
     # content integrity after compaction
     assert spark.read.parquet(lake).count() == 400
+
+
+def test_incremental_rollup_matches_batch(spark, tmp_path):
+    """After streaming the events table through in 4 micro-batches, the
+    additively-merged rollup must equal the from-scratch batch aggregate
+    (counts and integer-cents sums are mergeable state)."""
+    import pandas as pd
+
+    from gmail_etl_spark.streaming.jobs import maintain_daily_rollup
+    from tests.conftest import SF_DIR
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = pd.read_parquet(f"{SF_DIR}/events.parquet").head(400)
+    for i in range(4):
+        base.iloc[i * 100 : (i + 1) * 100].to_parquet(src / f"{i}.parquet")
+
+    rollup = str(tmp_path / "rollup")
+    maintain_daily_rollup(spark, str(src), rollup, str(tmp_path / "ckpt"))
+
+    from pyspark.sql import functions as F
+
+    got = {
+        (str(r["day"]), r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(rollup).collect()
+    }
+    exp_pdf = base.copy()
+    exp_pdf["day"] = pd.to_datetime(exp_pdf["ts"]).dt.date.astype(str)
+    exp_pdf["cents"] = (exp_pdf["value"] * 100).round().astype("int64")
+    exp = {
+        (day, et): (int(g["event_id"].count()), int(g["cents"].sum()))
+        for (day, et), g in exp_pdf.groupby(["day", "event_type"])
+    }
+    assert got == exp
+    # idempotent restart: re-running with the same checkpoint merges nothing
+    maintain_daily_rollup(spark, str(src), rollup, str(tmp_path / "ckpt"))
+    again = {
+        (str(r["day"]), r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert again == exp
