@@ -104,3 +104,52 @@ def chunk_documents(
             ).alias("n_chunk_tokens"),
         )
     )
+
+
+def with_winnow_fps(
+    df: DataFrame, text_col: str = "text", out_col: str = "fps"
+) -> DataFrame:
+    """Append winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003) of ``text_col`` as ``out_col``: a base-257 polynomial rolling
+    hash of every character 5-gram (mod 1e9+7, exact BIGINT arithmetic
+    so a SQL oracle computes bit-identical values), then the minimum
+    hash of each sliding window of 4 consecutive 5-gram hashes,
+    distinct.  Guarantee: any two documents sharing a substring of
+    length >= 8 share >= 1 fingerprint.
+
+    Filters to ``length(text) >= 8`` (shorter rows have no 5-gram
+    window).  The character codes are materialized as an array FIRST
+    (``split`` + ``ascii``, O(n)) and the gram hashes index it with
+    O(1) ``element_at`` — per-position ``substring(text, i, 1)`` is
+    O(i) on UTF8String, which turns the hash into O(n²) per document
+    and is catastrophic when the optimizer re-inlines the expression
+    into scan filters (explode's implied size>0 predicate does exactly
+    that).  Built as chained projections — NOT one expression — so each
+    array is evaluated once per consumer (CollapseProject re-inlines
+    single combined expressions, same trap as the reverted MinHash
+    pre-hash experiment, see DEVNOTES).  Pure JVM higher-order
+    functions: one narrow pass per document, cost linear in document
+    bytes, no Python worker, no shuffle.
+    """
+    cs = f"transform(split({text_col}, ''), c -> cast(ascii(c) as bigint))"
+    hs = (
+        "transform(sequence(1, size(_winnow_cs) - 4),"
+        " i -> ((((element_at(_winnow_cs, i) * 257L"
+        "       + element_at(_winnow_cs, i + 1)) * 257L"
+        "       + element_at(_winnow_cs, i + 2)) * 257L"
+        "       + element_at(_winnow_cs, i + 3)) * 257L"
+        "       + element_at(_winnow_cs, i + 4)) % 1000000007L)"
+    )
+    return (
+        df.filter(F.length(text_col) >= 8)
+        .withColumn("_winnow_cs", F.expr(cs))
+        .withColumn("_winnow_hs", F.expr(hs))
+        .withColumn(
+            out_col,
+            F.expr(
+                "array_distinct(transform(sequence(1, size(_winnow_hs) - 3),"
+                " i -> array_min(slice(_winnow_hs, i, 4))))"
+            ),
+        )
+        .drop("_winnow_cs", "_winnow_hs")
+    )

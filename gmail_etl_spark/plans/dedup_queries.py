@@ -10,6 +10,7 @@ from gmail_etl_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
 )
+from gmail_etl_spark.operators.text import with_winnow_fps
 from gmail_etl_spark.plans.catalog import load_table, query
 
 # ---------------------------------------------------------------------------
@@ -330,4 +331,125 @@ def q74_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q104 — near-dup pairs via winnowing fingerprints (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q104_winnow_near_dup_pairs",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, string_split(text, '') AS cs, length(text) AS n
+        FROM documents
+        WHERE length(text) >= 8
+    ), hh AS (
+        SELECT doc_id,
+            list_transform(range(1, n - 5 + 2),
+                i -> ((((ascii(cs[i])::BIGINT * 257 + ascii(cs[i+1])) * 257
+                        + ascii(cs[i+2])) * 257
+                        + ascii(cs[i+3])) * 257
+                        + ascii(cs[i+4])) % 1000000007) AS hs
+        FROM h
+    ), fps0 AS (
+        SELECT doc_id,
+            unnest(list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                i -> list_min(hs[i:i+3])))) AS fp
+        FROM hh
+    ), fps AS (
+        SELECT doc_id, fp FROM fps0
+        QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 100
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared_fps
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.a_id, p.b_id, p.shared_fps, sa.nfp AS a_nfp, sb.nfp AS b_nfp,
+           ROUND(p.shared_fps::DOUBLE / (sa.nfp + sb.nfp - p.shared_fps), 6)
+               AS resemblance
+    FROM pairs p
+    JOIN sizes sa ON p.a_id = sa.doc_id
+    JOIN sizes sb ON p.b_id = sb.doc_id
+    WHERE p.shared_fps::DOUBLE / (sa.nfp + sb.nfp - p.shared_fps) >= 0.5
+    ORDER BY a_id, b_id
+    """,
+    survey="D2,X3",
+)
+def q104_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup pairs from winnowing fingerprints: an
+    inverted index (doc_id, fingerprint) self-joined on fingerprint,
+    resemblance = |A∩B| / |A∪B| over fingerprint sets, thresholded at
+    0.5 (recovers exactly the fixture's planted near-dup pairs).
+
+    Scale posture: fingerprints occurring in > 100 documents are dropped
+    BEFORE the join (window count over the fp partitioning — the same
+    shuffle key the self-join needs).  Those ubiquitous fingerprints are
+    exactly the skewed hot keys that would make the self-join quadratic
+    at 100 TB, and they carry no near-dup signal; capping document
+    frequency is the standard inverted-index pruning.  The corpus-sized
+    join side carries hint("shuffle_hash") — Catalyst's size estimate
+    through explode under-counts and would attempt a runaway broadcast
+    (DEVNOTES gotcha).  All counts integer; the one float (resemblance)
+    is a division of identical integers rounded identically on both
+    engines.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    # explode_outer, NOT explode: plain explode makes
+    # InferFiltersFromGenerate add a `size(fps) > 0` predicate whose
+    # expression tree inlines the whole chained winnowing projection
+    # (hs references cs 5x, fps re-evaluates hs per window position),
+    # turning the per-document cost superlinear — measured as a hang at
+    # sf0.01.  explode_outer cannot infer that filter; null rows (none
+    # in practice, every length>=8 doc has >=1 fingerprint) are dropped
+    # explicitly.
+    fps = (
+        with_winnow_fps(d)
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("_df") <= 100)
+        .drop("_df")
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("nfp"))
+    a = fps.alias("a")
+    b = fps.hint("shuffle_hash").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    shared = F.col("shared_fps").cast("double")
+    union_sz = F.col("a_nfp") + F.col("b_nfp") - F.col("shared_fps")
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("a_id"), F.col("nfp").alias("a_nfp")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b_id"), F.col("nfp").alias("b_nfp")),
+            "b_id",
+        )
+        .filter(shared / union_sz >= 0.5)
+        .select(
+            "a_id",
+            "b_id",
+            "shared_fps",
+            "a_nfp",
+            "b_nfp",
+            F.round(shared / union_sz, 6).alias("resemblance"),
+        )
+        .orderBy("a_id", "b_id")
     )

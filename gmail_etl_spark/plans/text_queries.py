@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gmail_etl_spark.operators.text import with_winnow_fps
 from gmail_etl_spark.plans.catalog import load_table, query
 
 STOPWORDS = ("the", "a")
@@ -760,24 +761,9 @@ def q103_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     All JVM-side higher-order functions (transform/slice/array_min): one
     narrow pass per document, no shuffle until the final sort, so at
     100 TB it scales linearly with corpus bytes."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
-    hs = F.expr(
-        """
-        transform(sequence(1, length(text) - 4),
-            i -> ((((ascii(substring(text, i, 1)) * 257L
-                   + ascii(substring(text, i + 1, 1))) * 257L
-                   + ascii(substring(text, i + 2, 1))) * 257L
-                   + ascii(substring(text, i + 3, 1))) * 257L
-                   + ascii(substring(text, i + 4, 1))) % 1000000007L)
-        """
-    )
-    fps = F.expr(
-        "array_distinct(transform(sequence(1, size(hs) - 3),"
-        " i -> array_min(slice(hs, i, 4))))"
-    )
+    d = load_table(spark, sf_dir, "documents")
     return (
-        d.withColumn("hs", hs)
-        .withColumn("fps", fps)
+        with_winnow_fps(d)
         .select(
             "doc_id",
             F.size("fps").cast("long").alias("n_fingerprints"),
