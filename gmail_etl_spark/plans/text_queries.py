@@ -816,3 +816,63 @@ def q102_token_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .orderBy("a_token", "b_token")
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — unigram LM negative-log-likelihood quality score (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q105_unigram_lm_nll",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), vocab AS (
+        SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+    ), total AS (
+        SELECT SUM(cnt) AS tot FROM vocab
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(CAST(v.cnt AS DOUBLE)
+                         / (SELECT CAST(tot AS DOUBLE) FROM total))), 6)
+               AS avg_nll
+    FROM toks t JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    survey="X3",
+)
+def q105_unigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (the CCNet/LLM-pipeline
+    perplexity filter, with the LM trained on the corpus itself): token
+    negative log-likelihood -ln(cnt/total) averaged per document.  High
+    avg_nll = rare-token-heavy document (outlier/noise candidate), low =
+    boilerplate-like; curation pipelines threshold both tails.
+
+    Scale posture: the trained model is the unigram table — bounded by
+    vocabulary size, not corpus size — so scoring is a broadcast join
+    back onto the exploded token stream (no shuffle of the corpus side);
+    both aggregations are partial (map-side combine on token, then on
+    doc_id).  The corpus total is a driver scalar from the already-tiny
+    vocab table.  The single float (ln) is rounded in-query on both
+    engines after the per-doc average; tokens-per-doc is small enough
+    that summation-order ulp noise sits far below the 1e-6 rounding
+    grain."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt")).collect()[0][0]
+    return (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("cnt").cast("double") / F.lit(float(total)))), 6
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
