@@ -110,20 +110,30 @@ def minhash_lsh_pairs(
     with exact shingle-Jaccard so the output has no false positives —
     recall is the only approximation (SURVEY D2).
 
-    Scale shape: the band-bucket self-join is *narrow* — only (id, band,
-    bucket) rows move, never shingle payloads, so the join side stays
-    kilobytes-per-million-docs and can't trigger a runaway broadcast.
-    Shingle arrays re-enter by id only for the candidate pairs that
-    survive bucketing, which is the standard LSH verify shape: shuffle
-    volume is O(candidates), not O(corpus × bands).
+    Scale shape: candidate pairs come from ONE shuffle of the narrow
+    (id, band, bucket) rows — groupBy bucket, collect the id list,
+    expand i<j pairs with a JVM higher-order function.  A self-join
+    would shuffle the banded rows twice for the same key distribution;
+    a hot bucket lands on a single task either way (hash relation vs
+    collected array — same O(bucket) memory, same O(bucket²) pairs),
+    so the group form is strictly cheaper.  Verification then joins the
+    xxhash64-hashed shingle sets — longs, not strings — by id for the
+    surviving candidates only: shuffle volume is O(candidates × k·8
+    bytes), ~5× smaller than shipping string shingles, and
+    array_intersect compares longs.  Jaccard over hashed sets equals
+    string-set Jaccard absent 64-bit collisions (~n²/2⁶⁵).
     """
     rows_per_band = n_hashes // bands
     # materialize the shingle array once, then derive the signature from
     # the column — otherwise the shingle expression is inlined into all
     # n_hashes aggregates and evaluated n_hashes times per row.
-    sigs = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shingles")
-    ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+    sigs = (
+        df.select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shingles")
+        )
+        .withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+        .withColumn("hsh", F.expr("array_distinct(transform(shingles, s -> xxhash64(s)))"))
+    )
     banded = sigs.select(
         "id",
         F.explode(
@@ -140,25 +150,31 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    # both sides of every join below are corpus-sized: hint shuffle-hash
-    # so the planner never attempts a broadcast off a bad size estimate
-    # (range/explode-derived stats wildly under-count array payloads).
-    left = banded.alias("a")
-    right = banded.hint("shuffle_hash").alias("b")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     candidates = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .select("p.a_id", "p.b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    sh = sigs.select("id", "shingles").hint("shuffle_hash")
+    # the verify side is corpus-sized: hint shuffle-hash so the planner
+    # never attempts a broadcast off a bad size estimate (range/explode-
+    # derived stats wildly under-count array payloads).
+    sh = sigs.select("id", "hsh").hint("shuffle_hash")
     candidates = (
-        candidates.join(sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh")), "a_id")
-        .join(sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh")), "b_id")
+        candidates.join(sh.select(F.col("id").alias("a_id"), F.col("hsh").alias("a_sh")), "a_id")
+        .join(sh.select(F.col("id").alias("b_id"), F.col("hsh").alias("b_sh")), "b_id")
     )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size("a_sh") + F.size("b_sh") - inter
