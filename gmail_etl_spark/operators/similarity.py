@@ -105,8 +105,11 @@ def hyperplane_lsh_pairs(
     probability.  Candidates are verified with exact cosine — no false
     positives, recall is the only approximation.
 
-    Same scale shape as ``minhash_lsh_pairs``: signatures and the
-    band-bucket self-join are narrow (id, band, bucket); vectors re-enter
+    Same scale shape as ``minhash_lsh_pairs``: candidate pairs come from
+    ONE shuffle of the narrow (id, band, bucket) rows — groupBy bucket,
+    collect the id list, expand i<j pairs JVM-side (a self-join would
+    shuffle the banded rows twice for the same key distribution, and a
+    hot bucket costs one task O(bucket²) either way); vectors re-enter
     by id only for surviving candidates.  All JVM expressions — the dot
     products against literal hyperplanes run in whole-stage codegen.
     """
@@ -136,15 +139,22 @@ def hyperplane_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     candidates = (
-        banded.alias("a")
-        .join(
-            banded.hint("shuffle_hash").alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .select("p.a_id", "p.b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
     vecs = sig.select("id", "v").hint("shuffle_hash")
