@@ -114,6 +114,71 @@ def attach_media_features(
     return df.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resize, same header convention as
+    :func:`fake_image_features`: rewrite the dim header to the target,
+    keep the format tag, and scale the body length by the pixel ratio
+    (floor, min 1) — so byte_len responds to the resize the way a real
+    re-encode roughly would.  A deployment replaces the body logic with
+    PIL/opencv ``resize`` + re-encode; header/schema handling stays.
+    """
+    if payload is None or len(payload) < 8:
+        return payload
+    ow = int.from_bytes(payload[0:2], "big")
+    oh = int.from_bytes(payload[2:4], "big")
+    body = payload[8:]
+    if ow > 0 and oh > 0:
+        ratio = (width * height) / (ow * oh)
+        keep = max(1, int(len(body) * ratio)) if body else 0
+    else:
+        keep = len(body)
+    return (
+        width.to_bytes(2, "big")
+        + height.to_bytes(2, "big")
+        + payload[4:8]
+        + body[:keep]
+    )
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stage: mapInPandas rewriting each payload to the target
+    dimensions, then re-deriving the MEDIA_SCHEMA metadata (dims,
+    byte_len, sha) from the resized bytes.  Same batch/memory posture
+    as :func:`attach_media_features`; the stand-in byte transform is
+    :func:`resize_payload` (real codec swaps in there alone).
+    """
+    import hashlib
+
+    out_fields = [f.name for f in MEDIA_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            resized = [resize_payload(p, width, height) for p in batch[payload_col]]
+            feats = [fake_image_features(p) for p in resized]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "payload": resized,
+                    "format": [f["format"] for f in feats],
+                    "byte_len": [len(p) if p is not None else None for p in resized],
+                    "width": pd.array([f["width"] for f in feats], dtype="Int32"),
+                    "height": pd.array([f["height"] for f in feats], dtype="Int32"),
+                    "sha": [
+                        hashlib.sha256(p).hexdigest() if p is not None else None
+                        for p in resized
+                    ],
+                }
+            )[out_fields]
+
+    assert "media_id" in df.columns, "media table needs a media_id column"
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: keeps every n-th
     media row per (media_id div n) — the *distribution* shape of frame

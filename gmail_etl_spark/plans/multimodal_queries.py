@@ -68,3 +68,52 @@ def q29_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = sample_frames(media, every_n=10)
     feats = attach_media_features(sampled)
     return feats.select("media_id", "byte_len", "sha").orderBy("media_id")
+
+
+@query(
+    "q106_media_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           24 AS width,
+           18 AS height,
+           'png ' AS format,
+           8 + LEAST(
+               octet_length(encode(text)),
+               GREATEST(1, CAST(FLOOR(
+                   octet_length(encode(text))
+                   * ((24 * 18) / CAST((doc_id % 64 + 1) * (doc_id % 32 + 1)
+                                       AS DOUBLE))
+               ) AS BIGINT))
+           ) AS byte_len
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY media_id
+    """,
+    survey="X2",
+)
+def q106_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage end-to-end: build media payloads under the header
+    convention (2-byte dims from doc_id so the pixel ratio actually
+    varies, 'png ' tag, document bytes as body), resize to 24x18 via
+    the mapInPandas stand-in, and oracle the re-derived metadata —
+    DuckDB recomputes the resized byte length arithmetically with the
+    exact same op order (ratio = target/(ow*oh) as one double, body*ratio,
+    floor), so the float path is bit-identical.
+
+    Scale posture: one narrow mapInPandas pass; payload bytes cross the
+    Arrow boundary once, no shuffle before the presentation sort."""
+    from gmail_etl_spark.operators.multimodal import resize_media
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    payload = F.concat(
+        F.unhex(F.lpad(F.hex((F.col("doc_id") % 64) + 1), 4, "0")),
+        F.unhex(F.lpad(F.hex((F.col("doc_id") % 32) + 1), 4, "0")),
+        F.encode(F.lit("png "), "UTF-8"),
+        F.encode("text", "UTF-8"),
+    )
+    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return (
+        resize_media(media, 24, 18)
+        .select("media_id", "width", "height", "format", "byte_len")
+        .orderBy("media_id")
+    )

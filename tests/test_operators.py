@@ -269,6 +269,23 @@ def test_media_features_header_convention(spark):
     assert rows[2]["format"] == "raw" and rows[2]["width"] is None
 
 
+def test_resize_media_rewrites_dims_and_metadata(spark):
+    from gmail_etl_spark.operators.multimodal import resize_media
+
+    payload = (640).to_bytes(2, "big") + (480).to_bytes(2, "big") + b"png " + b"x" * 100
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"xy"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in resize_media(df, 320, 240).collect()}
+    assert rows[1]["width"] == 320 and rows[1]["height"] == 240
+    assert rows[1]["format"] == "png "
+    # pixel ratio 0.25 -> body 100 bytes -> 25, plus 8 header bytes
+    assert rows[1]["byte_len"] == 33
+    # short/corrupt payloads pass through untouched
+    assert bytes(rows[2]["payload"]) == b"xy"
+
+
 def test_real_decoder_is_marked_stub():
     from gmail_etl_spark.operators.multimodal import decode_image
 
