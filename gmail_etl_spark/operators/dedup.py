@@ -232,10 +232,16 @@ def connected_components(
     def _star(d: DataFrame, large: bool) -> DataFrame:
         # m(u) = min(N(u) ∪ {u}) over the (possibly filtered) neighborhood
         nbrs = d if large else d.filter(F.col("v") <= F.col("u"))
+        # shuffle_hash: both sides are already exchanged on u; hashing
+        # the (node, min) side skips the per-round sort-merge sorts.
+        # The build side is one row per node — bounded by node count,
+        # partitioned, so per-partition hash maps stay small even when
+        # the edge side is huge.
         m = (
             nbrs.groupBy("u")
             .agg(F.min("v").alias("_mn"))
             .select("u", F.least("u", "_mn").alias("m"))
+            .hint("shuffle_hash")
         )
         if large:
             # connect strictly-larger neighbors to m(u)
