@@ -306,22 +306,36 @@ def near_dedup(
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float
 ) -> DataFrame:
-    """All-pairs token-set Jaccard via an inverted-index join.
+    """All-pairs token-set Jaccard via an inverted index.
 
-    Explodes distinct tokens, joins postings on token, counts common
-    tokens per pair — the classic sparse similarity join: cost is
-    sum over tokens of df(token)^2, not n^2.  Callers bound the input
-    (or pre-filter by LSH) at scale.
+    Explodes distinct tokens, groups postings per token, expands i<j
+    pairs JVM-side, counts common tokens per pair — the classic sparse
+    similarity join: cost is sum over tokens of df(token)^2, not n^2,
+    and the postings move through ONE shuffle (a postings self-join
+    would shuffle them twice for the same token-key distribution).
+    Callers bound the input (or pre-filter by LSH) at scale.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("token"),
     )
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
-    a, b = toks.alias("a"), toks.alias("b")
+    postings = (
+        toks.groupBy("token")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     common = (
-        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        postings.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.a_id", "p.b_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("id").alias("a_id"), F.col("n_tok").alias("a_n"))
