@@ -387,16 +387,15 @@ def q104_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5 (recovers exactly the fixture's planted near-dup pairs).
 
     Scale posture: fingerprints occurring in > 100 documents are dropped
-    BEFORE the join (window count over the fp partitioning — the same
-    shuffle key the self-join needs).  Those ubiquitous fingerprints are
-    exactly the skewed hot keys that would make the self-join quadratic
-    at 100 TB, and they carry no near-dup signal; capping document
-    frequency is the standard inverted-index pruning.  The corpus-sized
-    join side carries hint("shuffle_hash") — Catalyst's size estimate
-    through explode under-counts and would attempt a runaway broadcast
-    (DEVNOTES gotcha).  All counts integer; the one float (resemblance)
-    is a division of identical integers rounded identically on both
-    engines.
+    BEFORE pair generation (window count over the fp partitioning — the
+    same shuffle key the pair expansion needs).  Those ubiquitous
+    fingerprints are exactly the skewed hot keys that would make pair
+    generation quadratic at 100 TB, and they carry no near-dup signal;
+    capping document frequency is the standard inverted-index pruning.
+    Pairs come from ONE shuffle: groupBy fp + JVM-side i<j expansion,
+    not a postings self-join.  All counts integer; the one float
+    (resemblance) is a division of identical integers rounded
+    identically on both engines.
     """
     from pyspark.sql import Window
 
@@ -418,17 +417,23 @@ def q104_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_df")
     )
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("nfp"))
-    a = fps.alias("a")
-    b = fps.hint("shuffle_hash").alias("b")
+    # one-shuffle pair expansion (same shape as the LSH/Jaccard paths):
+    # group the inverted index per fingerprint and expand i<j pairs
+    # JVM-side instead of self-joining the postings on fp.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        fps.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
+        .groupBy("p.a_id", "p.b_id")
         .agg(F.count("*").alias("shared_fps"))
     )
     shared = F.col("shared_fps").cast("double")
