@@ -302,16 +302,22 @@ def q74_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(shingles(F.col("text"), 3)).alias("shingle")
     ).distinct()
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    # one-shuffle pair expansion over the shingle postings (sources per
+    # shingle are few, so the collected array is tiny per key)
     common = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") < F.col("b.source")),
+        sh.groupBy("shingle")
+        .agg(F.collect_list("source").alias("srcs"))
+        .filter(F.size("srcs") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) ->"
+                    " transform(slice(srcs, i + 2, size(srcs) - i - 1),"
+                    " y -> struct(least(x, y) as source_a, greatest(x, y) as source_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
-        )
+        .groupBy("p.source_a", "p.source_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("a_n"))
