@@ -160,3 +160,62 @@ def q72_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(chunks, "chunk_key", "n_chunk_tokens", budget=64).orderBy(
         "bucket", "seq_id", "item_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — temperature-scaled source mixing weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q107_source_mixing_weights",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS n_tokens
+        FROM documents
+        GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(POWER(CAST(n_tokens AS DOUBLE), 0.7)
+                 / SUM(POWER(CAST(n_tokens AS DOUBLE), 0.7)) OVER (), 6)
+               AS weight,
+           ROUND(1000000 * (POWER(CAST(n_tokens AS DOUBLE), 0.7)
+                 / SUM(POWER(CAST(n_tokens AS DOUBLE), 0.7)) OVER ())
+                 / CAST(n_tokens AS DOUBLE), 6) AS epochs_at_1m
+    FROM per_source
+    ORDER BY source
+    """,
+    survey="X3,D1",
+)
+def q107_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (the multi-corpus
+    mixing computation in LLM training pipelines): weight_i =
+    n_tokens_i^0.7 / Σ_j n_tokens_j^0.7, plus the implied epochs each
+    source is traversed for a 1M-token budget — >1 means the source is
+    over-sampled (up-weighted small corpus), <1 under-sampled.
+
+    Scale posture: one partial-aggregating groupBy over the corpus
+    (counts only cross the shuffle); the normalization window runs over
+    one row per source — driver-trivial at any corpus size.  Floats are
+    pow/division in the same op order on both engines, rounded
+    in-query."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    p = F.pow(F.col("n_tokens").cast("double"), F.lit(0.7))
+    total = F.sum(p).over(Window.partitionBy())
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(p / total, 6).alias("weight"),
+        F.round(F.lit(1000000) * (p / total) / F.col("n_tokens").cast("double"), 6).alias(
+            "epochs_at_1m"
+        ),
+    ).orderBy("source")
