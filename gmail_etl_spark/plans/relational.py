@@ -1586,3 +1586,116 @@ def q104_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — small-quantity-order revenue (TPC-H Q17 shape: per-key avg gate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q108_small_qty_revenue",
+    oracle="""
+    SELECT ROUND(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                 / 100.0 / 7.0, 6) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < 0.2 * (
+          SELECT AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+    """,
+    survey="2.5-agg,J1",
+)
+def q108_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost if small-quantity orders (below
+    20% of the part's average order quantity) stopped — a per-key
+    average gating the rows that formed it.  The oracle states it as a
+    correlated subquery; the plan here is the decorrelated form Catalyst
+    (and DuckDB) produce anyway: semi-restrict lineitem to the brand's
+    parts via a broadcast of the tiny filtered part side, compute the
+    per-part average once, broadcast it back (bounded by the brand's
+    part count), filter, aggregate — no corpus-side shuffle at all.
+
+    Float safety: quantities are integral doubles, so the per-part AVG
+    is an exact integer sum over an exact count — bit-identical across
+    engines; revenue sums in integer cents; the only rounded float is
+    the final /7 presentation division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li_brand = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).drop(
+        "p_partkey"
+    )
+    part_avg = li_brand.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li_brand.join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(_cents("l_extendedprice")) / 100.0 / 7.0, 6).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q109 — dormant high-balance customers (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q109_dormant_customers",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_custs,
+           SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
+    FROM customer c
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (
+            SELECT AVG(CAST(round(c_acctbal * 100) AS BIGINT))
+            FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    survey="2.5-agg,J1",
+)
+def q109_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balances and no
+    orders since 2000 — a global scalar threshold plus an anti-join,
+    grouped for reporting.  The threshold average runs on integer cents
+    (exact sum, one division) so both engines compute the identical
+    double; the anti-join is the same shape as the dedup ledger (J1)
+    with the dormancy window pushed to the orders scan.  At scale the
+    scalar aggregate is one map-side-combined pass and the anti-join
+    shuffles only (custkey) pairs."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_cents", _cents("c_acctbal")
+    )
+    threshold = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("bal_cents")).collect()[0][0]
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.filter(F.col("bal_cents") > F.lit(threshold))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (F.sum("bal_cents") / 100.0).alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
