@@ -86,6 +86,22 @@ def test_minhash_pairs_are_verified(spark):
     assert planted.filter(F.col("jaccard") < 1.0).count() == 0
 
 
+def test_pair_expansion_degenerate_hot_bucket(spark):
+    """All-identical corpus: every band collapses to ONE bucket holding
+    every id (the worst-case hot key for the pair expansion) — the
+    grouped i<j expansion must still emit the exact full clique, once
+    per pair, all verified at jaccard 1.0."""
+    n = 200
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.99)
+    assert pairs.count() == n * (n - 1) // 2
+    assert pairs.filter(F.col("jaccard") < 1.0).count() == 0
+    assert pairs.dropDuplicates(["a_id", "b_id"]).count() == n * (n - 1) // 2
+
+
 def test_connected_components_chain_and_cycle(spark):
     """A chain (1-2-3-4), a cycle (10-11-12-10), and an isolated pair:
     labels are the component minimum regardless of edge orientation,
