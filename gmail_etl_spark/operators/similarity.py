@@ -308,3 +308,57 @@ def train_kmeans(
             new_c[ci] = [dims[j] for j in range(len(dims))]
         centroids = new_c
     return _assign(centroids).select("id", "cluster"), centroids
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.995,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: partition the embedding
+    space with the deterministic k-means coarse quantizer, generate
+    within-cluster candidate pairs, keep pairs with cosine >=
+    ``threshold``, cluster them with connected components, and keep one
+    canonical row (min id) per duplicate group plus every unpaired row.
+
+    Scale shape: pairwise comparison happens only WITHIN a k-means cell
+    (the SemDeDup observation — semantic duplicates land in the same
+    cell), so cost is sum over cells of |cell|^2, never corpus^2; raise
+    k so cells stay bounded.  Candidate ids expand from ONE shuffle of
+    the narrow (cluster, id) rows (same grouped i<j expansion as the
+    LSH paths); vectors re-enter by id only for candidate pairs, with
+    shuffle_hash so the corpus side can never be mis-broadcast.
+    Returns ``corpus``'s schema filtered to survivors.
+    """
+    from gmail_etl_spark.operators.dedup import near_dedup
+
+    assign, _ = train_kmeans(corpus, id_col, vec_col, k=k, iters=iters)
+    ids = assign.select(F.col("cluster"), F.col("id"))
+    candidates = (
+        ids.groupBy("cluster")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a_id", "p.b_id")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).hint("shuffle_hash")
+    pairs = (
+        candidates.join(vecs.select(F.col("id").alias("a_id"), F.col("v").alias("va")), "a_id")
+        .join(vecs.select(F.col("id").alias("b_id"), F.col("v").alias("vb")), "b_id")
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("a_id", "b_id")
+    )
+    return near_dedup(corpus, id_col, pairs)

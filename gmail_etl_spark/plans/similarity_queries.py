@@ -250,3 +250,26 @@ def q75_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assign, _ = train_kmeans(emb, k=8, iters=3)
     return assign.select(F.col("id").alias("vec_id"), "cluster").orderBy("vec_id")
+
+
+@query("q110_semantic_dedup", oracle=None, survey="D2,X1")
+def q110_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: k-means cells bound the pairwise
+    comparison, cosine >= 0.995 pairs cluster via connected components,
+    one canonical vector survives per group.  The corpus is the
+    embeddings table seeded with exact copies (ids +100000, as in q46)
+    so the dedup provably fires: every copy must vanish in favor of its
+    lower-id original, restoring the original row count.  Rows-only for
+    the driver (k-means has no SQL equivalent); the planted-duplicate
+    guarantee is also property-tested in tests/test_operators.py."""
+    from gmail_etl_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return (
+        semantic_dedup(emb.unionByName(copies), "vec_id", "embedding", k=8, iters=3)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )

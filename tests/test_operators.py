@@ -102,6 +102,29 @@ def test_pair_expansion_degenerate_hot_bucket(spark):
     assert pairs.dropDuplicates(["a_id", "b_id"]).count() == n * (n - 1) // 2
 
 
+def test_semantic_dedup_drops_planted_copies(spark):
+    """Exact-copy embeddings (cosine 1.0) land in the same k-means cell
+    by construction, so semantic dedup must keep exactly one of each
+    pair — the lower id — and every unduplicated vector."""
+    from gmail_etl_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    kept = semantic_dedup(emb.unionByName(copies), "vec_id", "embedding", k=8)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    # every planted copy is dropped in favor of its lower-id original
+    assert all(v + 100000 not in kept_ids for v in range(50) if v in kept_ids)
+    # the originals themselves survive (they are each group's min id)
+    base_kept = semantic_dedup(emb, "vec_id", "embedding", k=8)
+    assert kept.count() == base_kept.count()
+    assert base_kept.count() <= n
+
+
 def test_connected_components_chain_and_cycle(spark):
     """A chain (1-2-3-4), a cycle (10-11-12-10), and an isolated pair:
     labels are the component minimum regardless of edge orientation,
