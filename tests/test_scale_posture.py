@@ -7,6 +7,8 @@ avoid shuffles, salted operators match their plain equivalents.
 
 from __future__ import annotations
 
+import re
+
 import uuid
 
 import pytest
@@ -165,8 +167,10 @@ def test_q55_quality_filter_is_shuffle_free(spark):
 
 
 def test_lsh_self_joins_never_broadcast(spark):
-    """Both LSH band-bucket self-joins are corpus-sized on both sides:
-    the shuffle_hash hint must defeat mis-estimated broadcasts."""
+    """LSH plans: candidate generation is a groupBy + JVM pair
+    expansion (no join at all), and the two verify joins are hinted
+    shuffle-hash — never broadcast (corpus-sized sides with
+    mis-estimated stats), never sort-merge."""
     from gmail_etl_spark.operators.dedup import minhash_lsh_pairs
     from gmail_etl_spark.operators.similarity import hyperplane_lsh_pairs
 
@@ -177,6 +181,10 @@ def test_lsh_self_joins_never_broadcast(spark):
     plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text"))
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan
+    # candidate generation is a groupBy + expansion, not a join: the
+    # only joins in the whole plan are the two hinted verify joins
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) == 2
 
     emb = spark.range(1000).select(
         F.col("id").alias("vec_id"),
@@ -187,6 +195,8 @@ def test_lsh_self_joins_never_broadcast(spark):
     plan = _plan(hyperplane_lsh_pairs(emb, dim=16, n_planes=8, bands=2))
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) == 2
 
 
 def test_q57_all_predicates_reach_scan(spark):
