@@ -376,3 +376,59 @@ def q79_arrow_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     return arrow_value_histogram(e, "user_id", "value", 50).orderBy("user_id", "bin")
+
+
+# ---------------------------------------------------------------------------
+# q111 — event-type transition matrix (per-user Markov chain)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q111_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ), counts AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM counts
+    ORDER BY from_type, to_type
+    """,
+    survey="X5,2.5-agg",
+)
+def q111_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: LEAD within (user, ts, event_id) order pairs each event
+    with its successor, then (from, to) counts row-normalize into
+    transition probabilities — session-behavior mining in two window
+    passes.
+
+    Scale posture: the sequence window shuffles once on user_id (the
+    natural key, same partitioning a sessionizer uses); the transition
+    count is a partial-aggregating groupBy over event-type pairs
+    (bounded by |types|²), and the normalization window runs on that
+    tiny matrix.  The probability is one integer division rounded
+    identically on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(Window.partitionBy("from_type")), 6).alias(
+            "p"
+        ),
+    ).orderBy("from_type", "to_type")
