@@ -102,6 +102,24 @@ def test_pair_expansion_degenerate_hot_bucket(spark):
     assert pairs.dropDuplicates(["a_id", "b_id"]).count() == n * (n - 1) // 2
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. '03, w=4, k=5): any two
+    documents sharing a substring of length >= w + k - 1 = 8 share at
+    least one fingerprint; disjoint-alphabet documents share none."""
+    from gmail_etl_spark.operators.text import with_winnow_fps
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, "aaaa " + shared + " bbbb"),
+        (2, "cccc " + shared + " dddd"),
+        (3, "zzzzzzzzzzzzzzzzzzzzzzzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["fps"]) for r in with_winnow_fps(df).collect()}
+    assert fps[1] & fps[2], "docs sharing a 25-char substring must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
 def test_semantic_dedup_drops_planted_copies(spark):
     """Exact-copy embeddings (cosine 1.0) land in the same k-means cell
     by construction, so semantic dedup must keep exactly one of each
