@@ -876,3 +876,98 @@ def q105_unigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — sparse TF-IDF cosine document pairs (inverted-index similarity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q112_tfidf_cosine_pairs",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE doc_id < 200)
+        GROUP BY doc_id, term
+    ), dfc AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n_docs AS (
+        SELECT COUNT(*) AS n FROM documents WHERE doc_id < 200
+    ), w AS (
+        SELECT t.doc_id, t.term,
+               t.tf * ln(CAST((SELECT n FROM n_docs) AS DOUBLE) / d.df) AS w
+        FROM tf t JOIN dfc d USING (term)
+    ), norms AS (
+        SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+    ), dot AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.w * b.w) AS d
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, ROUND(d / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dot
+    JOIN norms na ON na.doc_id = a_id
+    JOIN norms nb ON nb.doc_id = b_id
+    WHERE ROUND(d / (na.nrm * nb.nrm), 6) >= 0.5
+    ORDER BY a_id, b_id
+    """,
+    survey="X1,X3,D2",
+)
+def q112_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector document similarity: TF-IDF-weighted cosine over
+    the token inverted index — the sparse counterpart of the dense
+    embedding path (q46/q54).  Dot products accumulate only over SHARED
+    terms (one postings pass, grouped per term and expanded i<j with
+    the weight product attached), so cost is Σ df(term)², never n²,
+    and document vectors are never materialized.
+
+    The oracle states the dot product as a postings self-join — the
+    relational definition; the Spark plan uses the one-shuffle grouped
+    expansion (same results, half the postings shuffle).  Stop-list
+    pruning (the df cap of q104) is the documented hot-key guard at
+    100 TB; the fixture vocabulary is small enough to keep every term.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(F.broadcast(dfc), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    dot = (
+        w.groupBy("term")
+        .agg(F.collect_list(F.struct("doc_id", "w")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(least(x.doc_id, y.doc_id) as a_id,"
+                    "             greatest(x.doc_id, y.doc_id) as b_id,"
+                    "             x.w * y.w as wp))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.a_id", "p.b_id")
+        .agg(F.sum("p.wp").alias("d"))
+    )
+    na = norms.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("a_nrm"))
+    nb = norms.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("b_nrm"))
+    cos = F.round(F.col("d") / (F.col("a_nrm") * F.col("b_nrm")), 6)
+    return (
+        dot.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .select("a_id", "b_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.5)
+        .orderBy("a_id", "b_id")
+    )
