@@ -210,3 +210,20 @@ def test_q57_all_predicates_reach_scan(spark):
         assert col in pushed, f"{col} not pushed: {pushed}"
     # map-side combine: partial HashAggregate below the Exchange, final above
     assert plan.count("HashAggregate") >= 2
+
+
+def test_new_text_query_plan_shapes(spark):
+    """Plan pins for the newer text/dedup queries: the LM scorer must
+    broadcast its vocabulary; the pair-expansion queries must contain
+    no join at all before their (broadcast/hinted) re-entry joins —
+    and none may fall back to sort-merge."""
+    plan = _plan(CATALOG["q105_unigram_lm_nll"].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(CATALOG["q104_winnow_near_dup_pairs"].builder(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(CATALOG["q112_tfidf_cosine_pairs"].builder(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
