@@ -464,3 +464,95 @@ def q104_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — incremental near-dup admission (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q113_incremental_near_dup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents WHERE doc_id < 1000
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+    ), common AS (
+        SELECT n.doc_id AS new_id, o.doc_id AS corpus_id, COUNT(*) AS n_common
+        FROM toks n JOIN toks o ON n.token = o.token
+        WHERE n.doc_id < 100 AND o.doc_id >= 100
+        GROUP BY 1, 2
+    )
+    SELECT c.new_id, c.corpus_id,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / (sn.n_tok + so.n_tok - c.n_common), 6) AS jaccard
+    FROM common c
+    JOIN sizes sn ON sn.doc_id = c.new_id
+    JOIN sizes so ON so.doc_id = c.corpus_id
+    WHERE CAST(c.n_common AS DOUBLE)
+          / (sn.n_tok + so.n_tok - c.n_common) >= 0.8
+    ORDER BY new_id, corpus_id
+    """,
+    survey="D2,J1,J2",
+)
+def q113_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission: which documents of an incoming
+    batch (doc_id < 100) near-duplicate the existing corpus (100-999)?
+    This generalizes the reference's ledger anti-join
+    (``resources/gmail_functions.py:172-178`` checks EXACT id matches
+    before admitting a message) to fuzzy content matching — the shape a
+    production pipeline runs on every ingest.
+
+    Scale posture: the inverted index is built over both sides but pair
+    expansion is ASYMMETRIC — per token, only (new x corpus) pairs
+    emerge (a nested higher-order cross of the two small per-token
+    lists), never corpus x corpus, so cost is bounded by the batch, not
+    the lake.  One shuffle on token, one partial-aggregating pair
+    count; sizes re-enter via the same grouped aggregates."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    postings = (
+        toks.groupBy("token")
+        .agg(
+            F.collect_list(F.when(F.col("doc_id") < 100, F.col("doc_id"))).alias(
+                "new_ids"
+            ),
+            F.collect_list(F.when(F.col("doc_id") >= 100, F.col("doc_id"))).alias(
+                "corpus_ids"
+            ),
+        )
+        .filter((F.size("new_ids") > 0) & (F.size("corpus_ids") > 0))
+    )
+    common = (
+        postings.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(new_ids, x ->"
+                    " transform(corpus_ids, y ->"
+                    " struct(x as new_id, y as corpus_id))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.new_id", "p.corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sn = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_tok").alias("n_new"))
+    so = sizes.select(
+        F.col("doc_id").alias("corpus_id"), F.col("n_tok").alias("n_corpus")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_new") + F.col("n_corpus") - F.col("n_common")
+    )
+    return (
+        common.join(sn, "new_id")
+        .join(so, "corpus_id")
+        .filter(jac >= 0.8)
+        .select("new_id", "corpus_id", F.round(jac, 6).alias("jaccard"))
+        .orderBy("new_id", "corpus_id")
+    )
