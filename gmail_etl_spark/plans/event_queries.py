@@ -432,3 +432,75 @@ def q111_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# q114 — MAD (median absolute deviation) outlier report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q114_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, MEDIAN(value) AS med
+        FROM events GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type,
+               MEDIAN(ABS(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           ROUND(m.med, 6) AS med,
+           ROUND(d.mad, 6) AS mad,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN ABS(e.value - m.med) > 3 * d.mad
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type, m.med, d.mad
+    ORDER BY event_type
+    """,
+    survey="2.5-agg,X5",
+)
+def q114_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via median absolute
+    deviation — the robust-statistics counterpart of the z-score pass
+    (q73): median and MAD are insensitive to the very outliers being
+    hunted, so one extreme value can't mask others.
+
+    Two grouped exact-percentile aggregations (map-side partial), each
+    result re-entering via broadcast (one row per event type) — the
+    events table is scanned, never shuffled on a data-sized key.  Both
+    engines interpolate the even-count median identically ((a+b)/2 on
+    stored doubles); the only rounding is presentational."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = e.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_events",
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
