@@ -211,3 +211,56 @@ def maintain_daily_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# X5 — stream-stream join (time-bounded correlation of two event streams)
+# ---------------------------------------------------------------------------
+
+
+def stream_stream_attribution(
+    events: DataFrame,
+    trigger_type: str = "click",
+    outcome_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each ``outcome_type`` event
+    to the same user's preceding ``trigger_type`` events within
+    ``within`` — the classic click→purchase attribution correlation.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both ends, so Spark can expire join state: per-side state
+    is (watermark + within) of events, never unbounded.  The same
+    expression runs in batch (the test oracles the stream against it).
+    """
+    a = (
+        events.filter(F.col("event_type") == trigger_type)
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("trigger_id"),
+            F.col("ts").alias("trigger_ts"),
+        )
+        .withWatermark("trigger_ts", watermark)
+    )
+    b = (
+        events.filter(F.col("event_type") == outcome_type)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("outcome_id"),
+            F.col("ts").alias("outcome_ts"),
+        )
+        .withWatermark("outcome_ts", watermark)
+    )
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("outcome_ts") >= F.col("trigger_ts"))
+        & (F.col("outcome_ts") <= F.col("trigger_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "trigger_id",
+        "outcome_id",
+        "trigger_ts",
+        "outcome_ts",
+    )

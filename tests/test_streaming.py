@@ -9,6 +9,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from gmail_etl_spark.sources.fixtures import fixture_messages
 from gmail_etl_spark.streaming.jobs import (
@@ -255,3 +256,49 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(rollup).collect()
     }
     assert again == exp
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream attribution join (click -> purchase within 30 min,
+    watermarked both sides) must produce exactly the batch join's pairs.
+    Append mode works because the join condition time-bounds both sides."""
+    import shutil
+
+    from gmail_etl_spark.streaming.jobs import (
+        read_events_stream,
+        stream_stream_attribution,
+    )
+
+    events_dir = tmp_path / "events_ssj"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", events_dir / "part0.parquet")
+    stream = read_events_stream(spark, str(events_dir))
+    joined = stream_stream_attribution(stream)
+    assert joined.isStreaming
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["trigger_id"], r["outcome_id"])
+        for r in spark.sql("select * from ssj").collect()
+    }
+
+    batch_events = spark.read.schema(
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(str(events_dir)).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    expected = {
+        (r["user_id"], r["trigger_id"], r["outcome_id"])
+        for r in stream_stream_attribution(batch_events).collect()
+    }
+    assert expected, "fixture must contain click->purchase pairs"
+    assert got == expected
