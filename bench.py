@@ -38,7 +38,7 @@ def main() -> None:
     # then best-of-3 steady-state timings — the figure that projects to
     # a long-lived cluster, where plans run thousands of times.
     for name, cq in sorted(headline.items()):
-        cq.builder(spark, sf_dir).collect()
+        cq.builder(spark, sf_dir).count()
 
     times: dict[str, float] = {}
     for name, cq in sorted(headline.items()):
@@ -46,7 +46,7 @@ def main() -> None:
         for _ in range(3):
             t0 = time.perf_counter()
             df = cq.builder(spark, sf_dir)
-            n = len(df.collect())
+            n = df.count()
             assert n >= 0
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)

