@@ -94,6 +94,58 @@ def minhash_signature(sh: Column, n_hashes: int = 32) -> Column:
     )
 
 
+def capped_pair_candidates(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """i<j pair expansion of per-bucket id lists, with oversized buckets
+    split into sub-buckets of at most ``max_bucket`` ids.
+
+    Input: (band, bucket, ids) with ``size(ids) > 1``.  Output: deduped
+    (a_id, b_id) candidate pairs.
+
+    Unbounded expansion of a hot bucket — an adversarial corpus can put
+    thousands of near-identical docs in ONE bucket — is O(B²) pairs in a
+    single task.  Chunking caps that at O(B · max_bucket) per bucket:
+    ids are ordered by a per-(band, bucket)-salted xxhash64 and sliced
+    into ceil(B / max_bucket) chunks, each expanded independently.  The
+    recall trade: a pair surfaces only when some band co-chunks it, but
+    because the salt differs per band, the chunk partitions are
+    independent across bands — a clique bigger than max_bucket stays one
+    connected component through cross-band chunk overlap even though not
+    every pair is emitted (each chunk is a clique of max_bucket; the
+    union over bands of independent chunk-partitions of the same id set
+    is connected with overwhelming probability).
+    """
+    chunks = (
+        f"CASE WHEN size(ids) <= {max_bucket} THEN array(ids) "
+        f"ELSE transform("
+        f"  sequence(0, cast(ceil(size(ids) / cast({max_bucket} AS DOUBLE)) AS INT) - 1),"
+        f"  c -> slice("
+        f"    transform(array_sort(transform(ids,"
+        f"      x -> struct(xxhash64(x, band, bucket) AS h, x AS v))), s -> s.v),"
+        f"    c * {max_bucket} + 1, {max_bucket})) END"
+    )
+    # explode_outer + null-drop, not explode: the inferred size()>0
+    # filter on a plain explode would inline the whole CASE tree a
+    # second time (see DEVNOTES on InferFiltersFromGenerate).
+    capped = (
+        buckets.select(F.explode_outer(F.expr(chunks)).alias("ids"))
+        .filter(F.col("ids").isNotNull())
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        capped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a_id", "p.b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -102,6 +154,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int = 512,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
 
@@ -115,8 +168,11 @@ def minhash_lsh_pairs(
     expand i<j pairs with a JVM higher-order function.  A self-join
     would shuffle the banded rows twice for the same key distribution;
     a hot bucket lands on a single task either way (hash relation vs
-    collected array — same O(bucket) memory, same O(bucket²) pairs),
-    so the group form is strictly cheaper.  Verification then joins the
+    collected array — same O(bucket) memory), so the group form is
+    strictly cheaper; buckets over ``max_bucket`` ids are split into
+    salted sub-buckets so per-task pair expansion is O(B·max_bucket),
+    not O(B²), on adversarial corpora (see
+    ``capped_pair_candidates``).  Verification then joins the
     xxhash64-hashed shingle sets — longs, not strings — by id for the
     surviving candidates only: shuffle volume is O(candidates × k·8
     bytes), ~5× smaller than shipping string shingles, and
@@ -155,19 +211,7 @@ def minhash_lsh_pairs(
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    candidates = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
-                    " y -> struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
-                )
-            ).alias("p")
-        )
-        .select("p.a_id", "p.b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    candidates = capped_pair_candidates(buckets, max_bucket)
     # the verify side is corpus-sized: hint shuffle-hash so the planner
     # never attempts a broadcast off a bad size estimate (range/explode-
     # derived stats wildly under-count array payloads).

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gmail_etl_spark.operators.dedup import capped_pair_candidates
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -97,6 +99,7 @@ def hyperplane_lsh_pairs(
     n_planes: int = 16,
     bands: int = 4,
     threshold: float = 0.9,
+    max_bucket: int = 512,
 ) -> DataFrame:
     """Near-duplicate embedding pairs via sign-random-projection LSH
     (Charikar'02): bit p of a vector's signature is sign(v · h_p) for a
@@ -108,10 +111,12 @@ def hyperplane_lsh_pairs(
     Same scale shape as ``minhash_lsh_pairs``: candidate pairs come from
     ONE shuffle of the narrow (id, band, bucket) rows — groupBy bucket,
     collect the id list, expand i<j pairs JVM-side (a self-join would
-    shuffle the banded rows twice for the same key distribution, and a
-    hot bucket costs one task O(bucket²) either way); vectors re-enter
-    by id only for surviving candidates.  All JVM expressions — the dot
-    products against literal hyperplanes run in whole-stage codegen.
+    shuffle the banded rows twice for the same key distribution);
+    buckets over ``max_bucket`` ids are split into salted sub-buckets so
+    a hot bucket's pair expansion is O(B·max_bucket), not O(B²) (see
+    ``capped_pair_candidates``); vectors re-enter by id only for
+    surviving candidates.  All JVM expressions — the dot products
+    against literal hyperplanes run in whole-stage codegen.
     """
     rows_per_band = n_planes // bands
     v = F.col("v")
@@ -144,19 +149,7 @@ def hyperplane_lsh_pairs(
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    candidates = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
-                    " y -> struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
-                )
-            ).alias("p")
-        )
-        .select("p.a_id", "p.b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    candidates = capped_pair_candidates(buckets, max_bucket)
     vecs = sig.select("id", "v").hint("shuffle_hash")
     sim = cosine(F.col("va"), F.col("vb"))
     return (

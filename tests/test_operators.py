@@ -102,6 +102,53 @@ def test_pair_expansion_degenerate_hot_bucket(spark):
     assert pairs.dropDuplicates(["a_id", "b_id"]).count() == n * (n - 1) // 2
 
 
+def test_capped_pair_expansion_bounds_hot_bucket(spark):
+    """A degenerate 10k-id bucket must NOT expand the full O(B²) clique:
+    with max_bucket=100 the per-bucket pair count is bounded by
+    ceil(B/100)·C(100,2) per band, ~100× below the 49.99M-pair clique —
+    yet the union over independently-salted bands must still leave the
+    clique CONNECTED (one component), which is all near-dedup needs."""
+    from gmail_etl_spark.operators.dedup import capped_pair_candidates
+
+    n, cap, bands = 10_000, 100, 3
+    buckets = spark.range(bands).select(
+        F.col("id").cast("int").alias("band"),
+        F.lit(42).cast("long").alias("bucket"),
+        F.sequence(F.lit(0), F.lit(n - 1)).alias("ids"),
+    )
+    pairs = capped_pair_candidates(buckets, cap).cache()
+    n_pairs = pairs.count()
+    per_band_bound = (n // cap) * (cap * (cap - 1) // 2)
+    assert n_pairs <= bands * per_band_bound  # 1.485M, not 49.995M
+    assert n_pairs < n * (n - 1) // 2 // 10  # >10x below the clique
+    comp = connected_components(
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    )
+    assert comp.select("component").distinct().count() == 1
+    assert comp.select("node").distinct().count() == n
+    pairs.unpersist()
+
+
+def test_minhash_lsh_cap_end_to_end(spark):
+    """minhash_lsh_pairs with a small max_bucket on an all-identical
+    corpus: emits fewer pairs than the clique, every emitted pair
+    verifies at jaccard 1.0, and the clique stays one component."""
+    n = 300
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.99, max_bucket=64).cache()
+    n_pairs = pairs.count()
+    assert 0 < n_pairs < n * (n - 1) // 2
+    assert pairs.filter(F.col("jaccard") < 1.0).count() == 0
+    comp = connected_components(
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    )
+    assert comp.select("component").distinct().count() == 1
+    pairs.unpersist()
+
+
 def test_winnow_shared_substring_guarantee(spark):
     """Winnowing guarantee (Schleimer et al. '03, w=4, k=5): any two
     documents sharing a substring of length >= w + k - 1 = 8 share at
