@@ -1,44 +1,98 @@
-"""X2 multimodal catalog entry: the binary-column pipeline with its
-deterministic decoder, oracle-checked on the byte-level features DuckDB
-can recompute (length + sha256); width/height/format come from the
-stub decoder convention and are exercised in unit tests instead.
+"""X2 multimodal catalog entries: the binary-column pipeline with the
+real stdlib decoder.
+
+q26/q106 build genuine PNG payloads (deterministic pixels derived from
+doc_id), push them through the mapInPandas decode / resize stages, and
+oracle the *pixel-derived* metadata — DuckDB recomputes width, height,
+and the pixel mean arithmetically from doc_id, so a green row proves the
+scanlines were actually decompressed and de-filtered, not read off a
+header.  q29 oracles the byte-level features (length + sha256) that are
+decoder-independent.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
-from gmail_etl_spark.operators.multimodal import attach_media_features
+from gmail_etl_spark.operators.multimodal import attach_media_features, encode_png
 from gmail_etl_spark.plans.catalog import load_table, query
+
+_MEDIA_IN = StructType(
+    [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+)
+
+
+def _dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 64 + 1, doc_id % 32 + 1
+
+
+def _synth_png_media(df: DataFrame, constant_color: bool) -> DataFrame:
+    """doc_id → a real PNG payload, built executor-side in mapInPandas.
+
+    Pixel content is a deterministic function of doc_id so the oracle
+    can recompute pixel statistics in SQL:
+
+    * gradient mode: every channel of row y equals y (height <= 32 <
+      256), so the image mean is exactly (height - 1) / 2;
+    * constant mode: every channel equals (doc_id * 37) % 256, which is
+      invariant under resampling — the resize oracle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                w, h = _dims(int(doc_id))
+                if constant_color:
+                    c = (int(doc_id) * 37) % 256
+                    px = bytes([c]) * (w * h * 3)
+                else:
+                    px = b"".join(bytes([y]) * (w * 3) for y in range(h))
+                payloads.append(encode_png(w, h, 3, px))
+            yield pd.DataFrame({"media_id": batch["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(run, _MEDIA_IN)
 
 
 @query(
     "q26_multimodal_features",
     oracle="""
     SELECT doc_id AS media_id,
-           octet_length(encode(text)) AS byte_len,
-           sha256(text) AS sha,
-           substr(text, 5, 4) AS format
+           'png' AS format,
+           doc_id % 64 + 1 AS width,
+           doc_id % 32 + 1 AS height,
+           (doc_id % 32) / 2.0 AS px_mean
     FROM documents
-    WHERE doc_id < 200 AND octet_length(encode(text)) >= 8
+    WHERE doc_id < 200
     ORDER BY media_id
     """,
     survey="X2,F6",
 )
 def q26_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text as an opaque binary payload → mapInPandas feature
-    extraction (real Arrow plumbing; deterministic fake decoder reads
-    bytes 4:8 as the format tag — ascii text, so the oracle recomputes
-    it with substr)."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 200) & (F.length(F.encode("text", "UTF-8")) >= 8)
+    """Real decode end-to-end: gradient PNGs built per doc_id, decoded by
+    the stdlib PNG path (zlib inflate + de-filter), features oracled
+    arithmetically — px_mean == (height-1)/2 only if the pixels really
+    came back.
+
+    Scale posture: payload bytes cross the Arrow boundary once per
+    stage, no shuffle before the presentation sort."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = attach_media_features(_synth_png_media(d, constant_color=False))
+    return (
+        feats.select(
+            "media_id",
+            "format",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            "px_mean",
+        )
+        .orderBy("media_id")
     )
-    media = d.select(
-        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
-    )
-    feats = attach_media_features(media)
-    return feats.select("media_id", "byte_len", "sha", "format").orderBy("media_id")
 
 
 @query(
@@ -56,7 +110,10 @@ def q26_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q29_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (every 10th media row, stable partition-local
     filter — no shuffle) composed with the mapInPandas feature
-    extractor; the byte-level features oracle exactly as in q26."""
+    extractor; text payloads are not decodable images, so the features
+    oracled here are the decoder-independent byte-level ones (the
+    decoder's tolerant 'raw' degrade is exactly the corrupt-blob
+    posture)."""
     from gmail_etl_spark.operators.multimodal import sample_frames
 
     d = load_table(spark, sf_dir, "documents").filter(
@@ -76,15 +133,8 @@ def q29_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            24 AS width,
            18 AS height,
-           'png ' AS format,
-           8 + LEAST(
-               octet_length(encode(text)),
-               GREATEST(1, CAST(FLOOR(
-                   octet_length(encode(text))
-                   * ((24 * 18) / CAST((doc_id % 64 + 1) * (doc_id % 32 + 1)
-                                       AS DOUBLE))
-               ) AS BIGINT))
-           ) AS byte_len
+           'png' AS format,
+           CAST((doc_id * 37) % 256 AS DOUBLE) AS px_mean
     FROM documents
     WHERE doc_id < 300
     ORDER BY media_id
@@ -92,28 +142,28 @@ def q29_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="X2",
 )
 def q106_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage end-to-end: build media payloads under the header
-    convention (2-byte dims from doc_id so the pixel ratio actually
-    varies, 'png ' tag, document bytes as body), resize to 24x18 via
-    the mapInPandas stand-in, and oracle the re-derived metadata —
-    DuckDB recomputes the resized byte length arithmetically with the
-    exact same op order (ratio = target/(ow*oh) as one double, body*ratio,
-    floor), so the float path is bit-identical.
+    """Real resize end-to-end: constant-color PNGs (color derived from
+    doc_id) decoded, nearest-neighbor resampled to 24x18, re-encoded as
+    PNG, and the output metadata re-decoded from the re-encoded bytes.
+    A constant image's mean is invariant under resampling, so px_mean ==
+    (doc_id*37) % 256 proves decode → resample → encode → decode all
+    round-tripped.
 
-    Scale posture: one narrow mapInPandas pass; payload bytes cross the
-    Arrow boundary once, no shuffle before the presentation sort."""
+    Scale posture: one narrow mapInPandas pass per stage; payload bytes
+    cross the Arrow boundary once each, no shuffle before the
+    presentation sort."""
     from gmail_etl_spark.operators.multimodal import resize_media
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    payload = F.concat(
-        F.unhex(F.lpad(F.hex((F.col("doc_id") % 64) + 1), 4, "0")),
-        F.unhex(F.lpad(F.hex((F.col("doc_id") % 32) + 1), 4, "0")),
-        F.encode(F.lit("png "), "UTF-8"),
-        F.encode("text", "UTF-8"),
-    )
-    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    media = _synth_png_media(d, constant_color=True)
     return (
         resize_media(media, 24, 18)
-        .select("media_id", "width", "height", "format", "byte_len")
+        .select(
+            "media_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            "format",
+            "px_mean",
+        )
         .orderBy("media_id")
     )

@@ -359,42 +359,140 @@ def test_fetched_messages_flow_through_pipeline(spark):
 
 
 def test_media_features_header_convention(spark):
-    from gmail_etl_spark.operators.multimodal import attach_media_features
+    """The header-convention test double still drives the plumbing for
+    human-writable payloads (explicit decoder injection)."""
+    from gmail_etl_spark.operators.multimodal import (
+        attach_media_features,
+        fake_image_features,
+    )
 
     payload = (640).to_bytes(2, "big") + (480).to_bytes(2, "big") + b"png " + b"rest"
     df = spark.createDataFrame(
         [(1, bytearray(payload)), (2, bytearray(b"xy"))],
         "media_id long, payload binary",
     )
-    rows = {r["media_id"]: r for r in attach_media_features(df).collect()}
+    rows = {
+        r["media_id"]: r
+        for r in attach_media_features(df, decoder=fake_image_features).collect()
+    }
     assert rows[1]["width"] == 640 and rows[1]["height"] == 480
     assert rows[1]["format"] == "png "
     assert rows[1]["byte_len"] == len(payload)
     assert rows[2]["format"] == "raw" and rows[2]["width"] is None
 
 
-def test_resize_media_rewrites_dims_and_metadata(spark):
-    from gmail_etl_spark.operators.multimodal import resize_media
+def test_png_roundtrip_and_defilter():
+    """encode → decode round-trips pixels exactly, and the decoder
+    de-filters scanlines written with every PNG filter type (a stream
+    our own encoder never produces — hand-built IDAT)."""
+    import struct
+    import zlib
 
-    payload = (640).to_bytes(2, "big") + (480).to_bytes(2, "big") + b"png " + b"x" * 100
-    df = spark.createDataFrame(
-        [(1, bytearray(payload)), (2, bytearray(b"xy"))],
-        "media_id long, payload binary",
+    from gmail_etl_spark.operators.multimodal import (
+        _PNG_SIG,
+        _decode_png,
+        decode_image,
+        encode_png,
     )
-    rows = {r["media_id"]: r for r in resize_media(df, 320, 240).collect()}
-    assert rows[1]["width"] == 320 and rows[1]["height"] == 240
-    assert rows[1]["format"] == "png "
-    # pixel ratio 0.25 -> body 100 bytes -> 25, plus 8 header bytes
-    assert rows[1]["byte_len"] == 33
-    # short/corrupt payloads pass through untouched
-    assert bytes(rows[2]["payload"]) == b"xy"
+
+    # round-trip: 5x4 RGB gradient
+    px = bytes((x * 7 + y * 11 + c * 3) % 256 for y in range(4) for x in range(5) for c in range(3))
+    w, h, ch, out = _decode_png(encode_png(5, 4, 3, px))
+    assert (w, h, ch) == (5, 4, 3) and bytes(out) == px
+
+    # hand-built 4-row grayscale image using filter types 1,2,3,4
+    rows = [bytes([10, 20, 30, 40]), bytes([5, 5, 5, 5]), bytes([7, 9, 11, 13]), bytes([1, 2, 3, 4])]
+    expect = bytearray()
+    raw = bytearray()
+    prev = bytes(4)
+    for ftype, row in zip([1, 2, 3, 4], rows):
+        # forward-filter the intended OUTPUT row so the decoder must invert it
+        raw.append(ftype)
+        decoded = row
+        enc = bytearray()
+        for x in range(4):
+            a = decoded[x - 1] if x >= 1 else 0
+            b = prev[x]
+            if ftype == 1:
+                enc.append((decoded[x] - a) & 0xFF)
+            elif ftype == 2:
+                enc.append((decoded[x] - b) & 0xFF)
+            elif ftype == 3:
+                enc.append((decoded[x] - ((a + b) >> 1)) & 0xFF)
+            else:
+                c = prev[x - 1] if x >= 1 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((decoded[x] - pred) & 0xFF)
+        raw += enc
+        expect += decoded
+        prev = decoded
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF
+        )
+
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, ch, out = _decode_png(png)
+    assert (w, h, ch) == (4, 4, 1) and bytes(out) == bytes(expect)
+    feat = decode_image(png)
+    assert feat["format"] == "png" and feat["px_mean"] == sum(expect) / len(expect)
 
 
-def test_real_decoder_is_marked_stub():
+def test_bmp_ppm_and_corrupt_payloads():
+    import struct
+
     from gmail_etl_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    # 3x2 24-bpp BMP, bottom-up rows padded to 4 bytes
+    rows_top_down = [bytes([1, 2, 3, 4, 5, 6, 7, 8, 9]), bytes([10, 11, 12, 13, 14, 15, 16, 17, 18])]
+    pad = b"\x00" * 3  # stride 9 -> padded 12
+    body = rows_top_down[1] + pad + rows_top_down[0] + pad
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+    feat = decode_image(bmp)
+    allpx = b"".join(rows_top_down)
+    assert feat["format"] == "bmp" and (feat["width"], feat["height"]) == (3, 2)
+    assert feat["px_mean"] == sum(allpx) / len(allpx)
+
+    ppm = b"P6\n# comment\n2 2\n255\n" + bytes(range(12))
+    feat = decode_image(ppm)
+    assert feat["format"] == "ppm" and (feat["width"], feat["height"]) == (2, 2)
+    assert feat["px_mean"] == sum(range(12)) / 12
+
+    # corrupt/unknown payloads degrade, never raise
+    for bad in [b"\x89PNG", b"BMxx", b"P6 garbage", b"plain text", b""]:
+        assert decode_image(bad)["format"] == "raw"
+    assert decode_image(None)["format"] is None
+
+
+def test_resize_media_real_roundtrip(spark):
+    from gmail_etl_spark.operators.multimodal import encode_png, resize_media
+
+    # 4x4 RGB: left half black, right half white -> 2x2 nearest keeps the split
+    px = bytes(
+        (255 if x >= 2 else 0) for y in range(4) for x in range(4) for _c in range(3)
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(4, 4, 3, px))), (2, bytearray(b"xy"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in resize_media(df, 2, 2).collect()}
+    assert rows[1]["width"] == 2 and rows[1]["height"] == 2
+    assert rows[1]["format"] == "png"
+    assert rows[1]["px_mean"] == 127.5  # half black, half white survived
+    # short/corrupt payloads pass through untouched
+    assert bytes(rows[2]["payload"]) == b"xy"
 
 
 # ---------------------------------------------------------------------------
