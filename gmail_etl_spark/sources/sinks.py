@@ -32,9 +32,78 @@ def write_json_array_blob(df: DataFrame, path: str) -> None:
 def write_csv_compat(df: DataFrame, path: str) -> None:
     """S6: header + quote-all CSV (reference ``to_csv`` with
     QUOTE_NONNUMERIC, ``resources/gmail_functions.py:307-309``).
-    quoteAll quotes numerics too — a superset every CSV reader accepts;
-    the utf-8-sig BOM is a pandas-ism intentionally not reproduced."""
+    quoteAll quotes numerics too — a superset every CSV reader accepts.
+    For byte-exact output use :func:`write_csv_bytefidelity`."""
     df.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(path)
+
+
+def write_csv_bytefidelity(df: DataFrame, path: str, bom: bool = False) -> None:
+    """S6 byte-exact: emulate the reference's
+    ``df.to_csv(index=False, quoting=csv.QUOTE_NONNUMERIC,
+    encoding='utf-8-sig')`` → GCS blob (``resources/gmail_functions.py:
+    309``, ``:60``) down to the byte level:
+
+    * header and every string field quoted, inner quotes doubled;
+    * numeric fields unquoted; bools render ``True``/``False`` unquoted
+      (Python's csv module treats bool as int, so QUOTE_NONNUMERIC
+      leaves them bare);
+    * nulls and NaN render as a *quoted* empty string in non-numeric
+      and numeric columns alike (pandas' ``na_rep=''`` is a string, so
+      QUOTE_NONNUMERIC quotes it);
+    * ``\\n`` line terminator, trailing newline after the last row;
+    * ``bom=False`` by default because the reference's ``utf-8-sig`` is
+      dead code — ``to_csv`` with no path returns ``str`` (the encoding
+      arg is ignored) and ``blob.open('w')`` writes plain UTF-8.  Pass
+      ``bom=True`` for the byte form the reference *intended*.
+
+    Float formatting matches Java's shortest-round-trip rendering, which
+    agrees with Python repr for the values this pipeline emits; exotic
+    magnitudes (>=1e16) can differ in exponent style.
+
+    Like :func:`write_json_array_blob` this funnels through one file —
+    it is a byte-compat sink for reference-shaped consumers (the
+    reference writes one ~300-row blob per run), not the scale path
+    (that's parquet).  Row order is preserved via
+    ``monotonically_increasing_id`` (partition-ordinal ordering).
+    """
+    from pyspark.sql.types import BooleanType, DoubleType, FloatType, NumericType
+
+    def render(fname: str) -> "F.Column":
+        c = F.col(fname)
+        dtype = df.schema[fname].dataType
+        quoted_empty = F.lit('""')
+        if isinstance(dtype, BooleanType):
+            return F.when(c.isNull(), quoted_empty).otherwise(
+                F.when(c, F.lit("True")).otherwise(F.lit("False"))
+            )
+        if isinstance(dtype, NumericType):
+            missing = (
+                c.isNull() | F.isnan(c)
+                if isinstance(dtype, (DoubleType, FloatType))
+                else c.isNull()
+            )
+            return F.when(missing, quoted_empty).otherwise(c.cast("string"))
+        return F.concat(
+            F.lit('"'),
+            F.replace(F.coalesce(c.cast("string"), F.lit("")), F.lit('"'), F.lit('""')),
+            F.lit('"'),
+        )
+
+    header = ",".join('"%s"' % name.replace('"', '""') for name in df.columns)
+    if bom:
+        header = "\ufeff" + header
+    body = df.select(
+        F.concat_ws(",", *[render(c) for c in df.columns]).alias("line")
+    ).withColumn("_ord", F.monotonically_increasing_id())
+    head = df.sparkSession.createDataFrame([(header, -1)], "line string, _ord long")
+    (
+        head.unionByName(body)
+        .orderBy("_ord")
+        .select("line")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
 
 
 def archive_files(spark: SparkSession, src_dir: str, archive_dir: str, suffix: str = ".json") -> int:

@@ -50,6 +50,63 @@ def test_csv_compat_sink(spark, tmp_path):
     assert line.startswith('"')
 
 
+def test_csv_bytefidelity_matches_pandas_golden(spark, tmp_path):
+    """Golden-bytes parity with the reference's exact write: pandas
+    to_csv(index=False, quoting=csv.QUOTE_NONNUMERIC) — quoted strings
+    and header, bare numerics and bools, quoted-empty nulls/NaN,
+    newline-in-field, trailing newline; plus the utf-8-sig BOM variant
+    the reference *intended* (its encoding arg is dead code — to_csv
+    with no path returns str)."""
+    import csv
+
+    import pandas as pd
+
+    from gmail_etl_spark.sources.sinks import write_csv_bytefidelity
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "subject": ["plain", 'has "quote"', "comma, inside"],
+            "score": [1.5, 0.1, float("nan")],
+            "flag": [True, False, True],
+            "body": ["line1\nline2", "", None],
+        }
+    )
+    golden = pdf.to_csv(index=False, quoting=csv.QUOTE_NONNUMERIC).encode("utf-8")
+    sdf = spark.createDataFrame(
+        [(1, "plain", 1.5, True, "line1\nline2"),
+         (2, 'has "quote"', 0.1, False, ""),
+         (3, "comma, inside", float("nan"), True, None)],
+        "id long, subject string, score double, flag boolean, body string",
+    )
+    out = str(tmp_path / "csv_exact")
+    write_csv_bytefidelity(sdf, out)
+    got = open(glob.glob(out + "/part-*")[0], "rb").read()
+    assert got == golden
+
+    out_bom = str(tmp_path / "csv_bom")
+    write_csv_bytefidelity(sdf, out_bom, bom=True)
+    got_bom = open(glob.glob(out_bom + "/part-*")[0], "rb").read()
+    assert got_bom == pdf.to_csv(
+        index=False, quoting=csv.QUOTE_NONNUMERIC
+    ).encode("utf-8-sig")
+    assert got_bom[:3] == b"\xef\xbb\xbf"
+
+
+def test_csv_bytefidelity_preserves_row_order_across_partitions(spark, tmp_path):
+    from gmail_etl_spark.sources.sinks import write_csv_bytefidelity
+
+    df = spark.range(100).selectExpr("id", "concat('row-', id) AS name").repartition(8, "id")
+    # repartition scrambles physical order; the sink must preserve the
+    # DataFrame's partition-ordinal order deterministically
+    ordered = df.orderBy("id")
+    out = str(tmp_path / "csv_order")
+    write_csv_bytefidelity(ordered, out)
+    lines = open(glob.glob(out + "/part-*")[0]).read().splitlines()
+    assert lines[0] == '"id","name"'
+    assert [int(line.split(",")[0]) for line in lines[1:]] == list(range(100))
+
+
 def test_archive_files_moves_processed(spark, tmp_path):
     src = tmp_path / "raw"
     src.mkdir()
