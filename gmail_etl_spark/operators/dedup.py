@@ -309,13 +309,22 @@ def connected_components(
         return (row["n"], row["h"])
 
     prev = _checksum(e)
+    converged = False
     for _ in range(max_iter):
         e = _star(_directed(e), large=True)
         e = _star(_directed(e), large=False).localCheckpoint(eager=True)
         cur = _checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # truncated output would be silently-wrong partial components
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (edge-set checksum still changing); raise max_iter — "
+            "large-star/small-star needs O(log n) rounds"
+        )
     # converged edge set is a star per component: (leaf, root) with root
     # the component min; the root itself gets its own-label row.
     leaves = e.select(F.col("v").alias("node"), F.col("u").alias("component"))

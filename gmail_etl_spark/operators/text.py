@@ -82,6 +82,11 @@ def chunk_documents(
     a 100 TB corpus chunks in a single map stage, and the output
     explodes ~n_tokens/stride rows per doc with no Python in the path.
     """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_tokens, got "
+            f"overlap={overlap}, chunk_tokens={chunk_tokens} (stride would be <= 0)"
+        )
     stride = chunk_tokens - overlap
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)

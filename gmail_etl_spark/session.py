@@ -57,6 +57,20 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+def _default_driver_mem() -> str:
+    """SPARK_GRAFT_DRIVER_MEM if set, else half of physical RAM capped
+    at 24g (floor 2g) — enough for 100k-row broadcast builds on big
+    hosts without OOM-killing small ones."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total_gib = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+    return f"{max(2, min(24, int(total_gib // 2)))}g"
+
+
 def get_spark(
     app_name: str = "gmail-etl-spark",
     master: str | None = None,
@@ -79,10 +93,9 @@ def get_spark(
     # JVM *is* the executor, and Spark's 1g default starves broadcast
     # builds and shuffle buffers on a large host.  On a cluster this is
     # spark-submit's concern, so it's env-overridable and ignored once a
-    # JVM exists.
-    conf.setdefault(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
-    )
+    # JVM exists.  Default: half of physical RAM, capped at 24g, so the
+    # library never asks for more heap than a small host can give.
+    conf.setdefault("spark.driver.memory", _default_driver_mem())
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -152,6 +152,53 @@ def sessionized_event_counts(events: DataFrame, gap: str = "5 minutes",
     )
 
 
+def _rollup_fs(spark: SparkSession, rollup_dir: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(rollup_dir)
+    return jvm, base.getFileSystem(conf), base
+
+
+def _resolve_rollup_version(spark: SparkSession, rollup_dir: str) -> tuple[str, int]:
+    """Current rollup version: (data dir, last merged batch_id), or
+    ("", -1) when no rollup exists yet.
+
+    Prefers the ``_CURRENT`` pointer file; if the pointer is missing but
+    version dirs exist (the sub-second crash window between publishing a
+    new pointer and the old one's removal — or a manual delete), falls
+    back to the highest ``_v`` dir, which is always a fully-written
+    version because data is renamed into place before the pointer moves.
+    """
+    jvm, fs, base = _rollup_fs(spark, rollup_dir)
+    ptr = jvm.org.apache.hadoop.fs.Path(rollup_dir, "_CURRENT")
+    if fs.exists(ptr):
+        stream = fs.open(ptr)
+        try:
+            raw = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        batch_id, name = raw.decode("utf-8").strip().split("\t")
+        return f"{rollup_dir.rstrip('/')}/{name}", int(batch_id)
+    if fs.exists(base):
+        versions = sorted(
+            s.getPath().getName()
+            for s in fs.listStatus(base)
+            if s.isDirectory() and s.getPath().getName().startswith("_v")
+        )
+        if versions:
+            return f"{rollup_dir.rstrip('/')}/{versions[-1]}", int(versions[-1][2:])
+    return "", -1
+
+
+def read_daily_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Reader for the versioned rollup published by
+    :func:`maintain_daily_rollup`."""
+    data_dir, _ = _resolve_rollup_version(spark, rollup_dir)
+    if not data_dir:
+        raise FileNotFoundError(f"no rollup published under {rollup_dir}")
+    return spark.read.parquet(data_dir)
+
+
 def maintain_daily_rollup(
     spark: SparkSession,
     events_dir: str,
@@ -163,13 +210,38 @@ def maintain_daily_rollup(
     merges ADDITIVELY into the persisted rollup — the streaming form of
     the hypertable rollup (q66).  Counts and integer sums are mergeable
     state, so the rollup equals the from-scratch batch aggregate after
-    any sequence of triggers; the checkpoint makes each batch merge
-    exactly once.  At 100 TB the rollup table is tiny relative to the
-    fact stream (days × types), so the merge rewrite is cheap and the
-    stream never re-reads history."""
+    any sequence of triggers.
+
+    Exactly-once despite foreachBatch's at-least-once contract: each
+    merge writes a NEW version dir (``_v<batch_id>``) and then publishes
+    it by renaming a pointer file (``_CURRENT``) over the old one — an
+    atomic single-file operation, so readers (:func:`read_daily_rollup`)
+    always see a complete version and the rollup is never absent
+    mid-swap.  The pointer stores the last merged batch_id; a replayed
+    batch (crash after publish, before the checkpoint committed) is
+    detected by ``batch_id <= stored`` and skipped, so the additive
+    merge never double-counts.  Only a genuinely missing rollup starts
+    from scratch — read failures of an existing version propagate
+    instead of silently resetting history.
+
+    Contract: batch_ids are monotone within ONE checkpoint lineage; the
+    rollup and its checkpoint move together.  Pointing a fresh
+    checkpoint at an existing rollup treats the re-numbered batches as
+    already merged — correct for re-processing the same files (ids
+    restart at 0 over the same inputs), wrong if the fresh run also
+    carries new files in those low-numbered batches; reset both
+    together or neither.
+
+    At 100 TB the rollup table is tiny relative to the fact stream
+    (days × types), so the merge rewrite is cheap and the stream never
+    re-reads history."""
     events = read_events_stream(spark, events_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        cur_dir, last_merged = _resolve_rollup_version(spark_l, rollup_dir)
+        if batch_id <= last_merged:
+            return  # at-least-once replay of an already-published merge
         inc = (
             batch_df.groupBy(
                 F.to_date("ts").alias("day"), "event_type"
@@ -178,9 +250,10 @@ def maintain_daily_rollup(
                 F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
             )
         )
-        spark_l = batch_df.sparkSession
-        try:
-            prev = spark_l.read.parquet(rollup_dir)
+        if cur_dir:
+            # a failure reading an EXISTING version must propagate — it
+            # is a transient/corruption signal, not "no prior rollup"
+            prev = spark_l.read.parquet(cur_dir)
             merged = (
                 prev.unionByName(inc)
                 .groupBy("day", "event_type")
@@ -189,20 +262,29 @@ def maintain_daily_rollup(
                     F.sum("value_cents").alias("value_cents"),
                 )
             )
-        except Exception:
+        else:
             merged = inc
-        # rewrite via a temp dir: the source of the read can't be
-        # overwritten in-place mid-plan
-        tmp = rollup_dir.rstrip("/") + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        jvm = spark_l._jvm
-        conf = spark_l._jsc.hadoopConfiguration()
-        dst = jvm.org.apache.hadoop.fs.Path(rollup_dir)
-        src = jvm.org.apache.hadoop.fs.Path(tmp)
-        fs = dst.getFileSystem(conf)
-        if fs.exists(dst):
-            fs.delete(dst, True)
-        fs.rename(src, dst)
+        version_name = f"_v{batch_id:015d}"
+        new_dir = f"{rollup_dir.rstrip('/')}/{version_name}"
+        merged.write.mode("overwrite").parquet(new_dir)
+        # atomic publish: write pointer aside, rename over _CURRENT
+        jvm, fs, base = _rollup_fs(spark_l, rollup_dir)
+        ptr = jvm.org.apache.hadoop.fs.Path(rollup_dir, "_CURRENT")
+        tmp = jvm.org.apache.hadoop.fs.Path(rollup_dir, f"_CURRENT.{batch_id}.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(f"{batch_id}\t{version_name}".encode("utf-8"))
+        finally:
+            out.close()
+        if fs.exists(ptr):
+            fs.delete(ptr, False)  # rename-over is non-portable; _resolve
+            # falls back to the newest _v dir in this sub-second window
+        fs.rename(tmp, ptr)
+        # best-effort cleanup of superseded versions
+        for s in fs.listStatus(base):
+            name = s.getPath().getName()
+            if s.isDirectory() and name.startswith("_v") and name != version_name:
+                fs.delete(s.getPath(), True)
 
     q = (
         events.writeStream.foreachBatch(merge_batch)

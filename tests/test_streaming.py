@@ -232,15 +232,17 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
     for i in range(4):
         base.iloc[i * 100 : (i + 1) * 100].to_parquet(src / f"{i}.parquet")
 
+    from gmail_etl_spark.streaming.jobs import read_daily_rollup
+
     rollup = str(tmp_path / "rollup")
     maintain_daily_rollup(spark, str(src), rollup, str(tmp_path / "ckpt"))
 
-    from pyspark.sql import functions as F
+    def snapshot():
+        return {
+            (str(r["day"]), r["event_type"]): (r["n_events"], r["value_cents"])
+            for r in read_daily_rollup(spark, rollup).collect()
+        }
 
-    got = {
-        (str(r["day"]), r["event_type"]): (r["n_events"], r["value_cents"])
-        for r in spark.read.parquet(rollup).collect()
-    }
     exp_pdf = base.copy()
     exp_pdf["day"] = pd.to_datetime(exp_pdf["ts"]).dt.date.astype(str)
     exp_pdf["cents"] = (exp_pdf["value"] * 100).round().astype("int64")
@@ -248,14 +250,15 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
         (day, et): (int(g["event_id"].count()), int(g["cents"].sum()))
         for (day, et), g in exp_pdf.groupby(["day", "event_type"])
     }
-    assert got == exp
+    assert snapshot() == exp
     # idempotent restart: re-running with the same checkpoint merges nothing
     maintain_daily_rollup(spark, str(src), rollup, str(tmp_path / "ckpt"))
-    again = {
-        (str(r["day"]), r["event_type"]): (r["n_events"], r["value_cents"])
-        for r in spark.read.parquet(rollup).collect()
-    }
-    assert again == exp
+    assert snapshot() == exp
+    # at-least-once replay: a FRESH checkpoint replays every batch_id from
+    # zero; the pointer's stored batch_id must reject each replayed merge
+    # (the additive merge would otherwise double every count)
+    maintain_daily_rollup(spark, str(src), rollup, str(tmp_path / "ckpt2"))
+    assert snapshot() == exp
 
 
 def test_stream_stream_join_matches_batch(spark, tmp_path):
