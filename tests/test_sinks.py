@@ -177,3 +177,38 @@ def test_cli_stage1_and_query(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == len(fixture_messages())
     assert main(["query", "q10_distinct_flags", "--sf-dir", "/root/testdata/sf0.001"]) == 0
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_jdbc_ledger_roundtrip_derby(spark, tmp_path):
+    """S7 parity smoke against Derby embedded (the JDBC driver shipped
+    inside Spark): create the reference-shaped emails ledger, append
+    processed ids, read back via spark.read.jdbc, and anti-join a new
+    batch — second pass ingests nothing, like the reference's
+    get_emails_from_db gate."""
+    from gmail_etl_spark.sources.jdbc_ledger import (
+        derby_url,
+        read_ledger_jdbc,
+        unprocessed_against_jdbc_ledger,
+        write_ledger_jdbc,
+    )
+
+    url = derby_url(str(tmp_path / "ledgerdb"))
+    batch = spark.createDataFrame(
+        [("m1", "2023-01-01"), ("m2", "2023-01-02")], "id string, date string"
+    ).selectExpr("id", "CAST(date AS DATE) AS date")
+    write_ledger_jdbc(batch, url, mode="overwrite")
+
+    back = read_ledger_jdbc(spark, url)
+    assert {r["id"] for r in back.collect()} == {"m1", "m2"}
+
+    incoming = spark.createDataFrame(
+        [("m1",), ("m2",), ("m3",)], "id string"
+    )
+    fresh = unprocessed_against_jdbc_ledger(incoming, url)
+    assert {r["id"] for r in fresh.collect()} == {"m3"}
+
+    # record the new id; now nothing is unprocessed (idempotent re-run)
+    write_ledger_jdbc(
+        fresh.selectExpr("id", "CAST('2023-01-03' AS DATE) AS date"), url
+    )
+    assert unprocessed_against_jdbc_ledger(incoming, url).count() == 0
