@@ -1,0 +1,185 @@
+"""X2 — audio payloads: real stdlib WAV (RIFF PCM) decode.
+
+Same design as :mod:`gmail_etl_spark.operators.multimodal`: audio travels
+as a ``BinaryType`` column, decode/feature-extract runs as an
+Arrow-batched ``mapInPandas`` stage, and the decoder is a genuine parser
+— RIFF chunk walk + 8/16-bit PCM sample reconstruction via ``struct`` —
+not a header sniff.  Features (duration, RMS, zero-crossing count, peak)
+are *sample-derived*, so an oracle that recomputes them arithmetically
+proves the PCM frames really came back.
+
+Compressed codecs (MP3/AAC/Opus) belong to ffmpeg/soundfile on a
+production image; unknown or corrupt payloads degrade to
+``format='raw'`` with null fields — one bad blob must not kill a task at
+100 TB (reference posture: resources/gmail_functions.py skip-bad-blob).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: audio row: payload + typed, sample-derived metadata.
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("format", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def encode_wav(sample_rate: int, samples: list[int], bits: int = 16) -> bytes:
+    """Minimal valid mono PCM WAV writer (RIFF + fmt + data)."""
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 8:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    else:
+        raise ValueError("only 8/16-bit PCM")
+    block_align = bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """RIFF walk → (sample_rate, channels, bits, samples).
+
+    Handles arbitrary chunk order and unknown chunks (LIST/INFO etc.);
+    16-bit signed and 8-bit unsigned PCM (format tag 1).  Raises
+    ValueError on anything else or on truncation.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt_seen, data = None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            if length < 16:
+                raise ValueError("short fmt chunk")
+            tag, channels, rate, _bps, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag != 1 or bits not in (8, 16) or channels < 1:
+                raise ValueError("unsupported WAV variant")
+            fmt_seen = (rate, channels, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt_seen is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    rate, channels, bits = fmt_seen
+    if bits == 16:
+        n = len(data) // 2
+        samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    else:
+        samples = [b - 128 for b in data]
+    return rate, channels, bits, samples
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Real stdlib WAV decoder → sample-derived features.
+
+    ``rms`` is the root-mean-square over interleaved samples, ``peak``
+    the max absolute amplitude, ``zero_crossings`` the count of adjacent
+    sample pairs with a strict sign change — all computable only from
+    the reconstructed PCM frames.
+    """
+    none = {
+        "format": None, "sample_rate": None, "channels": None,
+        "n_samples": None, "duration_s": None, "rms": None,
+        "peak": None, "zero_crossings": None,
+    }
+    if payload is None:
+        return none
+    try:
+        rate, channels, _bits, samples = _parse_wav(bytes(payload))
+    except (ValueError, struct.error, IndexError):
+        return dict(none, format="raw")
+    n_frames = len(samples) // channels
+    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 if samples else None
+    peak = max((abs(s) for s in samples), default=None)
+    zc = sum(
+        1
+        for a, b in zip(samples, samples[1:])
+        if (a < 0 <= b) or (b < 0 <= a)
+    )
+    return {
+        "format": "wav",
+        "sample_rate": rate,
+        "channels": channels,
+        "n_samples": n_frames,
+        "duration_s": n_frames / rate if rate else None,
+        "rms": rms,
+        "peak": peak,
+        "zero_crossings": zc,
+    }
+
+
+def attach_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode/feature-extract stage for audio: mapInPandas over the media
+    table, output schema == AUDIO_SCHEMA.  Same batch-shape posture as
+    the image path (bound Arrow batches via
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` for large payloads).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            feats = [decode_audio(p) for p in batch[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "payload": batch[payload_col],
+                    "format": [f["format"] for f in feats],
+                    "byte_len": [
+                        len(p) if p is not None else None for p in batch[payload_col]
+                    ],
+                    "sample_rate": pd.array(
+                        [f["sample_rate"] for f in feats], dtype="Int32"
+                    ),
+                    "channels": pd.array([f["channels"] for f in feats], dtype="Int32"),
+                    "n_samples": pd.array(
+                        [f["n_samples"] for f in feats], dtype="Int64"
+                    ),
+                    "duration_s": pd.array(
+                        [f["duration_s"] for f in feats], dtype="Float64"
+                    ),
+                    "rms": pd.array([f["rms"] for f in feats], dtype="Float64"),
+                    "peak": pd.array([f["peak"] for f in feats], dtype="Int32"),
+                    "zero_crossings": pd.array(
+                        [f["zero_crossings"] for f in feats], dtype="Int64"
+                    ),
+                }
+            )[[f.name for f in AUDIO_SCHEMA.fields]]
+
+    assert "media_id" in df.columns, "audio table needs a media_id column"
+    return df.mapInPandas(run, AUDIO_SCHEMA)

@@ -1,5 +1,5 @@
 """X2 multimodal catalog entries: the binary-column pipeline with the
-real stdlib decoder.
+real stdlib decoders.
 
 q26/q106 build genuine PNG payloads (deterministic pixels derived from
 doc_id), push them through the mapInPandas decode / resize stages, and
@@ -7,7 +7,9 @@ oracle the *pixel-derived* metadata — DuckDB recomputes width, height,
 and the pixel mean arithmetically from doc_id, so a green row proves the
 scanlines were actually decompressed and de-filtered, not read off a
 header.  q29 oracles the byte-level features (length + sha256) that are
-decoder-independent.
+decoder-independent.  q115 is the audio analogue: real RIFF/PCM WAV
+payloads whose sample-derived features (duration, RMS, zero crossings)
+the oracle recomputes arithmetically.
 """
 
 from __future__ import annotations
@@ -167,3 +169,58 @@ def q106_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "q115_audio_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'wav' AS format,
+           8000 AS sample_rate,
+           1 AS channels,
+           doc_id % 400 + 50 AS n_samples,
+           CAST(doc_id % 400 + 50 AS DOUBLE) / 8000.0 AS duration_s,
+           CAST((doc_id * 13) % 1000 + 100 AS DOUBLE) AS rms,
+           (doc_id * 13) % 1000 + 100 AS peak,
+           doc_id % 400 + 49 AS zero_crossings
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY media_id
+    """,
+    survey="X2",
+)
+def q115_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode end-to-end: mono 16-bit PCM WAV payloads built
+    per doc_id (an alternating ±A square wave, A = (doc_id*13)%1000+100,
+    n = doc_id%400+50 samples at 8 kHz), decoded by the stdlib RIFF/PCM
+    parser, features oracled arithmetically — RMS == A and
+    zero_crossings == n-1 hold only if the PCM frames really came back.
+
+    Scale posture: payload bytes cross the Arrow boundary once, no
+    shuffle before the presentation sort (same as q26)."""
+    from gmail_etl_spark.operators.audio import attach_audio_features, encode_wav
+
+    def run(batches):
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                amp = (int(doc_id) * 13) % 1000 + 100
+                n = int(doc_id) % 400 + 50
+                samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+                payloads.append(encode_wav(8000, samples))
+            yield pd.DataFrame({"media_id": batch["doc_id"], "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = d.select("doc_id").mapInPandas(run, _MEDIA_IN)
+    feats = attach_audio_features(media)
+    return feats.select(
+        "media_id",
+        "format",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        "n_samples",
+        "duration_s",
+        "rms",
+        F.col("peak").cast("long").alias("peak"),
+        "zero_crossings",
+    ).orderBy("media_id")

@@ -971,3 +971,175 @@ def q112_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.5)
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q116 — PII detection / redaction (X3 extension; C4/Dolma-style scrub).
+# Deterministic PII is injected per doc_id (the corpus itself is synthetic
+# word soup), then detected + redacted by the dialect-neutral kernels in
+# functions/pii.py; the oracle recomputes injection AND scrub verbatim.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q116_pii_redact",
+    oracle="""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' call 415-555-'
+                                 || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                            ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                                 || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                                 || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                            ELSE '' END AS text
+        FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phones,
+           len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssns,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS clean_text
+    FROM enriched
+    ORDER BY doc_id
+    """,
+    survey="X3,F1-F5",
+)
+def q116_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: deterministic emails / phone numbers / SSNs are
+    concatenated into each document, then counted and redacted with the
+    JVM-side regexp kernels (functions/pii.py).  The oracle re-derives
+    both the injection and the scrub, so a green row proves detection
+    and replacement byte-for-byte.
+
+    Scale posture: injection + 4 regex passes fuse into the scan's
+    codegen stage — no shuffle before the presentation sort, no UDF."""
+    from gmail_etl_spark.functions.pii import with_pii_report
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    did = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@mail.example.com"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((did * 7 % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" ssn "),
+                    (did % 900 + 100).cast("string"),
+                    F.lit("-"),
+                    (did % 90 + 10).cast("string"),
+                    F.lit("-"),
+                    (did % 9000 + 1000).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return (
+        with_pii_report(injected)
+        .select(
+            "doc_id",
+            F.col("n_emails").cast("long").alias("n_emails"),
+            F.col("n_phones").cast("long").alias("n_phones"),
+            F.col("n_ssns").cast("long").alias("n_ssns"),
+            "clean_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117 — URL extraction + domain frequency (X3 extension; the provenance /
+# link-graph pass every web-corpus pipeline runs).  URLs are injected
+# deterministically per doc_id, extracted with one regexp_extract_all,
+# and aggregated per domain.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q117_url_domains",
+    oracle="""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN ' and http://www.host' || CAST(doc_id % 13 AS VARCHAR)
+                                 || '.example.net/x'
+                            ELSE '' END AS text
+        FROM documents
+    ),
+    urls AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+        FROM enriched
+    )
+    SELECT domain,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM urls
+    GROUP BY domain
+    ORDER BY domain
+    """,
+    survey="X3,2.5-agg",
+)
+def q117_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-domain profile: extract every URL host with one JVM-side
+    ``regexp_extract_all`` over the injected corpus, explode, and count
+    mentions + distinct documents per domain.
+
+    Scale posture: extraction fuses into the scan stage; the only
+    shuffle is the domain groupBy (partial aggregation map-side); the
+    domain dimension is tiny so the result is never driver-bound."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (did % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            did.cast("string"),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit(" and http://www.host"),
+                    (did % 13).cast("string"),
+                    F.lit(".example.net/x"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    urls = injected.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(r"https?://([A-Za-z0-9.-]+)"), 1)
+        ).alias("domain"),
+    )
+    return (
+        urls.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("domain")
+    )

@@ -648,3 +648,65 @@ def test_kmeans_trainer_properties(spark):
     inertia0 = sum(min(d2(v, c) for c in cents0) for v in rows.values())
     inertiaN = sum(min(d2(v, c) for c in cents1) for v in rows.values())
     assert inertiaN <= inertia0
+
+
+def test_wav_decode_features_and_degrade():
+    """Real RIFF/PCM parse: sample-derived features, stdlib-`wave`
+    cross-check, chunk-order tolerance, corrupt-payload degrade."""
+    import io
+    import struct
+    import wave
+
+    from gmail_etl_spark.operators.audio import decode_audio, encode_wav
+
+    # 16-bit square wave: RMS == amplitude, one crossing per step.
+    amp, n = 700, 101
+    samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+    payload = encode_wav(8000, samples)
+    # the writer emits something the stdlib wave module accepts
+    with wave.open(io.BytesIO(payload)) as w:
+        assert (w.getframerate(), w.getnchannels(), w.getnframes()) == (8000, 1, n)
+    feat = decode_audio(payload)
+    assert feat["format"] == "wav"
+    assert feat["sample_rate"] == 8000
+    assert feat["n_samples"] == n
+    assert feat["duration_s"] == n / 8000
+    assert feat["rms"] == float(amp)
+    assert feat["peak"] == amp
+    assert feat["zero_crossings"] == n - 1
+
+    # 8-bit unsigned path
+    feat8 = decode_audio(encode_wav(4000, [10, -10, 10, -10], bits=8))
+    assert feat8["format"] == "wav" and feat8["rms"] == 10.0
+    assert feat8["zero_crossings"] == 3
+
+    # unknown chunks before fmt/data, odd-length word-aligned chunk
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    chunks = payload[12:]
+    reordered = b"RIFF" + struct.pack("<I", 4 + len(extra) + len(chunks))
+    reordered += b"WAVE" + extra + chunks
+    assert decode_audio(reordered)["rms"] == float(amp)
+
+    # corrupt / foreign payloads degrade, never raise
+    for bad in (b"", b"RIFF", b"RIFFxxxxWAVE", b"\x89PNG\r\n\x1a\n", payload[:30]):
+        assert decode_audio(bad)["format"] == "raw"
+    assert decode_audio(None)["format"] is None
+
+
+def test_attach_audio_features_plumbing(spark):
+    """mapInPandas stage: schema stable, mixed good/corrupt batch."""
+    from pyspark.sql import Row
+
+    from gmail_etl_spark.operators.audio import attach_audio_features, encode_wav
+
+    rows = [
+        Row(media_id=1, payload=bytes(encode_wav(16000, [5, -5] * 50))),
+        Row(media_id=2, payload=b"not audio"),
+        Row(media_id=3, payload=None),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["media_id"]: r.asDict() for r in attach_audio_features(df).collect()}
+    assert out[1]["format"] == "wav" and out[1]["rms"] == 5.0
+    assert out[1]["duration_s"] == 100 / 16000
+    assert out[2]["format"] == "raw" and out[2]["rms"] is None
+    assert out[3]["format"] is None and out[3]["byte_len"] is None
