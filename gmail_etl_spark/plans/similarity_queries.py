@@ -273,3 +273,108 @@ def q110_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — int8 scalar quantization of the embedding column (X1 extension:
+# the compression step ANN indexes apply before sharding).  Per-vector
+# min/max affine quantization to 0..255 codes; the oracle re-derives the
+# codes in SQL and matches on the *integer* code checksum (exact — no
+# float accumulation) plus the order-independent max reconstruction
+# error.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q119_int8_quantize",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    ranged AS (
+        SELECT vec_id, emb,
+               list_aggregate(emb, 'min') AS mn,
+               list_aggregate(emb, 'max') AS mx,
+               (list_aggregate(emb, 'max') - list_aggregate(emb, 'min')) / 255.0
+                   AS scale
+        FROM base
+    ),
+    coded AS (
+        SELECT vec_id, emb, mn, mx, scale,
+               CASE WHEN scale > 0
+                    THEN list_transform(emb,
+                         x -> CAST(floor((x - mn) / scale + 0.5) AS BIGINT))
+                    ELSE list_transform(emb, x -> CAST(0 AS BIGINT)) END AS codes
+        FROM ranged
+    )
+    SELECT vec_id,
+           len(emb) AS n_dims,
+           round(mn, 6) AS vmin,
+           round(mx, 6) AS vmax,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           round(list_max(
+               list_transform(range(1, len(emb) + 1),
+                   i -> abs(emb[i] - (mn + codes[i] * scale)))), 6) AS max_abs_err
+    FROM coded
+    ORDER BY vec_id
+    """,
+    survey="X1",
+)
+def q119_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (min/max affine) int8 quantization of embeddings, entirely
+    in JVM array expressions: per-vector range, 0..255 code assignment
+    via floor(x+0.5), and a reconstruction-error audit.  ``code_sum`` is
+    an exact integer checksum over the codes, so a green row proves the
+    quantized representation bit-for-bit; ``max_abs_err`` (an
+    order-independent max, never a float sum) bounds the information
+    loss — it must be <= scale/2 by construction.
+
+    Scale posture: map-only over the vector scan (no shuffle before the
+    presentation sort); at 100 TB this is the narrow pass that shrinks
+    an ANN index 4x before the shard shuffle."""
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", emb_d.alias("emb"))
+        .select(
+            "vec_id",
+            "emb",
+            F.array_min("emb").alias("mn"),
+            F.array_max("emb").alias("mx"),
+            ((F.array_max("emb") - F.array_min("emb")) / 255.0).alias("scale"),
+        )
+        .select(
+            "vec_id",
+            "emb",
+            "mn",
+            "mx",
+            "scale",
+            F.when(
+                F.col("scale") > 0,
+                F.transform(
+                    F.col("emb"),
+                    lambda x: F.floor((x - F.col("mn")) / F.col("scale") + 0.5).cast(
+                        "long"
+                    ),
+                ),
+            )
+            .otherwise(F.transform(F.col("emb"), lambda x: F.lit(0).cast("long")))
+            .alias("codes"),
+        )
+    )
+    recon_err = F.zip_with(
+        F.col("emb"),
+        F.col("codes"),
+        lambda x, c: F.abs(x - (F.col("mn") + c * F.col("scale"))),
+    )
+    return base.select(
+        "vec_id",
+        F.size("emb").cast("long").alias("n_dims"),
+        F.round("mn", 6).alias("vmin"),
+        F.round("mx", 6).alias("vmax"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("code_sum"),
+        F.round(F.array_max(recon_err), 6).alias("max_abs_err"),
+    ).orderBy("vec_id")

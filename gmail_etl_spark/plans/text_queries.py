@@ -1143,3 +1143,93 @@ def q117_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — boilerplate line removal (X3/D1 extension; CCNet-style line-level
+# dedup).  Documents get newline-separated footer lines injected per
+# doc_id; any line whose text appears in >= 3 distinct documents is
+# boilerplate and is stripped, preserving intra-document line order.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q118_boilerplate_lines",
+    oracle="""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || chr(10) || 'subscribe to the source '
+                    || CAST(doc_id % 4 AS VARCHAR) || ' newsletter'
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN chr(10) || 'limited time promo offer'
+                            ELSE '' END
+                    || chr(10) || 'batch footer ' || CAST(doc_id % 250 AS VARCHAR)
+                    AS text
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, i AS pos, ls[i] AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM enriched),
+             UNNEST(range(1, len(ls) + 1)) AS t(i)
+    ),
+    freq AS (
+        SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+    )
+    SELECT l.doc_id,
+           COUNT(*) AS n_lines,
+           SUM(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END) AS n_removed,
+           COALESCE(
+               string_agg(CASE WHEN f.nd < 3 THEN l.line END, chr(10) ORDER BY l.pos),
+               '') AS clean_text
+    FROM lines l JOIN freq f USING (line)
+    GROUP BY l.doc_id
+    ORDER BY l.doc_id
+    """,
+    survey="X3,D1,2.5-agg",
+)
+def q118_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal: newline-split every document,
+    count distinct documents per exact line text across the corpus, and
+    strip lines appearing in >= 3 documents (injected footers), keeping
+    the survivors in original order.
+
+    Scale posture: two shuffles — the line-frequency groupBy (map-side
+    partial agg; the join key is the line text, which at 100 TB should
+    be a 64-bit hash of the line, kept as the raw string here so the
+    oracle can join on it verbatim) and the per-doc reassembly groupBy.
+    The frequency table is heavy-hitter skewed; AQE skew-join handles
+    the hot boilerplate lines."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to the source "),
+            (did % 4).cast("string"),
+            F.lit(" newsletter"),
+            F.when(did % 2 == 0, F.lit("\nlimited time promo offer")).otherwise(""),
+            F.lit("\nbatch footer "),
+            (did % 250).cast("string"),
+        ).alias("text"),
+    )
+    lines = injected.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    freq = lines.groupBy("line").agg(F.countDistinct("doc_id").alias("nd"))
+    tagged = lines.join(freq, "line")
+    keep_struct = F.when(F.col("nd") < 3, F.struct("pos", "line"))
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("nd") >= 3, 1).otherwise(0)).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(keep_struct)), lambda s: s["line"]
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
