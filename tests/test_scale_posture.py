@@ -227,3 +227,30 @@ def test_new_text_query_plan_shapes(spark):
     plan = _plan(CATALOG["q112_tfidf_cosine_pairs"].builder(spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_round2_extension_plan_shapes(spark):
+    """Plan pins for the q115-q119 extensions.
+
+    q115/q116/q119 are narrow passes: decode / regex-scrub /
+    quantization must all fuse into the scan stage with no Exchange
+    except the final presentation sort.  q117 may add exactly the
+    domain groupBy exchanges (partial agg below, final above).  q118's
+    only joins are the line-frequency re-entry — never sort-merge."""
+    for name in ("q115_audio_features", "q116_pii_redact", "q119_int8_quantize"):
+        plan = _plan(CATALOG[name].builder(spark, SF_DIR))
+        body = plan.split("Sort", 1)[0]
+        assert body.count("Exchange") == 0, f"{name}: unexpected shuffle\n{plan}"
+        assert "Join" not in plan, f"{name}: unexpected join\n{plan}"
+
+    plan = _plan(CATALOG["q116_pii_redact"].builder(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "PII scrub must stay JVM-side (regexp kernels, no UDF)"
+    )
+
+    plan = _plan(CATALOG["q117_url_domains"].builder(spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+
+    plan = _plan(CATALOG["q118_boilerplate_lines"].builder(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, f"line-frequency join fell back:\n{plan}"
