@@ -1706,3 +1706,299 @@ def q109_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — TPC-H Q7 shape: bilateral volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q120_volume_shipping",
+    oracle="""
+    SELECT n2.n_name AS supp_nation,
+           n1.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0
+               AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE ((n2.n_name = 'NATION_3' AND n1.n_name = 'NATION_7')
+        OR (n2.n_name = 'NATION_7' AND n1.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    survey="2.5-agg,P3",
+)
+def q120_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flowing between two specific nations per
+    shipment year, through the full 6-way star (lineitem → orders →
+    customer → nation, lineitem → supplier → nation).
+
+    Scale posture: both nation joins broadcast (25 rows); the nation
+    filter reaches the customer/supplier sides *before* the fact joins,
+    so the big lineitem⋈orders shuffle carries only the two nations'
+    traffic; revenue sums integer cents (exact, order-independent)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"),
+                             F.col("n_name").alias("cust_nation"))),
+        "c_nationkey",
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"),
+                             F.col("n_name").alias("supp_nation"))),
+        "s_nationkey",
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — TPC-H Q8 shape: national market share within a region's market
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q121_market_share",
+    oracle="""
+    WITH all_sales AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume_c,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume_c ELSE 0 END)
+                 / CAST(SUM(volume_c) AS DOUBLE), 6) AS mkt_share
+    FROM all_sales
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    survey="2.5-agg,P3",
+)
+def q121_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5's share of PROMO-part revenue sold into
+    EUROPE per order year — an 8-way join with a conditional-share
+    aggregate.
+
+    Scale posture: region/nation/part-filter dims broadcast; the share
+    divides two exact integer-cents sums, so both engines derive the
+    identical double before the 6-dp presentation round."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_nations = n.join(
+        F.broadcast(r.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("c_nationkey"))
+    c = load_table(spark, sf_dir, "customer").join(F.broadcast(eur_nations), "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"),
+                             F.col("n_name").alias("supp_nation"))),
+        "s_nationkey",
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    vol = (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("volume_c")
+    sales = (
+        l.join(F.broadcast(p.select("p_partkey")), l["l_partkey"] == F.col("p_partkey"))
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                vol, "supp_nation")
+    )
+    target = F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume_c")).otherwise(0))
+    return (
+        sales.groupBy("o_year")
+        .agg(F.round(target / F.sum("volume_c").cast("double"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 — TPC-H Q9 shape: per-nation supplier profit by year
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q122_supplier_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           (SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            - SUM(CAST(round(p.p_retailprice * 100) AS BIGINT) * 100
+                  * CAST(round(l.l_quantity) AS BIGINT))) / 10000.0 AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    survey="2.5-agg,P3",
+)
+def q122_supplier_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape, adapted to the trimmed schema: per supplier
+    nation and order year, discounted revenue minus acquisition cost for
+    widget parts.  The reference schema has no partsupp, so unit cost is
+    ``p_retailprice`` (same join topology, same agg shape as Q9's
+    ps_supplycost term).
+
+    Scale posture: part filter broadcasts into the lineitem scan;
+    supplier→nation broadcasts; both profit terms are exact integer-cent
+    sums (quantity is integral, so round() is exact) — one common
+    shuffle on l_orderkey for the orders join dominates, as in Q9."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    sn = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"),
+                             F.col("n_name").alias("nation"))),
+        "s_nationkey",
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    cost = _cents("p_retailprice") * 100 * F.round("l_quantity").cast("long")
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+               l["l_partkey"] == F.col("p_partkey"))
+        .join(sn.select("s_suppkey", "nation"), l["l_suppkey"] == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              l["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(((F.sum(rev) - F.sum(cost)) / F.lit(10000.0)).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q123 — TPC-H Q16 shape: distinct supplier counts per part segment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q123_part_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 7)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    survey="2.5-agg,P3",
+)
+def q123_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp replaced by observed lineitem
+    suppliers): how many distinct suppliers ship each surviving
+    (brand, type, size) segment, excluding one brand and the PROMO type
+    family.
+
+    Scale posture: all three predicates push to the part scan, the
+    filtered part dim broadcasts into lineitem, and the distinct-count
+    is a two-phase partial-distinct aggregate — no row-level distinct
+    shuffle of the fact table."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+               l["l_partkey"] == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q124 — TPC-H Q13 shape: customer order-count distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q124_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    survey="2.5-agg,J1",
+)
+def q124_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of non-urgent order counts per
+    customer, zero-order customers included — a left outer join with a
+    join-side residual predicate, then a two-level aggregate.
+
+    Scale posture: the priority filter is applied on the orders side
+    *before* the outer join (never after, which would turn filtered
+    matches into fake NULL rows); the first aggregate shuffles custkey
+    only, the second shuffles the tiny count histogram."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
