@@ -1233,3 +1233,67 @@ def q118_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — model-based quality score (X3 extension; the fastText-classifier
+# shape from CCNet/LLaMA data pipelines, with fixed interpretable
+# weights so the score is exactly recomputable in SQL).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q125_quality_classifier",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' ')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+               len(list_filter(string_split(text, ' '),
+                               t -> t = 'a' OR t = 'the'))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           n_tokens,
+           round(1.0 / (1.0 + exp(-(-1.0 + 0.8 * ln(CAST(n_tokens AS DOUBLE))
+                                    - 2.5 * stop_ratio + 1.5 * uniq_ratio))), 6)
+               AS quality,
+           (1.0 / (1.0 + exp(-(-1.0 + 0.8 * ln(CAST(n_tokens AS DOUBLE))
+                               - 2.5 * stop_ratio + 1.5 * uniq_ratio))) >= 0.5)
+               AS keep
+    FROM feats
+    ORDER BY doc_id
+    """,
+    survey="X3",
+)
+def q125_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over interpretable text features
+    (log length, stopword ratio, type-token ratio) with fixed literal
+    weights — the shape of the fastText/logistic quality filters in
+    public LLM-corpus pipelines, reduced to column expressions so the
+    sigmoid is bit-recomputable by the oracle.
+
+    Scale posture: pure narrow pass fused into the scan (features,
+    dot product, and sigmoid are one codegen stage; a learned model
+    would broadcast its weight vector the same way)."""
+    toks = F.split(F.col("text"), " ")
+    nt = F.size(toks)
+    ntd = nt.cast("double")
+    uniq_ratio = F.size(F.array_distinct(toks)) / ntd
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: (t == "a") | (t == "the"))) / ntd
+    )
+    z = F.lit(-1.0) + 0.8 * F.log(ntd) - 2.5 * stop_ratio + 1.5 * uniq_ratio
+    score = 1.0 / (1.0 + F.exp(-z))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            nt.cast("long").alias("n_tokens"),
+            F.round(score, 6).alias("quality"),
+            (score >= 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -185,3 +185,57 @@ def compact_parquet(spark: SparkSession, path: str, target_file_bytes: int = 134
     df = spark.read.parquet(path)
     df.localCheckpoint(eager=True).repartition(n_files).write.mode("overwrite").parquet(path)
     return n_files
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    order_col: str | None = None,
+) -> int:
+    """Training-corpus export: JSON-lines output in size-targeted shards
+    (the delivery format LLM data pipelines feed to trainers).
+
+    ``rows_per_shard`` bounds every output file via Spark's
+    ``maxRecordsPerFile`` — enforcement is per-writer-task, no extra
+    shuffle.  With ``order_col`` the export first range-partitions on
+    that column, making shard *contents* deterministic and globally
+    ordered across shards (reproducible dataset releases); without it,
+    existing partitioning is kept (cheapest path).  Returns the number
+    of shard files written.
+
+    Scale posture: range partitioning samples the key distribution, so
+    shards stay balanced under skew; JSON encoding is JVM-side
+    (``to_json`` codegen), never a Python loop.
+    """
+    out = df
+    if order_col is not None:
+        n = df.count()
+        shards = max(1, -(-n // rows_per_shard))
+        out = df.repartitionByRange(shards, F.col(order_col))
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .json(path)
+    )
+    spark = df.sparkSession
+    files = [
+        f
+        for f in _list_files(spark, path)
+        if f.rsplit("/", 1)[-1].startswith("part-")
+    ]
+    return len(files)
+
+
+def _list_files(spark: SparkSession, path: str) -> list[str]:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return []
+    return [
+        str(st.getPath())
+        for st in fs.listStatus(p)
+        if st.isFile()
+    ]

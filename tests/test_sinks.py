@@ -212,3 +212,44 @@ def test_jdbc_ledger_roundtrip_derby(spark, tmp_path):
         fresh.selectExpr("id", "CAST('2023-01-03' AS DATE) AS date"), url
     )
     assert unprocessed_against_jdbc_ledger(incoming, url).count() == 0
+
+
+def test_jsonl_shards_bounded_and_ordered(spark, tmp_path):
+    """Sharded JSONL export: every shard <= rows_per_shard, all rows
+    survive a roundtrip, stdlib-parsable lines, and with order_col the
+    shards are globally range-ordered."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from gmail_etl_spark.sources.sinks import write_jsonl_shards
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id").cast("string")).alias("text"),
+    )
+    out = str(tmp_path / "corpus")
+    n_files = write_jsonl_shards(df, out, rows_per_shard=128, order_col="doc_id")
+    assert n_files >= 8  # 1000 rows / 128 cap
+
+    shard_rows = []
+    files = sorted(p for p in (tmp_path / "corpus").iterdir() if p.name.startswith("part-"))
+    for p in files:
+        lines = p.read_text().splitlines()
+        assert len(lines) <= 128
+        rows = [json.loads(ln) for ln in lines]   # stdlib-parsable
+        assert all(set(r) == {"doc_id", "text"} for r in rows)
+        shard_rows.append([r["doc_id"] for r in rows])
+
+    flat = [i for shard in shard_rows for i in shard]
+    assert sorted(flat) == list(range(1000))      # lossless
+    # range partitioning: shard id ranges must not interleave
+    bounds = sorted((min(s), max(s)) for s in shard_rows if s)
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 < lo2
+
+    # default path: no repartition, still bounded and lossless
+    out2 = str(tmp_path / "corpus2")
+    write_jsonl_shards(df, out2, rows_per_shard=100)
+    back = spark.read.json(out2)
+    assert back.count() == 1000
