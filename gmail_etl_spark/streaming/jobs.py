@@ -346,3 +346,37 @@ def stream_stream_attribution(
         "trigger_ts",
         "outcome_ts",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming corpus scrub — the X3 PII pass as an incremental job
+# ---------------------------------------------------------------------------
+
+
+def stream_scrub_documents(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema_ddl: str = "doc_id bigint, text string",
+) -> None:
+    """Incremental PII scrub (availableNow): new document files are
+    redacted with the q116 regexp kernels and appended as parquet,
+    exactly-once via the checkpoint.  The scrub is stateless (a narrow
+    map), so streaming adds no state store — the natural shape for a
+    continuously-arriving 100 TB corpus where re-scrubbing history every
+    run is the anti-pattern.
+    """
+    from gmail_etl_spark.functions.pii import with_pii_report
+
+    stream = spark.readStream.schema(schema_ddl).parquet(docs_dir)
+    scrubbed = with_pii_report(stream).drop("text")
+    (
+        scrubbed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

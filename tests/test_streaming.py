@@ -305,3 +305,46 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     assert expected, "fixture must contain click->purchase pairs"
     assert got == expected
+
+
+def test_stream_scrub_documents_incremental(spark, tmp_path):
+    """Streaming PII scrub: batch parity on the first pass, exactly-once
+    incrementality on the second (only new files scrubbed, history
+    untouched)."""
+    from pyspark.sql import functions as F
+
+    from gmail_etl_spark.functions.pii import with_pii_report
+    from gmail_etl_spark.streaming.jobs import stream_scrub_documents
+
+    docs = str(tmp_path / "docs")
+    out = str(tmp_path / "clean")
+    ck = str(tmp_path / "ck")
+
+    batch1 = spark.createDataFrame(
+        [(1, "reach me at a@b.com or 415-555-1234"), (2, "no pii here")],
+        "doc_id bigint, text string",
+    )
+    batch1.write.mode("append").parquet(docs)
+    stream_scrub_documents(spark, docs, out, ck)
+
+    got = {r["doc_id"]: r.asDict() for r in spark.read.parquet(out).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert "[EMAIL]" in got[1]["clean_text"] and "[PHONE]" in got[1]["clean_text"]
+    assert "a@b.com" not in got[1]["clean_text"]
+    assert got[2]["n_emails"] == 0
+
+    # batch parity: the streaming output equals the batch operator's
+    batch_out = {
+        r["doc_id"]: r.asDict()
+        for r in with_pii_report(batch1).drop("text").collect()
+    }
+    assert got == batch_out
+
+    # second trigger: only the new file is processed (exactly-once)
+    spark.createDataFrame(
+        [(3, "ssn 123-45-6789")], "doc_id bigint, text string"
+    ).write.mode("append").parquet(docs)
+    stream_scrub_documents(spark, docs, out, ck)
+    got2 = {r["doc_id"]: r.asDict() for r in spark.read.parquet(out).collect()}
+    assert set(got2) == {1, 2, 3}           # no duplicates from re-scrubbing
+    assert got2[3]["n_ssns"] == 1 and "[SSN]" in got2[3]["clean_text"]
