@@ -38,21 +38,39 @@ TABLES = (
 )
 
 
-#: Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as
-#: epoch-nanosecond longs under ``legacy.parquet.nanosAsLong`` — the
-#: loader truncates to microseconds (identically to DuckDB's µs cast).
+#: Columns stored as parquet TIMESTAMP(NANOS).  How Spark surfaces them
+#: depends on version: older releases expose epoch-nanosecond longs
+#: (under ``legacy.parquet.nanosAsLong``), current releases truncate to
+#: microseconds and expose TIMESTAMP_NTZ.  ``normalize_nano_ts`` keys on
+#: the dtype actually seen so both forms land on the same session-UTC
+#: TIMESTAMP, matching DuckDB's µs cast of the same column.
 _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def normalize_nano_ts(df: DataFrame, col: str) -> DataFrame:
+    """Normalize a parquet TIMESTAMP(NANOS) column to TIMESTAMP (LTZ).
+
+    Long epoch-nanos → floor to µs (identical to the NTZ read's own
+    truncation); TIMESTAMP_NTZ → reinterpret wall time in the session
+    zone (UTC for every catalog query), i.e. the same instants."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if col not in df.columns:
+        return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst prunes columns + pushes filters."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLUMNS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        df = normalize_nano_ts(df, col)
     return df
 
 

@@ -50,8 +50,10 @@ ENGINE_CONF: dict[str, str] = {
     # spot for 1000-executor scheduling without tiny-task overhead.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.filterPushdown": "true",
-    # Parquet TIMESTAMP(NANOS) columns (events.ts) surface as epoch-nano
-    # longs; load_table converts them to microsecond timestamps.
+    # Parquet TIMESTAMP(NANOS) columns (events.ts): older Spark surfaces
+    # epoch-nano longs under this legacy flag (ignored by current Spark,
+    # which reads µs-truncated TIMESTAMP_NTZ instead); load_table
+    # normalizes either form via normalize_nano_ts.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
 }

@@ -45,17 +45,19 @@ def read_raw_stream(
     return reader.json(raw_dir).filter(F.col("id").isNotNull())
 
 
-#: events stream schema: ts arrives as epoch-nanos (parquet NANOS under
-#: nanosAsLong) and is converted exactly like the batch loader.
+#: events stream schema: the parquet column is TIMESTAMP(NANOS); current
+#: Spark truncates it to µs and surfaces TIMESTAMP_NTZ, which the reader
+#: re-bases to a session-UTC TIMESTAMP exactly like the batch loader
+#: (`plans.catalog.normalize_nano_ts`).
 _EVENTS_DDL = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     df = spark.readStream.schema(_EVENTS_DDL).parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------

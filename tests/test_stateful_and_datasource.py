@@ -22,12 +22,12 @@ def test_running_user_totals_across_batches(spark, tmp_path):
     base.iloc[100:].to_parquet(src / "b.parquet")
 
     stream = spark.readStream.schema(
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
         "value double, props string"
     ).option("maxFilesPerTrigger", 1).parquet(str(src))
     from pyspark.sql import functions as F
 
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     q = (
         running_user_totals(stream)
         .writeStream.format("memory")
@@ -75,10 +75,10 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
     from pyspark.sql import functions as F
 
     stream = spark.readStream.schema(
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
         "value double, props string"
     ).option("maxFilesPerTrigger", 1).parquet(str(src))
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     q = (
         running_user_totals_tws(stream)
         .writeStream.format("memory")

@@ -174,10 +174,10 @@ def test_stream_to_partitioned_lake_with_compaction(spark, tmp_path):
 
     lake = str(tmp_path / "lake")
     stream = spark.readStream.schema(
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
         "value double, props string"
     ).option("maxFilesPerTrigger", 1).parquet(str(src))
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
     def sink(batch_df, batch_id):
         batch_df.withColumn("event_date", F.to_date("ts")).write.partitionBy(
@@ -294,10 +294,10 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
 
     batch_events = spark.read.schema(
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
         "value double, props string"
     ).parquet(str(events_dir)).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        "ts", F.col("ts").cast("timestamp")
     )
     expected = {
         (r["user_id"], r["trigger_id"], r["outcome_id"])
