@@ -2002,3 +2002,360 @@ def q124_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 — TPC-H Q12 shape: priority mix per line status (shipmode proxy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q126_priority_linestatus",
+    oracle="""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    survey="2.5-agg,P3",
+)
+def q126_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_linestatus standing in for the trimmed
+    schema's missing l_shipmode): per line status, how many lines belong
+    to critical- vs normal-priority orders within a one-year shipping
+    window.
+
+    Scale posture: the shipdate range pushes to the lineitem scan
+    (partition-prunable on a date-partitioned lake), the conditional
+    counts fold into one aggregate pass, and the final group is 2 rows —
+    the orders join is the only shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q127 — TPC-H Q19 shape: disjunctive brand/size/quantity revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q127_disjunctive_revenue",
+    oracle="""
+    SELECT SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+           / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    survey="2.5-agg,P3",
+)
+def q127_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR-of-ANDs predicate spanning
+    both join sides (brand+size on part, quantity on lineitem).
+
+    Scale posture: the classic Q19 rewrite — the disjunction's
+    single-table envelopes (brand ∈ {12,23,24} ∧ size ≤ 15 on part,
+    1 ≤ qty ≤ 30 on lineitem) are applied as pushed pre-filters that
+    Catalyst sends to each scan, the shrunken part dim broadcasts, and
+    only the residual cross-table disjunction runs on join output.
+    Revenue sums integer cents (exact, order-independent)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#24")
+        & F.col("p_size").between(1, 15)
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+               l["l_partkey"] == F.col("p_partkey"))
+        .filter(arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20)
+                | arm("Brand#24", 15, 20, 30))
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q128 — TPC-H Q20 shape: suppliers dominating a part family's volume
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q128_dominant_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               SUM(CAST(round(l.l_quantity) AS BIGINT)) AS qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'small%'
+        GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    tot AS (
+        SELECT l_partkey, SUM(qty) AS part_qty
+        FROM shipped GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS dominant_parts
+    FROM shipped sh
+    JOIN tot t ON sh.l_partkey = t.l_partkey
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    WHERE sh.qty * 5 > t.part_qty
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY dominant_parts DESC, s.s_suppkey
+    """,
+    survey="2.5-agg,J1",
+)
+def q128_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty replaced by observed shipment share):
+    for the 'small%' part family, count per supplier how many parts the
+    supplier dominates — ships strictly more than 20% of the part's
+    total quantity.
+
+    Scale posture: the name filter pushes to the part scan and the
+    filtered dim broadcasts; the (part, supplier) rollup and the
+    per-part total reuse ONE shuffle — the total is a window over the
+    already-partitioned rollup, not a second aggregate + re-join; the
+    20% test is integer math (qty*5 > part_qty, quantities integral)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    l = load_table(spark, sf_dir, "lineitem")
+    shipped = (
+        l.join(F.broadcast(p.select("p_partkey")), l["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("qty"))
+    )
+    dominant = shipped.withColumn(
+        "part_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("qty") * 5 > F.col("part_qty"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        dominant.join(F.broadcast(s.select("s_suppkey", "s_name")),
+                      dominant["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("dominant_parts"))
+        .orderBy(F.col("dominant_parts").desc(), "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q129 — TPC-H Q21 shape: the sole late supplier on multi-supplier orders
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q129_waiting_suppliers",
+    oracle="""
+    WITH per_supp AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS supp_late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    per_order AS (
+        SELECT l_orderkey, COUNT(*) AS n_supp, SUM(supp_late) AS n_late
+        FROM per_supp GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM per_supp ps
+    JOIN per_order po ON ps.l_orderkey = po.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.supp_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+    survey="2.5-agg,J1,J2",
+)
+def q129_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (late = shipped >60 days after order date, the
+    trimmed schema's proxy for receipt-after-commit): suppliers ranked
+    by how many finalized multi-supplier orders they alone held up.
+
+    Q21's EXISTS (another supplier) / NOT EXISTS (another late supplier)
+    pair is expressed as per-order supplier counts: an order qualifies
+    when n_supp >= 2 and exactly one supplier is late — identical
+    semantics without two extra self-joins of the fact table.
+
+    Scale posture: one orderkey+suppkey rollup shuffle, then per-order
+    counts as a window over the SAME orderkey partitioning (no second
+    shuffle, no self-join); the supplier dim broadcasts at the end."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    per_supp = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("supp_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    sole_late = (
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("supp_late").over(w))
+        .filter((F.col("supp_late") == 1) & (F.col("n_supp") >= 2)
+                & (F.col("n_late") == 1))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(F.broadcast(s.select("s_suppkey", "s_name")),
+                       sole_late["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q130 — TPC-H Q2 shape: minimum-cost regional supplier per part
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q130_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+        FROM lineitem l
+        GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    eu AS (
+        SELECT c.l_partkey, c.unit_cost, s.s_name, s.s_acctbal, n.n_name
+        FROM cost c
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, p.p_name, e.s_name, e.n_name,
+           round(e.unit_cost, 2) AS unit_cost, e.s_acctbal
+    FROM part p
+    JOIN eu e ON e.l_partkey = p.p_partkey
+    WHERE p.p_size BETWEEN 10 AND 20
+      AND e.unit_cost = (SELECT MIN(e2.unit_cost) FROM eu e2
+                         WHERE e2.l_partkey = p.p_partkey)
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    survey="2.5-agg,J1,P4",
+)
+def q130_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp supply cost replaced by the minimum
+    observed unit price in lineitem): for each mid-size part, the
+    EUROPE supplier(s) achieving the minimum unit cost, ranked by
+    account balance.
+
+    The correlated MIN subquery decorrelates to a window minimum over
+    the SAME l_partkey partitioning the rollup just shuffled on — one
+    fact shuffle total; supplier/nation/region and the filtered part
+    dim all broadcast.  Unit cost is an IEEE double division — both
+    engines divide the identical parquet doubles, so the min-equality
+    selects identical rows; output rounds to 2 decimals only for
+    display stability."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cost = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+                          .select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu = cost.join(F.broadcast(s), cost["l_suppkey"] == s["s_suppkey"])
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size").between(10, 20))
+    best = eu.withColumn(
+        "min_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("min_cost"))
+    return (
+        best.join(F.broadcast(p.select("p_partkey", "p_name")),
+                  best["l_partkey"] == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name",
+                F.round("unit_cost", 2).alias("unit_cost"), "s_acctbal")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131 — TPC-H Q11 shape: parts above a fraction of total inventory value
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q131_important_parts",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_c
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS part_value
+    FROM v
+    WHERE value_c * 10000 > (SELECT SUM(value_c) FROM v) * 5
+    ORDER BY part_value DESC, l_partkey
+    """,
+    survey="2.5-agg,P3",
+)
+def q131_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value exceeds 0.05% of the
+    total shipped value — a HAVING over a scalar aggregate of the same
+    rollup.
+
+    Scale posture: one l_partkey rollup shuffle; the grand total is the
+    1-row re-aggregate of that rollup, folded back in as a broadcast
+    cross join (one lazy plan, no eager driver collect); the 0.05% test
+    is exact integer math (value_c*10000 > total*5) so the threshold
+    row set is identical on both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    v = (
+        l.groupBy("l_partkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("value_c"))
+    )
+    total = v.agg(F.sum("value_c").alias("total_c"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("value_c") * 10000 > F.col("total_c") * 5)
+        .select("l_partkey",
+                (F.col("value_c").cast("double") / 100.0).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
