@@ -355,3 +355,157 @@ def semantic_dedup(
         .select("a_id", "b_id")
     )
     return near_dedup(corpus, id_col, pairs)
+
+
+def train_pq(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    sample_n: int = 4096,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and run Lloyd's k-means (``ksub`` centroids)
+    independently in each, numpy-side on a bounded deterministic sample.
+
+    Training on a fixed-size sample is the standard IVF/PQ recipe
+    (codebooks need thousands of vectors, not the corpus): the sample is
+    the ``sample_n`` lowest-id vectors, initialization is the first
+    ``ksub`` sample subvectors, and argmin ties break to the lowest
+    centroid index — fully deterministic, no RNG state.  The returned
+    codebooks are plain literals (m × ksub × dim/m) that compile into
+    encode/search plans, so nothing here ever joins at corpus scale.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(sample_n)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        k = min(ksub, n)
+        cents = sub[:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # first occurrence = lowest index
+            for ci in range(k):
+                mask = assign == ci
+                if mask.any():
+                    cents[ci] = sub[mask].mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``m`` one-byte codes: per subspace, the
+    argmin-distance codebook entry (ties → lowest code, the array_min
+    struct idiom).  Map-only whole-stage codegen — the codebooks are
+    plan literals, rows never shuffle, and the 64-dim double vector
+    compresses to an m-int code array (the 100 TB posture: the encoded
+    corpus is what a search fleet keeps hot; 32× smaller here)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    code_cols = []
+    for s in range(m):
+        sub = F.slice(F.col("v"), s * dsub + 1, dsub)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(x) for x in cent]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    ).alias("dist"),
+                    F.lit(ci).alias("code"),
+                )
+                for ci, cent in enumerate(codebooks[s])
+            ]
+        )
+        code_cols.append(F.array_min(pairs)["code"])
+    return base.select("id", F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays un-quantized;
+    each query precomputes an m × ksub lookup table of exact
+    query-subvector→centroid squared distances, and a corpus vector's
+    approximate distance is the sum of its codes' table entries.
+
+    Scale shape: the query set is small by contract (same contract as
+    ``cosine_topk``) — LUTs are computed driver-side in numpy and
+    broadcast as a literal-schema DataFrame; scoring is zip_with +
+    element_at over the m-int code array (JVM-side, no Python in the
+    hot path); only the per-query candidate ranks shuffle.  Returns
+    (query_id, neighbor_id, adist, rank)."""
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("query_id")
+        .collect()
+    )
+    lut_rows = []
+    for r in q_rows:
+        v = np.asarray(r["v"], dtype=np.float64)
+        lut = []
+        for s in range(m):
+            sub = v[s * dsub : (s + 1) * dsub]
+            cents = np.asarray(codebooks[s], dtype=np.float64)
+            lut.append([float(x) for x in ((cents - sub[None, :]) ** 2).sum(axis=1)])
+        lut_rows.append((int(r["query_id"]), lut))
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(lut_rows, "query_id bigint, lut array<array<double>>")
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"), lambda c, row: F.element_at(row, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(qdf))
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(adist, 6).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

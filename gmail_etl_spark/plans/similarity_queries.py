@@ -378,3 +378,26 @@ def q119_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("code_sum"),
         F.round(F.array_max(recon_err), 6).alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q132 — product quantization: codebooks, encode, ADC top-k
+# ---------------------------------------------------------------------------
+
+
+@query("q132_pq_adc_topk", oracle=None, survey="X1")
+def q132_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate nearest neighbor (the classic IVFADC memory
+    path, Jégou et al. 2011): train m=8 × ksub=16 subspace codebooks on
+    a deterministic sample, encode the corpus to 8-code arrays, answer
+    5 queries by asymmetric-distance top-10.
+
+    Rows-only for the driver (k-means + per-subspace argmin has no sane
+    SQL form); `tests/test_operators.py` checks code bounds,
+    determinism, and recall@10 against exact L2 search."""
+    from gmail_etl_spark.operators.similarity import pq_topk, train_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq(emb, m=8, ksub=16, iters=3, sample_n=2048)
+    queries = emb.orderBy("vec_id").limit(5)
+    return pq_topk(queries, emb, books, k=10).orderBy("query_id", "rank")

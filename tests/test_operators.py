@@ -710,3 +710,53 @@ def test_attach_audio_features_plumbing(spark):
     assert out[1]["duration_s"] == 100 / 16000
     assert out[2]["format"] == "raw" and out[2]["rms"] is None
     assert out[3]["format"] is None and out[3]["byte_len"] is None
+
+
+# ---------------------------------------------------------------------------
+# product quantization (q132)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_bounded_and_deterministic(spark):
+    from gmail_etl_spark.operators.similarity import pq_encode, train_pq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = train_pq(emb, m=8, ksub=16, iters=3, sample_n=256)
+    books2 = train_pq(emb, m=8, ksub=16, iters=3, sample_n=256)
+    assert books == books2, "codebook training must be deterministic"
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes = pq_encode(emb, books).collect()
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+    assert all(len(r["codes"]) == 8 for r in codes)
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """ADC top-10 must recover most of the exact L2 top-10 — the
+    accuracy contract that makes the 32x-compressed search usable."""
+    import numpy as np
+
+    from gmail_etl_spark.operators.similarity import pq_topk, train_pq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = train_pq(emb, m=8, ksub=16, iters=3, sample_n=2048)
+    queries = emb.orderBy("vec_id").limit(10)
+    approx = pq_topk(queries, emb, books, k=10).collect()
+
+    rows = emb.select("vec_id", F.col("embedding").cast("array<double>")).collect()
+    ids = np.asarray([r[0] for r in rows])
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = []
+    for qid, approx_ids in got.items():
+        qv = X[ids == qid][0]
+        d2 = ((X - qv[None, :]) ** 2).sum(axis=1)
+        d2[ids == qid] = np.inf
+        exact10 = set(ids[np.argsort(d2, kind="stable")[:10]].tolist())
+        recalls.append(len(exact10 & approx_ids) / 10.0)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"ADC recall@10 too low: {mean_recall}"
