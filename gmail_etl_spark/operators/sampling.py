@@ -87,9 +87,10 @@ def contamination_report(
     return joined.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
-        (
+        F.round(
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
-            / F.count(F.lit(1)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
         ).alias("contamination"),
     )
 

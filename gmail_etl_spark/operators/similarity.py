@@ -372,11 +372,16 @@ def train_pq(
 
     Training on a fixed-size sample is the standard IVF/PQ recipe
     (codebooks need thousands of vectors, not the corpus): the sample is
-    the ``sample_n`` lowest-id vectors, initialization is the first
-    ``ksub`` sample subvectors, and argmin ties break to the lowest
-    centroid index — fully deterministic, no RNG state.  The returned
-    codebooks are plain literals (m × ksub × dim/m) that compile into
-    encode/search plans, so nothing here ever joins at corpus scale.
+    the ``sample_n`` lowest-id vectors; initialization is deterministic
+    greedy farthest-point seeding (first seed = sample subvector 0, each
+    further seed maximizes its min distance to the chosen set, ties →
+    lowest index) — the k-means++ hard-max variant, which spreads seeds
+    across the data instead of collapsing onto near-duplicate leading
+    rows; argmin ties break to the lowest centroid index; clusters that
+    empty out reseed on the point farthest from its assigned centroid.
+    Fully deterministic, no RNG state.  The returned codebooks are plain
+    literals (m × ksub × dim/m) that compile into encode/search plans,
+    so nothing here ever joins at corpus scale.
     """
     import numpy as np
 
@@ -395,7 +400,14 @@ def train_pq(
     for s in range(m):
         sub = X[:, s * dsub : (s + 1) * dsub]
         k = min(ksub, n)
-        cents = sub[:k].copy()
+        # Deterministic farthest-point seeding.
+        seed_idx = [0]
+        mind2 = ((sub - sub[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            nxt = int(mind2.argmax())  # argmax first occurrence = lowest index
+            seed_idx.append(nxt)
+            mind2 = np.minimum(mind2, ((sub - sub[nxt]) ** 2).sum(axis=1))
+        cents = sub[seed_idx].copy()
         for _ in range(iters):
             d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)  # first occurrence = lowest index
@@ -403,6 +415,9 @@ def train_pq(
                 mask = assign == ci
                 if mask.any():
                     cents[ci] = sub[mask].mean(axis=0)
+                else:
+                    # Reseed an empty cluster on the worst-served point.
+                    cents[ci] = sub[int(d2[np.arange(n), assign].argmax())]
         books.append([[float(x) for x in c] for c in cents])
     return books
 
@@ -455,19 +470,32 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    rerank: int = 5,
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k: the query stays un-quantized;
-    each query precomputes an m × ksub lookup table of exact
-    query-subvector→centroid squared distances, and a corpus vector's
-    approximate distance is the sum of its codes' table entries.
+    """Asymmetric-distance (ADC) top-k with exact re-ranking — the
+    classic two-stage PQ search (Jégou et al. 2011; FAISS
+    IndexPQ + refine): the un-quantized query precomputes an m × ksub
+    lookup table of exact query-subvector→centroid squared distances;
+    the ADC scan shortlists ``k * rerank`` candidates per query by
+    summed table entries; exact L2 on the shortlist picks the final
+    top-k.  Re-ranking is what buys accuracy at low code budgets — at
+    m=8/ksub=16 (0.5 bits/dim) raw ADC ordering is too coarse for
+    top-10 precision, while a 5× re-ranked shortlist recovers it.
 
     Scale shape: the query set is small by contract (same contract as
-    ``cosine_topk``) — LUTs are computed driver-side in numpy and
-    broadcast as a literal-schema DataFrame; scoring is zip_with +
-    element_at over the m-int code array (JVM-side, no Python in the
-    hot path); only the per-query candidate ranks shuffle.  Returns
-    (query_id, neighbor_id, adist, rank)."""
+    ``cosine_topk``).  The ADC scan is a ``mapInPandas`` kernel over the
+    encoded corpus — per Arrow batch one numpy gather-sum scores all
+    queries, and only per-batch shortlist rows leave the executor
+    (ordered by the final (rounded adist, id) total order, so partial
+    selection is lossless); the merge window sees
+    O(n_batches · k·rerank · n_queries) rows, independent of corpus
+    size.  The re-rank pass broadcasts the tiny candidate set against
+    the raw corpus (broadcast hash join, no corpus shuffle) and computes
+    exact distances JVM-side.  Returns (query_id, neighbor_id, adist,
+    dist, rank) — adist the ADC estimate, dist the exact squared L2
+    used for the final rank."""
     import numpy as np
+    import pandas as pd
 
     m = len(codebooks)
     dsub = len(codebooks[0][0])
@@ -480,32 +508,81 @@ def pq_topk(
         .orderBy("query_id")
         .collect()
     )
-    lut_rows = []
-    for r in q_rows:
-        v = np.asarray(r["v"], dtype=np.float64)
-        lut = []
-        for s in range(m):
-            sub = v[s * dsub : (s + 1) * dsub]
-            cents = np.asarray(codebooks[s], dtype=np.float64)
-            lut.append([float(x) for x in ((cents - sub[None, :]) ** 2).sum(axis=1)])
-        lut_rows.append((int(r["query_id"]), lut))
+    q_ids = [r["query_id"] for r in q_rows]
+    # (n_queries, m, ksub) LUT tensor: exact subvector→centroid distances.
+    luts = np.asarray(
+        [
+            [
+                ((np.asarray(codebooks[s], dtype=np.float64)
+                  - np.asarray(r["v"], dtype=np.float64)[s * dsub : (s + 1) * dsub][None, :])
+                 ** 2).sum(axis=1)
+                for s in range(m)
+            ]
+            for r in q_rows
+        ]
+    )
+    kk = k * rerank
+
+    def _adc_kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy()
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (batch, m)
+            out_q, out_n, out_d = [], [], []
+            for qi, qid in enumerate(q_ids):
+                # gather-sum: adist[i] = Σ_s lut[s, codes[i, s]]
+                ad = luts[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                mask = ids != qid
+                cand_ids, cand_d = ids[mask], ad[mask]
+                if len(cand_ids) > kk:
+                    order = np.lexsort((cand_ids, np.round(cand_d, 6)))[:kk]
+                else:
+                    order = np.arange(len(cand_ids))
+                out_q.extend([qid] * len(order))
+                out_n.extend(cand_ids[order])
+                out_d.extend(cand_d[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adist": out_d}
+            )
+
+    id_type = queries.schema[id_col].dataType.simpleString()
+    nbr_type = corpus.schema[id_col].dataType.simpleString()
+    partials = enc.mapInPandas(
+        _adc_kernel,
+        f"query_id {id_type}, neighbor_id {nbr_type}, adist double",
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        partials.withColumn("adist", F.round("adist", 6))
+        .withColumn("_rn", F.row_number().over(w_short))
+        .filter(F.col("_rn") <= kk)
+        .drop("_rn")
+    )
+    # Exact re-rank: fetch candidate vectors (broadcast the tiny
+    # shortlist into the corpus scan) and score against the exact query
+    # vector, carried as a second broadcast column.
     spark = corpus.sparkSession
-    qdf = spark.createDataFrame(lut_rows, "query_id bigint, lut array<array<double>>")
-    adist = F.aggregate(
-        F.zip_with(
-            F.col("codes"), F.col("lut"), lambda c, row: F.element_at(row, c + 1)
-        ),
+    qvec_df = spark.createDataFrame(
+        [(r["query_id"], [float(x) for x in r["v"]]) for r in q_rows],
+        f"query_id {id_type}, q_vec array<double>",
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, d: acc + d,
     )
-    scored = (
-        enc.crossJoin(F.broadcast(qdf))
-        .filter(F.col("query_id") != F.col("id"))
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            F.round(adist, 6).alias("adist"),
-        )
+    w_final = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        cvecs.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvec_df), "query_id")
+        .select("query_id", "neighbor_id", "adist", F.round(dist, 6).alias("dist"))
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -259,15 +259,18 @@ def q67_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
         SELECT event_type,
-               quantile_cont(value, 0.05) AS lo,
-               quantile_cont(value, 0.95) AS hi
+               -- round the bounds before any comparison: engines may differ
+               -- in the last ulp of the interpolated percentile, which would
+               -- otherwise flip clip counts on values equal to the bound
+               round(quantile_cont(value, 0.05), 6) AS lo,
+               round(quantile_cont(value, 0.95), 6) AS hi
         FROM events GROUP BY event_type
     )
     SELECT e.event_type,
            SUM(CAST(round(least(greatest(e.value, b.lo), b.hi) * 100) AS BIGINT)) / 100.0
                AS winsorized_sum,
-           SUM((e.value < b.lo)::INT) AS n_clipped_low,
-           SUM((e.value > b.hi)::INT) AS n_clipped_high,
+           CAST(SUM((e.value < b.lo)::INT) AS BIGINT) AS n_clipped_low,
+           CAST(SUM((e.value > b.hi)::INT) AS BIGINT) AS n_clipped_high,
            COUNT(*) AS n_events
     FROM events e JOIN b ON b.event_type = e.event_type
     GROUP BY e.event_type
@@ -281,8 +284,8 @@ def q68_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per event type) and broadcasts back onto the scan."""
     e = load_table(spark, sf_dir, "events")
     b = e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("lo"),
-        F.percentile("value", F.lit(0.95)).alias("hi"),
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return (
@@ -443,20 +446,22 @@ def q111_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q114_mad_outliers",
     oracle="""
     WITH med AS (
-        SELECT event_type, MEDIAN(value) AS med
+        -- round med/mad at computation time: they feed the > 3*mad
+        -- comparison, so an engine ulp difference would flip counts
+        SELECT event_type, ROUND(MEDIAN(value), 6) AS med
         FROM events GROUP BY event_type
     ), mad AS (
         SELECT e.event_type,
-               MEDIAN(ABS(e.value - m.med)) AS mad
+               ROUND(MEDIAN(ABS(e.value - m.med)), 6) AS mad
         FROM events e JOIN med m USING (event_type)
         GROUP BY e.event_type
     )
     SELECT e.event_type,
-           ROUND(m.med, 6) AS med,
-           ROUND(d.mad, 6) AS mad,
+           m.med AS med,
+           d.mad AS mad,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN ABS(e.value - m.med) > 3 * d.mad
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3 * d.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e
     JOIN med m USING (event_type)
     JOIN mad d USING (event_type)
@@ -473,16 +478,17 @@ def q114_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two grouped exact-percentile aggregations (map-side partial), each
     result re-entering via broadcast (one row per event type) — the
-    events table is scanned, never shuffled on a data-sized key.  Both
-    engines interpolate the even-count median identically ((a+b)/2 on
-    stored doubles); the only rounding is presentational."""
+    events table is scanned, never shuffled on a data-sized key.  med
+    and mad are rounded to 6 dp at computation time on both engines —
+    they feed the > 3*mad comparison, so a last-ulp interpolation
+    difference would otherwise flip outlier counts."""
     e = load_table(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
     )
     with_med = e.join(F.broadcast(med), "event_type")
     mad = with_med.groupBy("event_type").agg(
-        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+        F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad")
     )
     return (
         with_med.join(F.broadcast(mad), "event_type")
@@ -495,12 +501,6 @@ def q114_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("n_outliers"),
         )
-        .select(
-            "event_type",
-            F.round("med", 6).alias("med"),
-            F.round("mad", 6).alias("mad"),
-            "n_events",
-            "n_outliers",
-        )
+        .select("event_type", "med", "mad", "n_events", "n_outliers")
         .orderBy("event_type")
     )

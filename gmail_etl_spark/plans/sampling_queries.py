@@ -119,9 +119,10 @@ def q96_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id,
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
-           CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE) AS contamination
+           CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           ROUND(CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS contamination
     FROM bench_sh b LEFT JOIN train_sh t USING (shingle)
     GROUP BY id
     ORDER BY id
@@ -173,7 +174,7 @@ def q72_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_source AS (
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(len(string_split(text, ' '))) AS n_tokens
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents
         GROUP BY source
     )

@@ -25,8 +25,8 @@ STOPWORDS = ("the", "a")
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
-           CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars
     FROM documents
@@ -42,9 +42,9 @@ def q30_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")).alias(
-                "avg_chars"
-            ),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_chars"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
         )
@@ -330,7 +330,10 @@ def q38_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, bigram
     ),
     scored AS (
-        SELECT v.doc_id, p.lang, SUM(v.doc_cnt * p.prof_cnt) AS score
+        SELECT v.doc_id, p.lang,
+               -- BIGINT: DuckDB SUM yields HUGEINT, which lands as float64
+               -- in pandas and hash-mismatches Spark's int64
+               CAST(SUM(v.doc_cnt * p.prof_cnt) AS BIGINT) AS score
         FROM vecs v JOIN prof p USING (bigram)
         GROUP BY v.doc_id, p.lang
     )
@@ -661,9 +664,11 @@ def q98_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id < 50
     )
     SELECT p.doc_id,
-           list(COALESCE(v.token_id, -1) ORDER BY p.pos) AS ids,
+           array_to_string(
+               list(CAST(COALESCE(v.token_id, -1) AS VARCHAR) ORDER BY p.pos),
+               ' ') AS ids,
            COUNT(*) AS n_tokens,
-           SUM((v.token_id IS NULL)::INT) AS n_unk
+           CAST(SUM((v.token_id IS NULL)::INT) AS BIGINT) AS n_unk
     FROM pos p LEFT JOIN vocab v ON v.token = p.token
     GROUP BY p.doc_id
     ORDER BY p.doc_id
@@ -700,13 +705,18 @@ def q101_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         enc.groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("pos", F.coalesce("token_id", F.lit(-1)).alias("tid"))
-                    )
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pos", F.coalesce("token_id", F.lit(-1)).alias("tid")
+                            )
+                        )
+                    ),
+                    lambda s: s["tid"].cast("string"),
                 ),
-                lambda s: s["tid"],
+                " ",
             ).alias("ids"),
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.col("token_id").isNull().cast("int")).alias("n_unk"),
@@ -1177,7 +1187,7 @@ def q117_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l.doc_id,
            COUNT(*) AS n_lines,
-           SUM(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END) AS n_removed,
+           CAST(SUM(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
            COALESCE(
                string_agg(CASE WHEN f.nd < 3 THEN l.line END, chr(10) ORDER BY l.pos),
                '') AS clean_text
