@@ -106,7 +106,7 @@ def main() -> None:
 
     _knn_run()  # warm
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         _knn_run()
         best = min(best, time.perf_counter() - t0)
@@ -150,7 +150,7 @@ def main() -> None:
 
     _dedup_run()  # warm
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         _dedup_run()
         best = min(best, time.perf_counter() - t0)

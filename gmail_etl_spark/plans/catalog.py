@@ -137,45 +137,76 @@ def query(
 
 
 #: Deliberate sweep order for the driver's correctness harness, which
-#: verifies queries in ``queries()`` iteration order under a budget
-#: (round 1 recorded rows for exactly the first 50 registered entries).
-#: Order: (1) q103_grouping_sets — round 1's only hash mismatch, now
-#: fixed, so its green row lands first; (2) the dedup / similarity /
-#: text / event / pipeline surface that round 1 never reached, oracled
-#: entries before rows-only ones and roughly cheapest-first within a
-#: group; (3) the 49 queries round 1 already verified green.  Entries
-#: not listed here (new queries) are appended in registration order.
+#: verifies queries in ``queries()`` iteration order under a ~50-query
+#: budget.  Policy: never-driver-tested entries first, then the rows the
+#: driver has not re-checked for the longest time — so evidence coverage
+#: grows every round and stale rows rotate back into the budget.
+#: Round-3 order: (1) the six round-2 hash mismatches, now fixed
+#: (HUGEINT→BIGINT oracle casts + in-query rounding), so their green
+#: rows land first; (2) q70_gmail_stage1 — the reference-parity flagship
+#: that sat just past the budget in both prior rounds; (3) everything
+#: with no driver row yet: the TPC-H shapes q120–q131, the q115–q119 /
+#: q125 extensions, the UDF surface q79/q87/q88, sampling/multimodal
+#: q94/q95/q106/q107, and the rows-only approximates (incl. q132);
+#: (4) rows last verified in round 1 (stale); (5) rows verified green in
+#: round 2 (freshest).  Entries not listed (queries added later this
+#: round) are appended in registration order; when adding a query, also
+#: insert it before tier (4) so it enters the driver budget.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    "q103_grouping_sets",
-    # -- dedup / near-dup / similarity (D1, D2, X1) --
-    "q40_dedup_exact", "q41_dedup_canonical_rows", "q42_ledger_anti_join",
-    "q43_jaccard_pairs", "q46_embedding_near_dup",
+    # -- (1) round-2 mismatches, fixed this round --
+    "q30_lang_stats", "q39_langid_classify", "q68_winsorized_stats",
+    "q97_contamination", "q101_encode_tokens", "q114_mad_outliers",
+    # -- (2) reference-parity flagship --
+    "q70_gmail_stage1",
+    # -- (3) no driver row yet --
+    "q120_volume_shipping", "q121_market_share", "q122_supplier_profit",
+    "q123_part_supplier_counts", "q124_custdist", "q125_quality_classifier",
+    "q126_priority_linestatus", "q127_disjunctive_revenue",
+    "q128_dominant_suppliers", "q129_waiting_suppliers",
+    "q130_min_cost_supplier", "q131_important_parts",
+    "q115_audio_features", "q116_pii_redact", "q117_url_domains",
+    "q118_boilerplate_lines", "q119_int8_quantize",
+    "q79_arrow_histogram", "q87_grouped_agg_udaf", "q88_grouped_map_sequence",
+    "q94_hash_split", "q95_per_class_cap", "q106_media_resize",
+    "q107_source_mixing_weights",
+    "q44_minhash_lsh", "q45_simhash", "q54_hyperplane_lsh",
+    "q72_pack_sequences", "q75_kmeans_cells", "q96_stratified_sample",
+    "q110_semantic_dedup", "q132_pq_adc_topk",
+    # -- (4) stale: last driver-verified in round 1 --
+    "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
+    "q04_priority_semi_join", "q05_customers_without_orders",
+    "q06_order_size_histogram", "q07_top_orders_per_customer",
+    "q08_running_customer_spend", "q09_top_lineitems", "q10_distinct_flags",
+    "q11_intersect_custkeys", "q12_except_custkeys", "q13_rollup_flags",
+    "q14_conditional_agg", "q15_segment_stats", "q16_extract_batch",
+    "q17_cube_status_priority", "q18_pivot_status", "q19_quantity_percentiles",
+    "q20_string_kernels", "q21_regex_sanitize", "q22_base64_roundtrip",
+    "q23_date_kernels", "q24_json_extract", "q25_header_pivot",
+    "q27_array_hof", "q28_regexp_extract", "q56_shipping_priority",
+    "q57_forecast_revenue", "q58_returned_items", "q76_large_orders",
+    "q77_promo_revenue_share", "q78_window_navigation", "q80_window_lag_lead",
+    "q81_window_range_frame", "q82_window_distribution",
+    "q83_approx_count_distinct", "q84_approx_percentile", "q85_scalar_subquery",
+    "q86_correlated_subquery", "q89_full_outer_join", "q90_cross_join_grid",
+    "q91_min_by_max_by", "q92_cohort_retention", "q99_top_supplier",
+    "q100_monthly_revenue_dense", "q104_nation_revenue_share",
+    "q108_small_qty_revenue", "q109_dormant_customers",
+    # -- (5) verified green in round 2 --
+    "q103_grouping_sets", "q40_dedup_exact", "q41_dedup_canonical_rows",
+    "q42_ledger_anti_join", "q43_jaccard_pairs", "q46_embedding_near_dup",
     "q50_knn_exact", "q51_knn_ivf", "q52_label_centroids", "q53_knn_vectorized",
     "q74_source_overlap", "q103_winnow_fingerprint",
     "q104_winnow_near_dup_pairs", "q112_tfidf_cosine_pairs",
     "q113_incremental_near_dup", "q47_near_dup_clusters", "q48_near_dedup",
-    # -- text analysis / tokenization / quality (X3) --
-    "q30_lang_stats", "q31_token_stats", "q32_token_freq", "q33_quality_score",
+    "q31_token_stats", "q32_token_freq", "q33_quality_score",
     "q34_fingerprint", "q35_langid_features", "q36_token_count_bpe",
-    "q37_rolling_hash", "q38_levenshtein", "q39_langid_classify",
-    "q55_quality_filter_rules", "q69_approx_top_tokens", "q71_chunk_documents",
-    "q73_value_outliers", "q93_tfidf_top_terms", "q97_contamination",
-    "q98_repetition_score", "q101_encode_tokens", "q102_token_edit_pairs",
-    "q105_unigram_lm_nll",
-    # -- event-time / temporal (X5) --
-    "q60_tumbling_window", "q61_sliding_window", "q62_session_window",
-    "q63_first_event_per_key", "q64_asof_join", "q65_range_join",
-    "q66_time_rollup", "q67_event_funnel", "q68_winsorized_stats",
-    "q111_event_transitions", "q114_mad_outliers",
-    # -- pipeline / multimodal / sampling / arrow (S*, X2, U*) --
-    "q26_multimodal_features", "q29_frame_sample", "q70_gmail_stage1",
-    "q106_media_resize", "q107_source_mixing_weights", "q79_arrow_histogram",
-    "q87_grouped_agg_udaf", "q88_grouped_map_sequence", "q94_hash_split",
-    "q95_per_class_cap",
-    # -- rows-only (approximate; verified vs exact counterparts in tests/) --
-    "q44_minhash_lsh", "q45_simhash", "q54_hyperplane_lsh",
-    "q72_pack_sequences", "q75_kmeans_cells", "q96_stratified_sample",
-    "q110_semantic_dedup",
+    "q37_rolling_hash", "q38_levenshtein", "q55_quality_filter_rules",
+    "q69_approx_top_tokens", "q71_chunk_documents", "q73_value_outliers",
+    "q93_tfidf_top_terms", "q98_repetition_score", "q102_token_edit_pairs",
+    "q105_unigram_lm_nll", "q60_tumbling_window", "q61_sliding_window",
+    "q62_session_window", "q63_first_event_per_key", "q64_asof_join",
+    "q65_range_join", "q66_time_rollup", "q67_event_funnel",
+    "q111_event_transitions", "q26_multimodal_features", "q29_frame_sample",
 )
 
 
