@@ -49,12 +49,20 @@ def per_class_cap(
 
 
 def stratified_sample(
-    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+    df: DataFrame, strata_col: str, fractions: dict | float, seed: int = 42
 ) -> DataFrame:
-    """Per-stratum Bernoulli sampling (``sampleBy``): the quota-matching
-    primitive for language/source mixing.  Seeded but RNG-based — use
-    hash_split when byte-reproducibility across engines matters."""
-    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+    """Per-stratum Bernoulli sampling: the quota-matching primitive for
+    language/source mixing.  Seeded but RNG-based — use hash_split when
+    byte-reproducibility across engines matters.
+
+    ``fractions`` as a dict maps stratum → keep probability
+    (``sampleBy``).  A single float applies the same probability to
+    every stratum — per-row Bernoulli is then identical in distribution
+    and needs no driver-side enumeration of the stratum domain, so the
+    plan stays scan-shaped at any corpus size."""
+    if isinstance(fractions, dict):
+        return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+    return df.filter(F.rand(seed) < F.lit(float(fractions)))
 
 
 def contamination_report(

@@ -60,7 +60,17 @@ def normalize_nano_ts(df: DataFrame, col: str) -> DataFrame:
         return df
     dt = df.schema[col].dataType
     if isinstance(dt, LongType):
-        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        # floor division, not `div` (which truncates toward zero): for
+        # pre-epoch (negative) nanos the NTZ read path floors, and the
+        # two read paths must land on the same microsecond.  pmod is
+        # non-negative, so subtracting it yields the floor multiple —
+        # all-integer arithmetic (no double round-trip at 1e18).
+        return df.withColumn(
+            col,
+            F.timestamp_micros(
+                F.expr(f"(`{col}` - pmod(`{col}`, 1000)) div 1000")
+            ),
+        )
     if isinstance(dt, TimestampNTZType):
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df

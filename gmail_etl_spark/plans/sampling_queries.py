@@ -84,11 +84,12 @@ def q95_per_class_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q96_stratified_sample", oracle=None, survey="sampling")
 def q96_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform 50% per-language sample via the scalar-fraction form —
+    no driver-side enumeration of the language domain, so the plan is a
+    single filtered scan at any corpus size."""
     d = load_table(spark, sf_dir, "documents")
-    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
-    fractions = {lang: 0.5 for lang in langs}
     return (
-        stratified_sample(d, "lang", fractions)
+        stratified_sample(d, "lang", 0.5)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")

@@ -402,19 +402,26 @@ def q93_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only non-integer operation, rounded in-query on both engines
     (libm ulp differences otherwise leak into the hash)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    n_docs = d.count()
+    # corpus size as a broadcast 1-row aggregate (no eager driver job)
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
     )
     from pyspark.sql import Window
 
@@ -866,22 +873,25 @@ def q105_unigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary size, not corpus size — so scoring is a broadcast join
     back onto the exploded token stream (no shuffle of the corpus side);
     both aggregations are partial (map-side combine on token, then on
-    doc_id).  The corpus total is a driver scalar from the already-tiny
-    vocab table.  The single float (ln) is rounded in-query on both
+    doc_id).  The corpus total is a broadcast one-row aggregate off the
+    already-tiny vocab table.  The single float (ln) is rounded in-query on both
     engines after the per-doc average; tokens-per-doc is small enough
     that summation-order ulp noise sits far below the 1e-6 rounding
     grain."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt")).collect()[0][0]
+    # corpus token total as a broadcast 1-row aggregate off the tiny
+    # vocab table (no eager driver job)
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("total"))
     return (
         toks.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(
-                F.avg(-F.log(F.col("cnt").cast("double") / F.lit(float(total)))), 6
+                F.avg(-F.log(F.col("cnt").cast("double") / F.col("total"))), 6
             ).alias("avg_nll"),
         )
         .orderBy("doc_id")
@@ -940,17 +950,22 @@ def q112_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB; the fixture vocabulary is small enough to keep every term.
     """
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    n_docs = d.count()
+    # corpus size as a broadcast 1-row aggregate (no eager driver job)
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = tf.join(F.broadcast(dfc), "term").select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    w = (
+        tf.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
     )
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     dot = (

@@ -36,6 +36,8 @@ from dataclasses import dataclass, field
 
 GMAIL_API_BASE = "https://gmail.googleapis.com/gmail/v1"
 GOOGLE_TOKEN_URL = "https://oauth2.googleapis.com/token"
+GOOGLE_AUTH_URL = "https://accounts.google.com/o/oauth2/v2/auth"
+GMAIL_READONLY_SCOPE = "https://www.googleapis.com/auth/gmail.readonly"
 
 #: statuses worth retrying (quota + transient server errors)
 _RETRYABLE = frozenset({429, 500, 502, 503, 504})
@@ -166,6 +168,97 @@ class HttpGmailClient:
                     continue
                 raise
         raise RuntimeError("unreachable: retry loop exits via return or raise")
+
+
+# ---------------------------------------------------------------------------
+# one-time interactive bootstrap — authorization-code grant (RFC 6749 §4.1)
+# ---------------------------------------------------------------------------
+
+
+def authorization_url(
+    cfg: HttpClientConfig,
+    scope: str = GMAIL_READONLY_SCOPE,
+    redirect_uri: str = "http://localhost",
+    auth_url: str = GOOGLE_AUTH_URL,
+    state: str | None = None,
+) -> str:
+    """Consent-screen URL for the one-time authorization-code grant.
+
+    The reference mints its refresh token interactively via google-auth's
+    ``InstalledAppFlow.run_local_server`` (``resources/get_token.py:29-31``);
+    this is the same flow with no dependency: open the returned URL in a
+    browser, approve, and paste the ``code`` query parameter of the
+    redirect back into :func:`exchange_code`.  ``access_type=offline`` +
+    ``prompt=consent`` force a refresh token in the response."""
+    params = {
+        "client_id": cfg.client_id,
+        "redirect_uri": redirect_uri,
+        "response_type": "code",
+        "scope": scope,
+        "access_type": "offline",
+        "prompt": "consent",
+    }
+    if state is not None:
+        params["state"] = state
+    return f"{auth_url}?{urllib.parse.urlencode(params)}"
+
+
+def exchange_code(
+    cfg: HttpClientConfig,
+    code: str,
+    redirect_uri: str = "http://localhost",
+) -> HttpClientConfig:
+    """Exchange a pasted authorization code for tokens (RFC 6749 §4.1.3)
+    and return a config carrying the minted refresh token — ready for
+    :func:`http_client_factory` / the streaming extract path.
+
+    The paste may be the bare code or the full redirect URL; the ``code``
+    query parameter is extracted either way."""
+    if "://" in code or "code=" in code:
+        qs = urllib.parse.parse_qs(urllib.parse.urlparse(code).query)
+        code = qs["code"][0]
+    body = urllib.parse.urlencode(
+        {
+            "client_id": cfg.client_id,
+            "client_secret": cfg.client_secret,
+            "code": code,
+            "redirect_uri": redirect_uri,
+            "grant_type": "authorization_code",
+        }
+    ).encode()
+    req = urllib.request.Request(
+        cfg.token_url,
+        data=body,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=cfg.timeout_s) as resp:
+        payload = json.loads(resp.read().decode())
+    from dataclasses import replace
+
+    return replace(
+        cfg,
+        refresh_token=payload["refresh_token"],
+        access_token=payload.get("access_token"),
+    )
+
+
+def bootstrap_refresh_token(
+    cfg: HttpClientConfig,
+    scope: str = GMAIL_READONLY_SCOPE,
+    redirect_uri: str = "http://localhost",
+    auth_url: str = GOOGLE_AUTH_URL,
+    input_fn=input,
+    print_fn=print,
+) -> HttpClientConfig:
+    """Interactive one-time setup: print the consent URL, accept the
+    pasted code (or full redirect URL), exchange it, and return the
+    refresh-token-bearing config.  ``input_fn``/``print_fn`` are
+    injectable so tests drive the flow without a TTY."""
+    print_fn("Open this URL in a browser and approve access:")
+    print_fn(authorization_url(cfg, scope, redirect_uri, auth_url))
+    code = input_fn("Paste the authorization code (or redirect URL): ").strip()
+    return exchange_code(cfg, code, redirect_uri)
 
 
 def http_client_factory(cfg: HttpClientConfig):

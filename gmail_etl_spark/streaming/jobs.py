@@ -45,19 +45,19 @@ def read_raw_stream(
     return reader.json(raw_dir).filter(F.col("id").isNotNull())
 
 
-#: events stream schema: the parquet column is TIMESTAMP(NANOS); current
-#: Spark truncates it to µs and surfaces TIMESTAMP_NTZ, which the reader
-#: re-bases to a session-UTC TIMESTAMP exactly like the batch loader
-#: (`plans.catalog.normalize_nano_ts`).
-_EVENTS_DDL = (
-    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    df = spark.readStream.schema(_EVENTS_DDL).parquet(path)
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    """Version-robust events stream: the parquet ``ts`` column is
+    TIMESTAMP(NANOS), which different Spark versions surface differently
+    (epoch-nano longs under ``legacy.parquet.nanosAsLong``, or µs
+    TIMESTAMP_NTZ).  A one-off batch probe of the same path supplies the
+    schema the running version actually produces — streams require an
+    explicit schema — and ``normalize_nano_ts`` then lands either form
+    on the same session-UTC TIMESTAMP, exactly like the batch loader."""
+    from gmail_etl_spark.plans.catalog import normalize_nano_ts
+
+    probed = spark.read.parquet(path).schema
+    df = spark.readStream.schema(probed).parquet(path)
+    return normalize_nano_ts(df, "ts")
 
 
 # ---------------------------------------------------------------------------

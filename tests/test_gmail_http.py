@@ -59,6 +59,22 @@ class _GmailStub(BaseHTTPRequestHandler):
             return self._json(404, {"error": "not found"})
         length = int(self.headers["Content-Length"])
         form = parse_qs(self.rfile.read(length).decode())
+        if form["grant_type"] == ["authorization_code"]:
+            # RFC 6749 §4.1.3 exchange: the one-time bootstrap path
+            st["code_grants"] = st.get("code_grants", 0) + 1
+            if form.get("code") != ["authcode-42"]:
+                return self._json(400, {"error": "invalid_grant"})
+            assert form["redirect_uri"] == ["http://localhost"]
+            tok = "at-bootstrap"
+            st.setdefault("valid_tokens", set()).add(tok)
+            return self._json(
+                200,
+                {
+                    "access_token": tok,
+                    "refresh_token": "rt-secret",
+                    "expires_in": 3600,
+                },
+            )
         st["token_grants"] = st.get("token_grants", 0) + 1
         assert form["grant_type"] == ["refresh_token"]
         assert form["refresh_token"] == ["rt-secret"]
@@ -183,3 +199,45 @@ def test_fetch_messages_through_spark_http(spark, stub_server):
     df2 = fetch_messages(spark, factory, limit=300, ledger=ledger, fetch_partitions=4)
     assert {r["id"] for r in df2.collect()} == {m["id"] for m in MESSAGES[2:]}
     assert state["gets"] == len(MESSAGES) - 2
+
+
+def test_bootstrap_authorization_code_flow(stub_server):
+    """One-time interactive setup (reference get_token.py:29-31, done
+    headless): consent URL printed, pasted code exchanged for a refresh
+    token, and the resulting config drives the normal client path."""
+    from gmail_etl_spark.sources.gmail_http import (
+        authorization_url,
+        bootstrap_refresh_token,
+    )
+
+    base, state = stub_server
+    cfg = _cfg(base)  # refresh_token unused by the bootstrap path
+
+    url = authorization_url(cfg, auth_url=f"{base}/auth")
+    assert "response_type=code" in url and "access_type=offline" in url
+
+    printed: list[str] = []
+    booted = bootstrap_refresh_token(
+        cfg,
+        auth_url=f"{base}/auth",
+        input_fn=lambda _prompt: "http://localhost/?code=authcode-42&scope=x",
+        print_fn=printed.append,
+    )
+    assert state["code_grants"] == 1
+    assert booted.refresh_token == "rt-secret"
+    assert any("response_type=code" in line for line in printed)
+
+    # the bootstrapped config works end-to-end against the live protocol
+    client = HttpGmailClient(booted)
+    ids, nxt = client.list_message_ids(None)
+    assert ids == [m["id"] for m in MESSAGES[:4]] and nxt == "4"
+
+
+def test_exchange_code_rejects_bad_code(stub_server):
+    from urllib.error import HTTPError
+
+    from gmail_etl_spark.sources.gmail_http import exchange_code
+
+    base, state = stub_server
+    with pytest.raises(HTTPError):
+        exchange_code(_cfg(base), "wrong-code")
