@@ -427,6 +427,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector to ``m`` one-byte codes: per subspace, the
     argmin-distance codebook entry (ties → lowest code, the array_min
@@ -437,7 +438,9 @@ def pq_encode(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     base = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *keep_cols,
     )
     code_cols = []
     for s in range(m):
@@ -460,7 +463,7 @@ def pq_encode(
             ]
         )
         code_cols.append(F.array_min(pairs)["code"])
-    return base.select("id", F.array(*code_cols).alias("codes"))
+    return base.select("id", F.array(*code_cols).alias("codes"), *keep_cols)
 
 
 def pq_topk(
@@ -564,6 +567,151 @@ def pq_topk(
     # Exact re-rank: fetch candidate vectors (broadcast the tiny
     # shortlist into the corpus scan) and score against the exact query
     # vector, carried as a second broadcast column.
+    spark = corpus.sparkSession
+    qvec_df = spark.createDataFrame(
+        [(r["query_id"], [float(x) for x in r["v"]]) for r in q_rows],
+        f"query_id {id_type}, q_vec array<double>",
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    w_final = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        cvecs.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvec_df), "query_id")
+        .select("query_id", "neighbor_id", "adist", F.round(dist, 6).alias("dist"))
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 5,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011): the full big-ANN search architecture —
+    an IVF coarse quantizer prunes the corpus to each query's ``nprobe``
+    nearest cells, PQ/ADC scores only those rows, and exact L2 re-ranks
+    a ``k * rerank`` shortlist.  Compose with :func:`train_kmeans` (the
+    cell centroids) and :func:`train_pq` (the codebooks).
+
+    Scale shape: cell assignment is a map-only argmin over centroid
+    literals (no join, no shuffle); the ADC kernel skips every row
+    outside the query's probed cells, so scan cost per query drops by
+    ~k_cells/nprobe; per-batch partial top-k bounds the merge shuffle at
+    O(n_batches · k·rerank · n_queries); the re-rank pass broadcasts the
+    tiny shortlist.  At 100 TB the corpus would be written partitioned
+    BY cell so probing prunes parquet partitions instead of filtering
+    rows — the plan shape here is the in-memory form of that layout.
+    Returns (query_id, neighbor_id, adist, dist, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    # map-only cell assignment compiled from centroid literals
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cell_pairs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(c) for c in cent]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("dist"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, cent in enumerate(centroids)
+        ]
+    )
+    with_cell = base.withColumn("cell", F.array_min(cell_pairs)["cell"])
+    # cell rides along through the encode projection: no join, no shuffle
+    enc = pq_encode(with_cell, codebooks, "id", "v", keep_cols=("cell",))
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("query_id")
+        .collect()
+    )
+    q_ids = [r["query_id"] for r in q_rows]
+    cents = np.asarray(centroids, dtype=np.float64)
+    luts, probes = [], []
+    for r in q_rows:
+        v = np.asarray(r["v"], dtype=np.float64)
+        cd = ((cents - v[None, :]) ** 2).sum(axis=1)
+        probes.append(set(np.argsort(cd, kind="stable")[:nprobe].tolist()))
+        luts.append(
+            [
+                ((np.asarray(codebooks[s], dtype=np.float64)
+                  - v[s * dsub : (s + 1) * dsub][None, :]) ** 2).sum(axis=1)
+                for s in range(m)
+            ]
+        )
+    luts = np.asarray(luts)
+    kk = k * rerank
+
+    def _adc_kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            out_q, out_n, out_d = [], [], []
+            for qi, qid in enumerate(q_ids):
+                probe_mask = np.isin(cells, list(probes[qi])) & (ids != qid)
+                if not probe_mask.any():
+                    continue
+                cand_ids = ids[probe_mask]
+                ad = luts[qi][np.arange(m)[None, :], codes[probe_mask]].sum(axis=1)
+                if len(cand_ids) > kk:
+                    order = np.lexsort((cand_ids, np.round(ad, 6)))[:kk]
+                else:
+                    order = np.arange(len(cand_ids))
+                out_q.extend([qid] * len(order))
+                out_n.extend(cand_ids[order])
+                out_d.extend(ad[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adist": out_d}
+            )
+
+    id_type = queries.schema[id_col].dataType.simpleString()
+    nbr_type = corpus.schema[id_col].dataType.simpleString()
+    partials = enc.mapInPandas(
+        _adc_kernel,
+        f"query_id {id_type}, neighbor_id {nbr_type}, adist double",
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        partials.withColumn("adist", F.round("adist", 6))
+        .withColumn("_rn", F.row_number().over(w_short))
+        .filter(F.col("_rn") <= kk)
+        .drop("_rn")
+    )
     spark = corpus.sparkSession
     qvec_df = spark.createDataFrame(
         [(r["query_id"], [float(x) for x in r["v"]]) for r in q_rows],

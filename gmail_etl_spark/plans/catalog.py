@@ -182,6 +182,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q44_minhash_lsh", "q45_simhash", "q54_hyperplane_lsh",
     "q72_pack_sequences", "q75_kmeans_cells", "q96_stratified_sample",
     "q110_semantic_dedup", "q132_pq_adc_topk",
+    # -- (3b) added in round 3 --
+    "q133_repeated_ngram_spans", "q134_bpe_merge_candidates",
+    "q135_jl_projection", "q136_ivf_pq_topk", "q137_domain_quality_rollup",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",

@@ -556,3 +556,86 @@ def q113_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "corpus_id", F.round(jac, 6).alias("jaccard"))
         .orderBy("new_id", "corpus_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — exact substring-span dedup: repeated n-token windows across docs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q133_repeated_ngram_spans",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS win
+        FROM d, UNNEST(range(1, len(toks) - 6)) AS t(i)
+        WHERE len(toks) >= 8
+    ),
+    dup AS (
+        SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           COUNT(*) AS n_windows,
+           CAST(SUM((dup.win IS NOT NULL)::INT) AS BIGINT) AS n_dup_windows,
+           MIN(CASE WHEN dup.win IS NOT NULL THEN w.pos END) AS first_dup_pos
+    FROM w LEFT JOIN dup USING (win)
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+    """,
+    survey="D1,D2",
+)
+def q133_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup statistic (the suffix-array method of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, §4.1, re-expressed relationally): every 8-token window of
+    every document, marked duplicated when the identical window occurs
+    in at least two distinct documents.  Per document: window count,
+    duplicated-window count, and the first duplicated position — the
+    inputs a span-removal pass needs.
+
+    Scale posture: two shuffles, both keyed on the window text — one
+    grouped distinct-doc count (map-side partial) to find cross-doc
+    windows, one join back onto the window stream — then a per-doc
+    aggregation.  No all-pairs stage anywhere: cost is linear in total
+    token count.  At 100 TB the window key should be xxhash64(win)
+    (8-byte shuffle keys, collision odds ~n²/2⁶⁵); the string form here
+    is what DuckDB reproduces byte-for-byte.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    w = (
+        d.filter(F.size(toks) >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 7),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+                )
+            ).alias("p", "win"),
+        )
+        .select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "win")
+    )
+    dup = (
+        w.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("win", F.lit(1).alias("_dup"))
+    )
+    return (
+        w.join(dup, "win", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long").alias(
+                "n_dup_windows"
+            ),
+            F.min(F.when(F.col("_dup").isNotNull(), F.col("pos"))).alias(
+                "first_dup_pos"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -401,3 +401,137 @@ def q132_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_pq(emb, m=8, ksub=16, iters=3, sample_n=2048)
     queries = emb.orderBy("vec_id").limit(5)
     return pq_topk(queries, emb, books, k=10).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q135 — Johnson–Lindenstrauss signed random projection (dim 64 → 16)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q135_jl_projection",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fp
+        FROM embeddings
+    ),
+    hashed AS (
+        -- murmur-style xor-shift finalizer on (input dim, output dim):
+        -- one affine multiply alone leaves lattice-correlated sign bits
+        SELECT vec_id, fp,
+               list_transform(range(0, 16), j ->
+                   list_transform(range(1, len(fp) + 1), i ->
+                       xor(
+                         (xor(
+                            (xor(((i-1)*2654435761 + j*97) % 2147483648,
+                                 (((i-1)*2654435761 + j*97) % 2147483648) // 65536)
+                             * 2246822519) % 2147483648,
+                            ((xor(((i-1)*2654435761 + j*97) % 2147483648,
+                                  (((i-1)*2654435761 + j*97) % 2147483648) // 65536)
+                              * 2246822519) % 2147483648) // 8192)
+                          * 3266489917) % 2147483648,
+                         (((xor(
+                            (xor(((i-1)*2654435761 + j*97) % 2147483648,
+                                 (((i-1)*2654435761 + j*97) % 2147483648) // 65536)
+                             * 2246822519) % 2147483648,
+                            ((xor(((i-1)*2654435761 + j*97) % 2147483648,
+                                  (((i-1)*2654435761 + j*97) % 2147483648) // 65536)
+                              * 2246822519) % 2147483648) // 8192)
+                          * 3266489917) % 2147483648) // 65536)
+                       ) % 2)) AS bits
+        FROM base
+    ),
+    proj AS (
+        SELECT vec_id,
+               list_transform(range(0, 16), j ->
+                   CAST(list_sum(list_transform(range(1, len(fp) + 1), i ->
+                       fp[i] * (2 * bits[j+1][i] - 1)
+                   )) AS BIGINT)) AS codes
+        FROM hashed
+    )
+    SELECT vec_id,
+           16 AS k_dims,
+           array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ' ')
+               AS proj_fp
+    FROM proj
+    ORDER BY vec_id
+    """,
+    survey="X1",
+)
+def q135_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss signed random projection (Achlioptas 2003
+    ±1 variant): each of the 16 output dims is a ±1-signed sum over the
+    input vector, signs drawn from a deterministic multiplicative
+    integer hash of (input dim, output dim) — no RNG state, identical
+    on any engine.  The pairwise-distance-preserving dimensionality
+    reducer that shrinks ANN index cost ~4× before sharding.
+
+    Engine-exactness: inputs are fixed-pointed to 1e-6 BEFORE the
+    signed accumulation, so every sum is integer arithmetic — no
+    float-summation-order ulp anywhere — and the projected vector is
+    emitted as a space-joined fixed-point string (sortable and hashable
+    by the driver's canonicalizer; same information as the array).
+
+    Scale posture: map-only over the embedding scan — no shuffle, no
+    Python; whole-stage codegen over nested integer HOFs.  Distance
+    preservation (the JL guarantee) is property-tested in
+    tests/test_operators.py against exact pairwise distances."""
+    emb_fp = F.expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+    )
+    # murmur-style xor-shift finalizer on (i, j) → ±1 sign; all 31-bit
+    # intermediate products stay inside int64 (max ~6.9e18)
+    _h0 = "((i*2654435761 + j*97) % 2147483648)"
+    _h1 = f"((({_h0} ^ ({_h0} div 65536)) * 2246822519) % 2147483648)"
+    _h2 = f"((({_h1} ^ ({_h1} div 8192)) * 3266489917) % 2147483648)"
+    _bit = f"(({_h2} ^ ({_h2} div 65536)) % 2)"
+    codes = F.expr(
+        "transform(sequence(0, 15), j -> "
+        " aggregate(transform(fp, (x, i) -> "
+        f"   x * (2 * {_bit} - 1)),"
+        "  0L, (acc, v) -> acc + v))"
+    )
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", emb_fp.alias("fp"))
+        .select("vec_id", codes.alias("codes"))
+        .select(
+            "vec_id",
+            F.lit(16).alias("k_dims"),
+            F.array_join(
+                F.expr("transform(codes, c -> cast(c as string))"), " "
+            ).alias("proj_fp"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136 — IVFADC: coarse cells + PQ/ADC + exact re-rank (the big-ANN stack)
+# ---------------------------------------------------------------------------
+
+
+@query("q136_ivf_pq_topk", oracle=None, survey="X1")
+def q136_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production big-ANN architecture end-to-end (FAISS IVFADC):
+    k-means coarse quantizer (8 cells) prunes each query to its 4
+    nearest cells, PQ codebooks (m=8, ksub=16) score only those rows via
+    ADC, and exact L2 re-ranks the 5× shortlist into the final top-10.
+
+    Rows-only for the driver (k-means + PQ have no sane SQL form);
+    recall@10 vs exact search is gated in tests/test_operators.py."""
+    from gmail_etl_spark.operators.similarity import (
+        ivf_pq_topk,
+        train_kmeans,
+        train_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, centroids = train_kmeans(emb, k=8, iters=3)
+    books = train_pq(emb, m=8, ksub=16, iters=3, sample_n=2048)
+    queries = emb.orderBy("vec_id").limit(5)
+    return ivf_pq_topk(
+        queries, emb, books, centroids, k=10, nprobe=4, rerank=5
+    ).orderBy("query_id", "rank")

@@ -1322,3 +1322,180 @@ def q125_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — BPE merge candidates: within-word adjacent symbol-pair counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q134_bpe_merge_candidates",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < 200
+    ),
+    pairs AS (
+        SELECT substr(w || '_', i, 2) AS pair
+        FROM words, UNNEST(range(1, length(w) + 1)) AS t(i)
+        WHERE length(w) >= 1
+    )
+    SELECT pair, COUNT(*) AS cnt
+    FROM pairs
+    GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 25
+    """,
+    survey="X3",
+)
+def q134_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot statistic of BPE tokenizer training (Sennrich et al.
+    2016): frequency of every adjacent symbol pair inside words — the
+    top pair is the next merge rule.  Words carry the end-of-word
+    marker '_' so final-position pairs are distinguishable, exactly as
+    the original algorithm's vocabulary represents them.
+
+    Scale posture: explode to (pair) and count — one map-side-combined
+    shuffle of 2-char keys (bounded domain: |alphabet|²), so the
+    reduce side is tiny no matter the corpus size; the top-25 is a
+    total-ordered limit over that small aggregate.  This is the per-
+    iteration inner loop a distributed BPE trainer re-runs after each
+    merge."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    marked = F.concat(F.col("w"), F.lit("_"))
+    pairs = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(marked) - 1),
+                    lambda i: F.substring(marked, i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — per-domain curation rollup (canonical domain × quality signals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q137_domain_quality_rollup",
+    oracle="""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN ' and http://www.host' || CAST(doc_id % 13 AS VARCHAR)
+                                 || '.example.net/x'
+                            ELSE '' END AS text
+        FROM documents
+    ),
+    urls AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS host
+        FROM enriched
+    ),
+    canon AS (
+        SELECT DISTINCT doc_id,
+               lower(string_split(host, '.')[-2] || '.' ||
+                     string_split(host, '.')[-1]) AS domain
+        FROM urls
+    ),
+    quality AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CASE WHEN len(string_split(text, ' ')) < 30 THEN 1 ELSE 0 END
+                   AS short
+        FROM documents
+    )
+    SELECT domain,
+           COUNT(*) AS n_docs,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(q.short) AS BIGINT) AS n_short,
+           ROUND(CAST(SUM(q.short) AS DOUBLE) / COUNT(*), 6) AS short_ratio
+    FROM canon JOIN quality q USING (doc_id)
+    GROUP BY domain
+    ORDER BY domain
+    """,
+    survey="X3,2.5-agg",
+)
+def q137_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-curation dashboard rollup: URL hosts canonicalized to a
+    registrable-domain approximation (last two labels, lowercased),
+    distinct per document, joined with per-document quality signals and
+    aggregated per domain — the table a crawl-curation pass thresholds
+    to drop low-quality domains wholesale (RefinedWeb/C4 style).
+
+    Scale posture: extraction and canonicalization fuse into the scan;
+    the distinct and the rollup shuffle only (doc_id, domain) pairs and
+    tiny aggregates; the quality join is per-doc scalars.  Counts are
+    exact integers; the one ratio divides identical integers on both
+    engines and is rounded in-query."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (did % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            did.cast("string"),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit(" and http://www.host"),
+                    (did % 13).cast("string"),
+                    F.lit(".example.net/x"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    labels = F.split(F.col("host"), "\\.")
+    canon = (
+        injected.select(
+            "doc_id",
+            F.explode(
+                F.expr(r"regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)")
+            ).alias("host"),
+        )
+        .select(
+            "doc_id",
+            F.lower(
+                F.concat_ws(
+                    ".", F.element_at(labels, -2), F.element_at(labels, -1)
+                )
+            ).alias("domain"),
+        )
+        .distinct()
+    )
+    quality = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.when(F.size(F.split("text", " ")) < 30, 1).otherwise(0).alias("short"),
+    )
+    return (
+        canon.join(quality, "doc_id")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("short").cast("long").alias("n_short"),
+            F.round(
+                F.sum("short").cast("double") / F.count(F.lit(1)), 6
+            ).alias("short_ratio"),
+        )
+        .orderBy("domain")
+    )

@@ -760,3 +760,72 @@ def test_pq_adc_recall_vs_exact(spark):
         recalls.append(len(exact10 & approx_ids) / 10.0)
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.5, f"ADC recall@10 too low: {mean_recall}"
+
+
+def test_jl_projection_preserves_distances(spark):
+    """JL guarantee: squared distances in the 16-dim signed projection,
+    scaled by 1/k, concentrate around the original squared distances."""
+    import numpy as np
+
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+
+    _ensure_loaded()
+    rows = CATALOG["q135_jl_projection"].builder(spark, SF_DIR).collect()
+    proj = {
+        r["vec_id"]: np.array([int(c) for c in r["proj_fp"].split(" ")], dtype=np.float64)
+        / 1e6
+        for r in rows
+    }
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    ids = sorted(proj)[:60]
+    ratios = []
+    for a in ids[:30]:
+        for b in ids[30:]:
+            d2 = ((emb[a] - emb[b]) ** 2).sum()
+            p2 = ((proj[a] - proj[b]) ** 2).sum() / 16.0
+            if d2 > 1e-9:
+                ratios.append(p2 / d2)
+    ratios = np.array(ratios)
+    assert 0.8 <= np.median(ratios) <= 1.2, np.median(ratios)
+    assert 0.8 <= ratios.mean() <= 1.2, ratios.mean()
+
+
+def test_ivf_pq_recall_vs_exact(spark):
+    """IVFADC (cells + ADC + re-rank) keeps recall@10 well above the
+    unpruned floor: nprobe=4 of 8 cells halves the scan, and the exact
+    re-rank recovers ordering lost to 0.5-bit/dim quantization."""
+    import numpy as np
+
+    from gmail_etl_spark.operators.similarity import (
+        ivf_pq_topk,
+        train_kmeans,
+        train_pq,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _, centroids = train_kmeans(emb, k=8, iters=3)
+    books = train_pq(emb, m=8, ksub=16, iters=3, sample_n=2048)
+    queries = emb.orderBy("vec_id").limit(10)
+    approx = ivf_pq_topk(queries, emb, books, centroids, k=10, nprobe=4, rerank=5).collect()
+
+    rows = emb.select("vec_id", F.col("embedding").cast("array<double>")).collect()
+    ids = np.asarray([r[0] for r in rows])
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = []
+    for qid, approx_ids in got.items():
+        qv = X[ids == qid][0]
+        d2 = ((X - qv[None, :]) ** 2).sum(axis=1)
+        d2[ids == qid] = np.inf
+        exact10 = set(ids[np.argsort(d2, kind="stable")[:10]].tolist())
+        recalls.append(len(exact10 & approx_ids) / 10.0)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.4, f"IVFADC recall@10 too low: {mean_recall}"
