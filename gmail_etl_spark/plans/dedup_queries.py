@@ -639,3 +639,120 @@ def q133_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — substring-span removal: drop tokens covered by cross-doc windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q139_remove_dup_spans",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS win
+        FROM d, UNNEST(range(1, len(toks) - 6)) AS t(i)
+        WHERE len(toks) >= 8
+    ),
+    dup AS (
+        SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cover AS (
+        SELECT DISTINCT w.doc_id, t.p AS pos
+        FROM w JOIN dup USING (win), UNNEST(range(w.pos, w.pos + 8)) AS t(p)
+        WHERE w.doc_id < 100
+    ),
+    toks AS (
+        SELECT d.doc_id, toks[t.i] AS tok, t.i AS pos
+        FROM d, UNNEST(range(1, len(toks) + 1)) AS t(i)
+        WHERE d.doc_id < 100
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM((c.pos IS NOT NULL)::INT) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.pos), '') AS clean_text
+    FROM toks t
+    LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.pos = t.pos
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    survey="D1,D2",
+)
+def q139_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply form of q133 (Lee et al. 2022 §4.1's actual transform):
+    every token position covered by an 8-token window that recurs in a
+    second document is dropped; the cleaned text keeps original token
+    order.  Duplicated-window detection runs over the WHOLE corpus;
+    removal is materialized for the doc_id < 100 slice so the oracle's
+    coverage join stays bounded.
+
+    Scale posture: windows and coverage are (doc_id, pos) integer pairs
+    — the shuffles carry positions, never text; re-assembly is one
+    grouped sort-by-pos aggregation per document (the q101/q118
+    collect-struct idiom).  At 100 TB window keys hash to longs exactly
+    as in q133."""
+    d = load_table(spark, sf_dir, "documents")
+    toks_col = F.split("text", " ")
+    w = (
+        d.filter(F.size(toks_col) >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks_col) - 7),
+                    lambda i: F.concat_ws(" ", F.slice(toks_col, i, 8)),
+                )
+            ).alias("p", "win"),
+        )
+        .select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "win")
+    )
+    dup = (
+        w.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("win")
+    )
+    cover = (
+        w.join(dup, "win")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("pos"),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(1))
+    )
+    tokpos = (
+        d.filter(F.col("doc_id") < 100)
+        .select("doc_id", F.posexplode(toks_col).alias("p", "tok"))
+        .select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "tok")
+    )
+    return (
+        tokpos.join(cover, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_cov"), F.lit(0))).cast("long").alias(
+                "n_removed"
+            ),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_cov").isNull(),
+                                F.struct("pos", "tok"),
+                            )
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -504,3 +504,62 @@ def q114_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "med", "mad", "n_events", "n_outliers")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q138 — salted skew join (X6): hot-key join spread over sub-keys
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q138_salted_skew_join",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type,
+               length(event_type) * 10 AS type_weight
+        FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) * MAX(d.type_weight)
+                AS BIGINT) AS weighted_cents
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    survey="X6,2.5-agg",
+)
+def q138_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated dimension join, oracle-proven equivalent to the
+    plain join: events are hot on event_type (5 keys carry the whole
+    table — the worst case for a hash join's reducer skew), so the join
+    runs through ``salted_join``: the fact side scatters over 8
+    deterministic sub-keys, the 5-row dimension replicates 8×, and the
+    shuffle key becomes (event_type, salt) — a hot key spreads over 8
+    reducers instead of melting one.  The oracle is the UNSALTED join:
+    a green hash row proves salting is a pure execution-strategy change
+    with identical semantics.
+
+    At 100 TB this is the explicit form of what AQE's skew-join split
+    does when statistics catch it; explicit salting is the insurance
+    for the cases runtime stats miss (first run, exchange reuse)."""
+    from gmail_etl_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("type_weight", (F.length("event_type") * 10).cast("long"))
+    )
+    joined = salted_join(e, dim, key="event_type", salt_from="event_id", n=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                * F.max("type_weight")
+            ).cast("long").alias("weighted_cents"),
+        )
+        .orderBy("event_type")
+    )
