@@ -254,3 +254,29 @@ def test_round2_extension_plan_shapes(spark):
 
     plan = _plan(CATALOG["q118_boilerplate_lines"].builder(spark, SF_DIR))
     assert "SortMergeJoin" not in plan, f"line-frequency join fell back:\n{plan}"
+
+
+def test_round3_extension_plan_shapes(spark):
+    """Plan-shape pins for the q133–q139 additions."""
+    # q135 JL projection: map-only — no exchange anywhere before the
+    # presentation sort (one Exchange for the global orderBy is allowed)
+    plan = _plan(CATALOG["q135_jl_projection"].builder(spark, SF_DIR))
+    # formatted mode prints each node twice (tree + detail): count tree nodes
+    assert plan.count("Exchange (") <= 1, plan
+    assert "rangepartitioning" in plan or plan.count("Exchange (") == 0
+
+    # q138 salted join: the join key must be (event_type, _salt) so a
+    # hot key spreads across sub-partitions
+    plan = _plan(CATALOG["q138_salted_skew_join"].builder(spark, SF_DIR))
+    assert re.search(r"Left keys \[2\]: \[event_type#\d+, _salt#\d+", plan), plan
+
+    # q133/q139: window-key shuffles only — no nested-loop/cartesian
+    # product anywhere in the substring-dedup plans
+    for name in ("q133_repeated_ngram_spans", "q139_remove_dup_spans"):
+        plan = _plan(CATALOG[name].builder(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    # q139 materialization slice is pushed to the scan
+    plan = _plan(CATALOG["q139_remove_dup_spans"].builder(spark, SF_DIR))
+    assert "LessThan(doc_id,100)" in plan.replace(" ", ""), plan
