@@ -221,3 +221,67 @@ def q107_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs_at_1m"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q141 — deterministic training-shard assignment + balance audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q141_shard_assignment",
+    oracle="""
+    WITH shards AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(strpos('0123456789abcdef',
+                           substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                    AS BIGINT) AS shard
+        FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+    FROM shards
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    survey="sampling,X6",
+)
+def q141_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of a training-data pipeline: assign every document
+    a deterministic shard (id-keyed cryptographic hash nibble → 16
+    shards, so re-runs land every doc in the same shard with no RNG
+    state) and emit the per-shard balance audit — doc and token counts
+    per shard — that a trainer checks before an epoch.  The sha256-hex
+    scheme is the engine-exact form (q94's hash_split idiom); at 100 TB
+    the same expression feeds ``write.partitionBy("shard")``.
+
+    Scale posture: map-only shard assignment fused into the scan, one
+    16-group aggregation — no data-sized shuffle; writing the shards is
+    a partitioned write keyed on the same expression."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 1),
+        )
+        - 1
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            shard.alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("shard")
+    )

@@ -322,3 +322,71 @@ def q88_grouped_map_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return per_key_sequence(e, "user_id", "ts", "event_id").orderBy("user_id", "seq")
+
+
+# ---------------------------------------------------------------------------
+# q140 — data-profiling audit: per-column null/distinct/range table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q140_profile_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM((o_custkey IS NULL)::INT) AS BIGINT) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM((o_orderstatus IS NULL)::INT) AS BIGINT),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+           CAST(SUM((o_orderpriority IS NULL)::INT) AS BIGINT),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    ORDER BY col_name
+    """,
+    survey="2.5-agg",
+)
+def q140_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling audit (the pre-ingest validation table every
+    pipeline run emits): per column — row count, null count, distinct
+    count, and min/max rendered as strings so one schema fits every
+    column type.
+
+    Scale posture: ONE pass over the table computes all columns'
+    profiles in a single aggregate (partial map-side), then the tiny
+    per-column rows are unpivoted driver-free with stack().  Profiling
+    n columns costs one scan, not n."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__null, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return (
+        wide.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack_expr})"
+                " as (col_name, n_null, n_distinct, min_val, max_val)"
+            ),
+        )
+        .select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+        .orderBy("col_name")
+    )

@@ -253,3 +253,39 @@ def test_jsonl_shards_bounded_and_ordered(spark, tmp_path):
     write_jsonl_shards(df, out2, rows_per_shard=100)
     back = spark.read.json(out2)
     assert back.count() == 1000
+
+
+def test_orc_roundtrip_and_sharded_partition_write(spark, tmp_path):
+    """Format breadth: ORC round-trips losslessly, and the q141 shard
+    expression drives a partitioned write whose layout prunes to one
+    shard directory on read."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    orc_path = str(tmp_path / "docs_orc")
+    d.write.mode("overwrite").orc(orc_path)
+    back = spark.read.orc(orc_path)
+    assert back.count() == d.count()
+    assert sorted(back.columns) == sorted(d.columns)
+    assert {r["doc_id"] for r in back.collect()} == {r["doc_id"] for r in d.collect()}
+
+    shard = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 1),
+        )
+        - 1
+    ).cast("long")
+    shard_path = str(tmp_path / "sharded")
+    d.withColumn("shard", shard).write.mode("overwrite").partitionBy("shard").parquet(
+        shard_path
+    )
+    one = spark.read.parquet(shard_path).filter(F.col("shard") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: only the shard=3 directory is scanned
+    assert one.count() > 0
+    assert "shard" not in plan.split("ReadSchema")[-1].split("]")[0]
