@@ -391,3 +391,150 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
 def binary_from_base64(col: Column) -> Column:
     """Bridge from the raw zone's base64url text (F6) to BinaryType."""
     return F.unbase64(F.translate(col, "-_", "+/"))
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (X2 × D2): dHash + multi-index Hamming pairs
+# ---------------------------------------------------------------------------
+
+
+def dhash_halves(payload: bytes) -> tuple[int | None, int | None]:
+    """64-bit difference hash (dHash) of a decoded image, as two
+    non-negative 32-bit halves (BIGINT-safe on any engine).
+
+    The classic perceptual hash: grayscale, nearest-resample to a 9×8
+    grid (floor source mapping ``src = dst * src_dim // dst_dim``), and
+    one bit per horizontally-adjacent comparison ``g[y][x] < g[y][x+1]``
+    — bit index ``y*8 + x``, low 32 bits in ``lo``.  Near-identical
+    images land within a few bits of each other; undecodable payloads
+    return (None, None)."""
+    if payload is None:
+        return (None, None)
+    try:
+        _, width, height, channels, px = _decode_pixels(bytes(payload))
+    except (ValueError, zlib.error, struct.error, IndexError):
+        return (None, None)
+    if width < 1 or height < 1:
+        return (None, None)
+
+    def gray(sx: int, sy: int) -> int:
+        off = (sy * width + sx) * channels
+        return sum(px[off : off + channels]) // channels
+
+    bits = 0
+    for y in range(8):
+        sy = y * height // 8
+        for x in range(8):
+            sx1 = x * width // 9
+            sx2 = (x + 1) * width // 9
+            if gray(sx1, sy) < gray(sx2, sy):
+                bits |= 1 << (y * 8 + x)
+    return (bits >> 32, bits & 0xFFFFFFFF)
+
+
+def attach_dhash(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, dhash_hi, dhash_lo) via the decode mapInPandas stage —
+    the perceptual-fingerprint pass an image-dedup pipeline runs once
+    per corpus, after which all pairing is JVM-side integer work."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("dhash_hi", LongType()),
+            StructField("dhash_lo", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            halves = [dhash_halves(p) for p in batch[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    "dhash_hi": pd.array([h[0] for h in halves], dtype="Int64"),
+                    "dhash_lo": pd.array([h[1] for h in halves], dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
+def dhash_near_dup_pairs(
+    features: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Image near-duplicate pairs by Hamming distance over dHash, with
+    multi-index hashing instead of an all-pairs scan (Norouzi et al.,
+    "Fast Search in Hamming Space with Multi-Index Hashing"): the 64-bit
+    hash splits into 4 × 16-bit bands; by pigeonhole any pair within
+    Hamming distance 3 agrees EXACTLY on at least one band, so banded
+    bucket grouping has perfect recall for ``max_hamming <= 3`` — the
+    guarantee degrades gracefully above (ceil(64/16)-1).
+
+    Scale shape: same one-shuffle postings expansion as the MinHash LSH
+    path (shared ``capped_pair_candidates`` machinery, hot buckets
+    split), then a JVM popcount verify on the candidate pairs only.
+    Returns (a_id, b_id, hamming)."""
+    from gmail_etl_spark.operators.dedup import capped_pair_candidates
+
+    feats = features.select(
+        F.col(id_col).alias("id"), "dhash_hi", "dhash_lo"
+    ).filter(F.col("dhash_hi").isNotNull())
+    banded = feats.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(
+                                F.col("dhash_hi") if b >= 2 else F.col("dhash_lo"),
+                                16 * (b % 2),
+                            )
+                            % 65536
+                        ).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cands = capped_pair_candidates(buckets, max_bucket)
+    side = feats.hint("shuffle_hash")
+    joined = (
+        cands.join(
+            side.select(
+                F.col("id").alias("a_id"),
+                F.col("dhash_hi").alias("a_hi"),
+                F.col("dhash_lo").alias("a_lo"),
+            ),
+            "a_id",
+        )
+        .join(
+            side.select(
+                F.col("id").alias("b_id"),
+                F.col("dhash_hi").alias("b_hi"),
+                F.col("dhash_lo").alias("b_lo"),
+            ),
+            "b_id",
+        )
+    )
+    hamming = F.bit_count(
+        F.col("a_hi").bitwiseXOR(F.col("b_hi"))
+    ) + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    return (
+        joined.select("a_id", "b_id", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

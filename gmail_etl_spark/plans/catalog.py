@@ -187,6 +187,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q135_jl_projection", "q136_ivf_pq_topk", "q137_domain_quality_rollup",
     "q138_salted_skew_join", "q139_remove_dup_spans",
     "q140_profile_columns", "q141_shard_assignment",
+    "q142_image_dhash", "q143_image_near_dup_pairs",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",

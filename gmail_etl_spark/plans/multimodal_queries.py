@@ -224,3 +224,105 @@ def q115_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak").cast("long").alias("peak"),
         "zero_crossings",
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# q142/q143 — perceptual image hashing: dHash features + Hamming near-dups
+# ---------------------------------------------------------------------------
+
+
+def _synth_pattern_media(df: DataFrame) -> DataFrame:
+    """doc_id → a real PNG whose pixel value at (x, y) is the integer
+    pattern (x*7 + y*13 + doc_id*37) % 256 on every channel — rich
+    enough that dHash discriminates, and recomputable arithmetically in
+    SQL so the oracle can derive the exact hash without a decoder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                did = int(doc_id)
+                w, h = did % 64 + 1, did % 32 + 1
+                px = bytes(
+                    ((x * 7 + y * 13 + did * 37) % 256)
+                    for y in range(h)
+                    for x in range(w)
+                    for _c in range(3)
+                )
+                payloads.append(encode_png(w, h, 3, px))
+            yield pd.DataFrame({"media_id": batch["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(run, _MEDIA_IN)
+
+
+#: the dHash spec, as SQL: g(x,y) from the pattern, 9×8 floor resample,
+#: bit i = y*8+x set when g(src(x),sy) < g(src(x+1),sy)
+_DHASH_SQL = """
+    WITH hashes AS (
+        SELECT doc_id AS media_id,
+               doc_id % 64 + 1 AS w,
+               doc_id % 32 + 1 AS h,
+               CAST(list_sum(list_transform(range(0, 64), i ->
+                   CASE WHEN
+                       (((i % 8) * (doc_id % 64 + 1) // 9) * 7
+                        + ((i // 8) * (doc_id % 32 + 1) // 8) * 13
+                        + doc_id * 37) % 256
+                       <
+                       ((((i % 8) + 1) * (doc_id % 64 + 1) // 9) * 7
+                        + ((i // 8) * (doc_id % 32 + 1) // 8) * 13
+                        + doc_id * 37) % 256
+                   THEN CAST(power(2, i) AS HUGEINT) ELSE 0 END)) AS HUGEINT)
+                   AS bits
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT media_id,
+           CAST(bits // 4294967296 AS BIGINT) AS dhash_hi,
+           CAST(bits % 4294967296 AS BIGINT) AS dhash_lo
+    FROM hashes
+"""
+
+
+@query(
+    "q142_image_dhash",
+    oracle=_DHASH_SQL + " ORDER BY media_id",
+    survey="X2,D2",
+)
+def q142_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual fingerprints through the REAL pipeline: pattern PNGs
+    are encoded, zlib-inflated, de-filtered, grayscaled, 9×8
+    nearest-resampled and difference-hashed executor-side — and the
+    oracle recomputes the exact 64-bit hash arithmetically from the
+    pattern, so a green row proves every stage of the decode+hash path
+    bit-for-bit.  Map-only scale shape: one mapInPandas pass, no
+    shuffle before the presentation sort."""
+    from gmail_etl_spark.operators.multimodal import attach_dhash
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = _synth_pattern_media(d)
+    return attach_dhash(media).orderBy("media_id")
+
+
+@query(
+    "q143_image_near_dup_pairs",
+    oracle="WITH halves AS (" + _DHASH_SQL + """
+    )
+    SELECT a.media_id AS a_id, b.media_id AS b_id,
+           CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+                + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
+    FROM halves a JOIN halves b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+          + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+    ORDER BY a_id, b_id""",
+    survey="X2,D2",
+)
+def q143_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs at Hamming ≤ 3 over dHash, found with
+    multi-index banding (4 × 16-bit bands; pigeonhole guarantees perfect
+    recall at this radius) instead of the oracle's O(n²) join — a green
+    hash row therefore proves the banded search EXACTLY reproduces the
+    exhaustive result on real decoded images."""
+    from gmail_etl_spark.operators.multimodal import attach_dhash, dhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    feats = attach_dhash(_synth_pattern_media(d))
+    return dhash_near_dup_pairs(feats, max_hamming=3).orderBy("a_id", "b_id")

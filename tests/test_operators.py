@@ -829,3 +829,42 @@ def test_ivf_pq_recall_vs_exact(spark):
         recalls.append(len(exact10 & approx_ids) / 10.0)
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.4, f"IVFADC recall@10 too low: {mean_recall}"
+
+
+def test_dhash_planted_near_dups(spark):
+    """Perceptual dedup semantics: a copy with a few flipped pixels sits
+    within Hamming<=3 of its original; structurally different patterns
+    do not — and the banded pair search finds exactly the close pairs."""
+    from gmail_etl_spark.operators.multimodal import (
+        attach_dhash,
+        dhash_halves,
+        dhash_near_dup_pairs,
+        encode_png,
+    )
+
+    w, h = 32, 16
+
+    def pattern_png(seed: int, tweak: bool = False) -> bytes:
+        px = bytearray(
+            ((x * 11 + y * 5 + seed * 41) % 256)
+            for y in range(h)
+            for x in range(w)
+            for _ in range(3)
+        )
+        if tweak:
+            # flip one sampled cell hard enough to change ~1 comparison
+            for c in range(3):
+                px[(3 * w + 5) * 3 + c] = 255
+        return encode_png(w, h, 3, bytes(px))
+
+    base = dhash_halves(pattern_png(1))
+    near = dhash_halves(pattern_png(1, tweak=True))
+    far = dhash_halves(pattern_png(9))
+    ham = lambda a, b: bin((a[0] ^ b[0])).count("1") + bin((a[1] ^ b[1])).count("1")
+    assert ham(base, near) <= 3, ham(base, near)
+    assert ham(base, far) > 3, ham(base, far)
+
+    rows = [(1, pattern_png(1)), (2, pattern_png(1, tweak=True)), (3, pattern_png(9))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = dhash_near_dup_pairs(attach_dhash(media), max_hamming=3).collect()
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == {(1, 2)}
