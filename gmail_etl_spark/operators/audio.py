@@ -183,3 +183,55 @@ def attach_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFr
 
     assert "media_id" in df.columns, "audio table needs a media_id column"
     return df.mapInPandas(run, AUDIO_SCHEMA)
+
+
+def audio_fingerprint(payload: bytes, frame: int = 8, bits: int = 32) -> int | None:
+    """Energy-delta acoustic fingerprint — the 1-D analogue of an image
+    dHash (the scheme underlying Shazam/Chromaprint-style matching,
+    reduced to its energy-contour core): PCM frames of ``frame``
+    samples, frame energy = Σ|sample|, one bit per adjacent-frame
+    comparison ``E[i] < E[i+1]`` (bit i set).  Robust to gain-invariant
+    edits that preserve the loudness contour; undecodable payloads
+    return None.  ``bits`` ≤ 62 keeps the value BIGINT-safe."""
+    if payload is None:
+        return None
+    try:
+        _rate, _ch, _bits_per, samples = _parse_wav(bytes(payload))
+    except (ValueError, struct.error, IndexError):
+        return None
+    if len(samples) < frame * (bits + 1):
+        return None
+    energies = [
+        sum(abs(s) for s in samples[f * frame : (f + 1) * frame])
+        for f in range(bits + 1)
+    ]
+    fp = 0
+    for i in range(bits):
+        if energies[i] < energies[i + 1]:
+            fp |= 1 << i
+    return fp
+
+
+def attach_audio_fingerprint(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, audio_fp) via the decode mapInPandas stage — after this one
+    pass, audio dedup is integer work (exact-match groupBy or banded
+    Hamming, exactly like the image dHash path)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("audio_fp", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            fps = [audio_fingerprint(p) for p in batch[payload_col]]
+            yield pd.DataFrame(
+                {id_col: batch[id_col], "audio_fp": pd.array(fps, dtype="Int64")}
+            )
+
+    return df.mapInPandas(run, out_schema)

@@ -326,3 +326,51 @@ def q143_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     feats = attach_dhash(_synth_pattern_media(d))
     return dhash_near_dup_pairs(feats, max_hamming=3).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# q144 — acoustic fingerprint over the real WAV decode
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q144_audio_fingerprint",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN
+                   list_sum(list_transform(range(0, 8), k ->
+                       abs(((i*8+k)*(i*8+k) + doc_id*29) % 2001 - 1000)))
+                   <
+                   list_sum(list_transform(range(0, 8), k ->
+                       abs((((i+1)*8+k)*((i+1)*8+k) + doc_id*29) % 2001 - 1000)))
+               THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)
+               AS audio_fp
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY media_id
+    """,
+    survey="X2,D2",
+)
+def q144_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic fingerprints through the REAL pipeline: deterministic
+    PCM (sample i = (i² + doc_id·29) % 2001 − 1000, 264 samples, 16-bit
+    WAV) is RIFF-encoded, parsed back by the stdlib decoder, framed to
+    8-sample energies and delta-hashed to 32 bits — and the oracle
+    recomputes the exact fingerprint arithmetically from the sample
+    formula, proving the full encode→parse→frame→hash path bit-for-bit.
+    Map-only scale shape, one Arrow crossing."""
+    from gmail_etl_spark.operators.audio import attach_audio_fingerprint, encode_wav
+
+    def run(batches):
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                did = int(doc_id)
+                samples = [((i * i + did * 29) % 2001) - 1000 for i in range(264)]
+                payloads.append(encode_wav(8000, samples))
+            yield pd.DataFrame({"media_id": batch["doc_id"], "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.select("doc_id").mapInPandas(run, _MEDIA_IN)
+    return attach_audio_fingerprint(media).orderBy("media_id")

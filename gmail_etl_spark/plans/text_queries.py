@@ -1499,3 +1499,92 @@ def q137_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — feature hashing (the hashing-trick text vectorizer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q145_feature_hashing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 200
+    ),
+    h AS (
+        SELECT doc_id,
+               strpos('0123456789abcdef', substr(sha256(tok), 1, 1)) - 1 AS b,
+               CASE WHEN (strpos('0123456789abcdef', substr(sha256(tok), 2, 1)) - 1)
+                         % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM toks
+    ),
+    agg AS (
+        SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v
+        FROM h GROUP BY doc_id, b
+    ),
+    dense AS (
+        SELECT doc_id, list(b ORDER BY b) AS bs, list(v ORDER BY b) AS vs
+        FROM agg GROUP BY doc_id
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(range(0, 16), j ->
+               CAST(COALESCE(vs[list_position(bs, j)], 0) AS VARCHAR)), ' ')
+               AS features,
+           CAST(list_sum(list_transform(vs, x -> abs(x))) AS BIGINT) AS l1_norm
+    FROM dense
+    ORDER BY doc_id
+    """,
+    survey="X3,X1",
+)
+def q145_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick vectorizer (Weinberger et al. 2009; the
+    featurizer behind Vowpal-Wabbit-scale linear models): each token
+    hashes to one of 16 buckets with a ±1 sign from a second hash bit,
+    and a document's feature vector is the signed bucket count — no
+    vocabulary build, no driver state, memory O(dims) regardless of
+    corpus size.  Bucket and sign come from sha256 nibbles so both
+    engines derive identical vectors; output is the dense vector as a
+    space-joined integer string (canonicalizer-sortable) plus its L1
+    norm.
+
+    Scale posture: explode → two-level partial aggregation; nothing but
+    (doc_id, bucket, count) crosses the shuffle — the classic
+    featurization pass at 100 TB."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sha = F.sha2(F.col("tok"), 256)
+    b = (F.instr(F.lit("0123456789abcdef"), F.substring(sha, 1, 1)) - 1).alias("b")
+    s = (
+        F.when(
+            (F.instr(F.lit("0123456789abcdef"), F.substring(sha, 2, 1)) - 1) % 2 == 0,
+            1,
+        ).otherwise(-1)
+    ).alias("s")
+    agg = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", b, s)
+        .groupBy("doc_id", "b")
+        .agg(F.sum("s").cast("long").alias("v"))
+    )
+    dense = agg.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("b", "v"))).alias("bv")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: F.coalesce(
+            F.element_at(F.expr("map_from_arrays(bv.b, bv.v)"), j), F.lit(0)
+        ),
+    )
+    return dense.select(
+        "doc_id",
+        F.array_join(
+            F.transform(vec, lambda x: x.cast("string")), " "
+        ).alias("features"),
+        F.aggregate(
+            F.col("bv"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.abs(x["v"]),
+        ).alias("l1_norm"),
+    ).orderBy("doc_id")
