@@ -15,6 +15,7 @@ with no large shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -157,4 +158,37 @@ def with_winnow_fps(
             ),
         )
         .drop("_winnow_cs", "_winnow_hs")
+    )
+
+
+def attach_compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """zlib compression ratio per document — the entropy-proxy quality
+    signal of Gopher/RefinedWeb-style filters: highly repetitive or
+    templated text compresses far below natural prose, near-random text
+    barely compresses at all; curation thresholds both tails.
+
+    Python is unavoidable (no SQL zlib), so this is an Arrow-batched
+    pandas_udf over the pre-projected (id, text) pair — one narrow pass,
+    no shuffle.  Returns (id, byte_len, compressed_len, ratio) with
+    ratio rounded to 6 dp."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _clen(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6)) if t is not None else None
+        )
+
+    blen = F.length(F.encode(F.col(text_col), "UTF-8"))
+    return df.select(
+        F.col(id_col),
+        blen.alias("byte_len"),
+        _clen(F.col(text_col)).alias("compressed_len"),
+    ).withColumn(
+        "ratio",
+        F.round(F.col("compressed_len").cast("double") / F.col("byte_len"), 6),
     )

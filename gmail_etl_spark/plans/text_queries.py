@@ -1588,3 +1588,21 @@ def q145_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + F.abs(x["v"]),
         ).alias("l1_norm"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q146 — compression-ratio quality signal (rows-only: no SQL zlib)
+# ---------------------------------------------------------------------------
+
+
+@query("q146_compression_ratio", oracle=None, survey="X3,2.7-udf")
+def q146_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (entropy proxy): the
+    Gopher-style quality signal that catches templated/repetitive text
+    (ratio far below prose) and binary-ish noise (ratio near 1).
+    Rows-only — no SQL zlib; the discrimination property (repetitive ≪
+    prose < random) is pinned in tests/test_operators.py."""
+    from gmail_etl_spark.operators.text import attach_compression_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    return attach_compression_ratio(d).orderBy("doc_id")

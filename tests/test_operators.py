@@ -868,3 +868,20 @@ def test_dhash_planted_near_dups(spark):
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     pairs = dhash_near_dup_pairs(attach_dhash(media), max_hamming=3).collect()
     assert {(r["a_id"], r["b_id"]) for r in pairs} == {(1, 2)}
+
+
+def test_compression_ratio_discriminates(spark):
+    """Entropy proxy sanity: repetitive text compresses far below
+    natural-ish prose, which compresses below hash-noise text."""
+    from gmail_etl_spark.operators.text import attach_compression_ratio
+
+    rows = [
+        (1, "spam " * 200),
+        (2, "the quick brown fox jumps over the lazy dog and keeps going " * 20),
+        (3, " ".join(f"{i*2654435761 % 99999999:x}" for i in range(200))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["ratio"] for r in attach_compression_ratio(df).collect()}
+    assert got[1] < 0.05, got
+    assert got[1] < got[2] < got[3], got
+    assert got[3] > 0.5, got
