@@ -563,3 +563,37 @@ def q138_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — two-phase aggregation on a skewed key (X6), oracle = plain agg
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q147_two_phase_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey="X6,2.5-agg",
+)
+def q147_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase aggregation on the hot event_type key: partial
+    sums on (key, salt) then a final combine on key — the insurance form
+    for aggregates whose partial-agg Spark disables (high-cardinality
+    collect state) or where one reducer would otherwise take a whole
+    key.  The oracle is the plain one-phase aggregate: a green hash row
+    proves the decomposition is semantics-free.  Decimal partials keep
+    the sum order-independent across the extra combine level."""
+    from gmail_etl_spark.operators.skew import two_phase_agg
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        two_phase_agg(e, key="event_type", value="value", salt_from="event_id", n=8)
+        .orderBy("event_type")
+    )
