@@ -5,7 +5,7 @@ exactly; plus RNG sampling as rows-only with statistical tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmail_etl_spark.operators.sampling import (
@@ -284,4 +284,96 @@ def q141_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
         .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — curation-funnel observability: per-stage survivor counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q148_curation_funnel",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text, sha256(text) AS sha,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    quality AS (SELECT * FROM base WHERE n_tokens >= 25),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY sha ORDER BY doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    ),
+    decontaminated AS (
+        SELECT d.* FROM deduped d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM base b
+            WHERE b.doc_id < 20 AND b.doc_id <> d.doc_id AND b.sha = d.sha
+        )
+    )
+    SELECT
+        (SELECT COUNT(*) FROM base) AS n_input,
+        (SELECT COUNT(*) FROM quality) AS n_after_quality,
+        (SELECT COUNT(*) FROM deduped) AS n_after_dedup,
+        (SELECT COUNT(*) FROM decontaminated) AS n_after_decontamination,
+        (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM decontaminated) AS surviving_tokens
+    """,
+    survey="X3,D1,sampling",
+)
+def q148_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: the survivor-count funnel every curation
+    run reports — input → quality filter (≥25 tokens) → exact dedup
+    (first doc per content hash) → decontamination (drop anything whose
+    content hash also appears in the doc_id<20 'benchmark' slice) —
+    plus the surviving token budget.  One row, five counters: the
+    numbers an operator watches to catch a filter suddenly eating the
+    corpus.
+
+    Scale posture: each stage is a narrow transformation on (doc_id,
+    sha, n_tokens); content never shuffles; the five counters come from
+    one aggregation over the final stage plus cheap stage counts — at
+    100 TB this materializes as one pass with observation metrics, not
+    five scans of the raw corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    quality = base.filter(F.col("n_tokens") >= 25)
+    w = Window.partitionBy("sha").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # one row per sha (no join fan-out): a doc is contaminated when some
+    # OTHER bench doc shares its hash — i.e. the bench group has >= 2
+    # members, or its single member isn't this doc
+    bench_shas = (
+        base.filter(F.col("doc_id") < 20)
+        .groupBy("sha")
+        .agg(F.count(F.lit(1)).alias("b_cnt"), F.min("doc_id").alias("b_min"))
+    )
+    decon = (
+        deduped.join(F.broadcast(bench_shas), "sha", "left")
+        .filter(
+            F.col("b_cnt").isNull()
+            | ~((F.col("b_cnt") >= 2) | (F.col("b_min") != F.col("doc_id")))
+        )
+        .drop("b_cnt", "b_min")
+    )
+    return (
+        base.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_after_quality")))
+        .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_after_dedup")))
+        .crossJoin(
+            decon.agg(
+                F.count(F.lit(1)).alias("n_after_decontamination"),
+                F.sum("n_tokens").cast("long").alias("surviving_tokens"),
+            )
+        )
     )
