@@ -143,3 +143,36 @@ def test_header_explode_udtf(spark):
         "first subject",
         "second subject wins",
     ]
+
+
+@given(
+    st.integers(min_value=2, max_value=24),
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_dhash_stable_under_reencode(w, h, seed):
+    """dHash is a function of the pixels: re-encoding the same pixel
+    buffer as a fresh PNG (new zlib stream, new chunk layout) must give
+    the identical hash, and both halves stay in uint32 range."""
+    from gmail_etl_spark.operators.multimodal import dhash_halves, encode_png
+
+    px = bytes(((x * 31 + y * 17 + seed) % 256) for y in range(h) for x in range(w) for _ in range(3))
+    a = dhash_halves(encode_png(w, h, 3, px))
+    b = dhash_halves(encode_png(w, h, 3, px))
+    assert a == b
+    assert 0 <= a[0] < 2**32 and 0 <= a[1] < 2**32
+
+
+@given(st.lists(st.integers(min_value=-8000, max_value=8000), min_size=264, max_size=264))
+@settings(max_examples=40, deadline=None)
+def test_audio_fingerprint_gain_invariant(samples):
+    """The energy-delta fingerprint depends only on the loudness
+    contour's ordering, so a clean 2x gain (no clipping at 16-bit
+    range) must not change a single bit."""
+    from gmail_etl_spark.operators.audio import audio_fingerprint, encode_wav
+
+    base = audio_fingerprint(encode_wav(8000, samples))
+    louder = audio_fingerprint(encode_wav(8000, [s * 2 for s in samples]))
+    assert base == louder
+    assert base is not None and 0 <= base < 2**32
