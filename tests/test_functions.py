@@ -264,3 +264,38 @@ def test_extract_indeed_ignores_outside_rtl():
         "<p>after</p>"
     )
     assert extract_indeed_fields(html) == ("p1", "p3", "loc")
+
+
+def test_strip_html_malformed_markup_cases():
+    """Adversarial/malformed markup: the stdlib fallback must never
+    raise and must extract the visible text sensibly (the bs4
+    'html.parser' flavor is built on the same stdlib tokenizer, so
+    text-node events match; these pin the fallback's behavior)."""
+    from gmail_etl_spark.functions.html import strip_html
+
+    cases = {
+        # unclosed tags
+        "<div><p>open<b>bold": "openbold",
+        # stray closing tags
+        "</p>text</div>": "text",
+        # comment excluded, text kept
+        "a<!-- hidden -->b": "ab",
+        # broken comment (never closed): the tokenizer cannot form a
+        # comment token and emits the raw bytes as data
+        "keep<!-- broken": "keep<!-- broken",
+        # bare ampersand and broken entity survive as text
+        "fish & chips &nosuch; ok": "fish & chips &nosuch; ok",
+        # numeric/named entities decode
+        "&lt;tag&gt; &#65;": "<tag> A",
+        # attribute quote never closes: no tag token forms, the raw
+        # prefix surfaces as data (same event bs4's html.parser sees)
+        '<a href="x>link</a>done': '<a href="x>linkdone',
+        # doctype and processing instructions are not text
+        "<!DOCTYPE html><?xml version='1'?>body": "body",
+        # deeply nested unclosed structure
+        "<i>" * 200 + "deep": "deep",
+    }
+    for html, expected in cases.items():
+        assert strip_html(html) == expected, html
+    assert strip_html(None) is None
+    assert strip_html("") == ""
