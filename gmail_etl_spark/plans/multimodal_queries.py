@@ -374,3 +374,82 @@ def q144_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = d.select("doc_id").mapInPandas(run, _MEDIA_IN)
     return attach_audio_fingerprint(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# q149 — multimodal training-sample assembly (text × embedding × image)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q149_multimodal_assembly",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        FROM documents WHERE doc_id < 250
+    ),
+    emb AS (SELECT vec_id, len(embedding) AS emb_dim FROM embeddings),
+    img AS (
+        SELECT doc_id AS media_id,
+               doc_id % 64 + 1 AS img_w,
+               doc_id % 32 + 1 AS img_h
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT d.doc_id, d.lang, d.n_tokens,
+           (e.vec_id IS NOT NULL) AS has_embedding,
+           COALESCE(e.emb_dim, 0) AS emb_dim,
+           (i.media_id IS NOT NULL) AS has_image,
+           COALESCE(i.img_w, 0) AS img_w,
+           COALESCE(i.img_h, 0) AS img_h,
+           (e.vec_id IS NOT NULL AND i.media_id IS NOT NULL) AS complete
+    FROM docs d
+    LEFT JOIN emb e ON e.vec_id = d.doc_id
+    LEFT JOIN img i ON i.media_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    survey="X2,X1,2.5-agg",
+)
+def q149_multimodal_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sample-assembly join of a multimodal training pipeline: text
+    records enriched with their embedding row and their image's REAL
+    decoded dimensions (the media slice ends at doc_id 150, so a band of
+    docs is text+embedding only), with per-modality presence flags and
+    the ``complete`` bit a packing stage filters on.
+
+    Scale posture: both enrichment sides join on the sample id — at
+    100 TB all three tables would be bucketed on it, making this a
+    shuffle-free zipper; here the dimension-sized sides broadcast.  The
+    image dims come from the actual PNG decode (one mapInPandas pass),
+    oracled arithmetically."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.size("embedding").alias("emb_dim_raw")
+    )
+    media = attach_media_features(
+        _synth_png_media(
+            load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150),
+            constant_color=False,
+        )
+    ).select("media_id", "width", "height")
+    return (
+        d.join(F.broadcast(emb), d["doc_id"] == emb["vec_id"], "left")
+        .join(F.broadcast(media), d["doc_id"] == media["media_id"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.col("vec_id").isNotNull().alias("has_embedding"),
+            F.coalesce("emb_dim_raw", F.lit(0)).cast("long").alias("emb_dim"),
+            F.col("media_id").isNotNull().alias("has_image"),
+            F.coalesce("width", F.lit(0)).cast("long").alias("img_w"),
+            F.coalesce("height", F.lit(0)).cast("long").alias("img_h"),
+            (F.col("vec_id").isNotNull() & F.col("media_id").isNotNull()).alias(
+                "complete"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -535,3 +535,73 @@ def q136_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         queries, emb, books, centroids, k=10, nprobe=4, rerank=5
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q150 — Matryoshka truncation: prefix-truncate + renormalize embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q150_matryoshka_truncate",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    cut AS (
+        SELECT vec_id,
+               emb[1:16] AS head,
+               sqrt(list_sum(list_transform(emb[1:16], x -> x * x))) AS head_norm,
+               sqrt(list_sum(list_transform(emb, x -> x * x))) AS full_norm
+        FROM base
+    )
+    SELECT vec_id,
+           16 AS k_dims,
+           ROUND(head_norm, 6) AS head_norm,
+           ROUND(head_norm / full_norm, 6) AS energy_kept,
+           ROUND(list_sum(list_transform(range(1, 17),
+               i -> round(head[i] / head_norm, 6))), 6) AS unit_checksum
+    FROM cut
+    WHERE head_norm > 0
+    ORDER BY vec_id
+    """,
+    survey="X1",
+)
+def q150_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style embedding truncation (Kusupati et al. 2022):
+    keep the first 16 dims and renormalize to unit length — the standard
+    cheap-tier representation for coarse ANN stages — reporting the head
+    norm, the energy fraction the prefix retains, and a rounded checksum
+    of the renormalized head vector (sum of its 6-dp components; the
+    per-component values are engine-identical since every term is
+    rounded before the order-independent... order-fixed sum).
+
+    Scale posture: map-only array expressions fused into the scan; the
+    natural upstream of the IVF/PQ stack (train the coarse quantizer on
+    the 16-dim head, re-rank with the full vector — exactly q136's
+    re-rank shape)."""
+    emb = F.expr("transform(embedding, x -> cast(x as double))")
+    head = F.slice(emb, 1, 16)
+    sq = lambda a: F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+    head_norm = F.sqrt(sq(head))
+    full_norm = F.sqrt(sq(emb))
+    unit_checksum = F.aggregate(
+        F.transform(head, lambda x: F.round(x / head_norm, 6)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.lit(16).alias("k_dims"),
+            F.round(head_norm, 6).alias("head_norm"),
+            F.round(head_norm / full_norm, 6).alias("energy_kept"),
+            F.round(unit_checksum, 6).alias("unit_checksum"),
+        )
+        .filter(F.col("head_norm") > 0)
+        .orderBy("vec_id")
+    )

@@ -348,3 +348,47 @@ def test_stream_scrub_documents_incremental(spark, tmp_path):
     got2 = {r["doc_id"]: r.asDict() for r in spark.read.parquet(out).collect()}
     assert set(got2) == {1, 2, 3}           # no duplicates from re-scrubbing
     assert got2[3]["n_ssns"] == 1 and "[SSN]" in got2[3]["clean_text"]
+
+
+def test_streaming_dhash_matches_batch(spark, tmp_path):
+    """X2 × ST crossover: the perceptual-fingerprint pass runs unchanged
+    inside a foreachBatch stream, and the streamed fingerprints equal
+    the batch ones exactly."""
+    from pyspark.sql import functions as F
+
+    from gmail_etl_spark.operators.multimodal import attach_dhash, encode_png
+
+    def png_for(i: int) -> bytes:
+        w, h = 16, 8
+        px = bytes(((x * 7 + y * 13 + i * 37) % 256) for y in range(h) for x in range(w) for _ in range(3))
+        return encode_png(w, h, 3, px)
+
+    rows = [(i, png_for(i)) for i in range(40)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    src = str(tmp_path / "media_src")
+    media.repartition(4).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "fp_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("media_id long, payload binary").parquet(src)
+
+    def process(batch_df, batch_id):
+        attach_dhash(batch_df).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        r["media_id"]: (r["dhash_hi"], r["dhash_lo"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r["media_id"]: (r["dhash_hi"], r["dhash_lo"])
+        for r in attach_dhash(media).collect()
+    }
+    assert streamed == batch and len(streamed) == 40
