@@ -280,3 +280,39 @@ def test_round3_extension_plan_shapes(spark):
     # q139 materialization slice is pushed to the scan
     plan = _plan(CATALOG["q139_remove_dup_spans"].builder(spark, SF_DIR))
     assert "LessThan(doc_id,100)" in plan.replace(" ", ""), plan
+
+
+#: Queries where a nested-loop join is the RIGHT plan: either the build
+#: side is a broadcast single-row scalar aggregate (q93/q105/q112/q148
+#: corpus-count literals, q109/q131 scalar thresholds — 1-row BNLJ is
+#: strictly cheaper than any shuffle), a bounded-by-contract broadcast
+#: query set (q50 brute-force kNN, q46's sliced pair construction whose
+#: scale path is the LSH counterpart q54), or an intentional cross join
+#: (q90 grid).
+_BNLJ_JUSTIFIED = {
+    "q46_embedding_near_dup",
+    "q50_knn_exact",
+    "q90_cross_join_grid",
+    "q93_tfidf_top_terms",
+    "q105_unigram_lm_nll",
+    "q109_dormant_customers",
+    "q112_tfidf_cosine_pairs",
+    "q131_important_parts",
+    "q148_curation_funnel",
+}
+
+
+def test_no_unjustified_nested_loop_joins_anywhere(spark):
+    """Blanket 100 TB guard over the WHOLE catalog: no plan may contain
+    a cartesian product, and nested-loop joins only where whitelisted
+    with a scale justification.  A regression that turns an equi-join
+    into a nested loop (lost join key, accidental inequality join)
+    fails here before it ships."""
+    offenders = {}
+    for name, cq in sorted(CATALOG.items()):
+        plan = _plan(cq.builder(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_JUSTIFIED:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
