@@ -377,3 +377,133 @@ def q148_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — curriculum deciles: difficulty-bucketed corpus statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q151_curriculum_deciles",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr
+        FROM documents
+    ),
+    buckets AS (
+        SELECT *, NTILE(10) OVER (ORDER BY ttr, doc_id) AS decile
+        FROM scored
+    )
+    SELECT decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(ttr) AS min_ttr,
+           MAX(ttr) AS max_ttr
+    FROM buckets
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    survey="sampling,X3,2.5-window",
+)
+def q151_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: bucket the corpus into difficulty
+    deciles by type-token ratio (repetitive/templated text scores low,
+    lexically rich text high — the cheap difficulty proxy) and report
+    each decile's doc count, token budget, and TTR range — the schedule
+    table a curriculum-ordered training run consumes.
+
+    Scale posture: the score is a map-only expression; NTILE over a
+    global order is the one total-order shuffle (at 100 TB replace with
+    approx-quantile boundaries + a broadcast range join — same output
+    decile semantics, no global sort); the rollup is ten groups.  TTR is
+    a ratio of integers from identical token arrays, rounded in-query on
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("ttr"),
+    )
+    w = Window.orderBy("ttr", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("ttr").alias("min_ttr"),
+            F.max("ttr").alias("max_ttr"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q152 — greedy token-budget selection (take best docs until budget)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q152_token_budget_selection",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr
+        FROM documents
+    ),
+    running AS (
+        SELECT *,
+               CAST(SUM(n_tokens) OVER (ORDER BY ttr DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, ttr, cum_tokens
+    FROM running
+    WHERE cum_tokens <= 10000
+    ORDER BY doc_id
+    """,
+    survey="sampling,2.5-window",
+)
+def q152_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained subset selection: rank the corpus by quality
+    (TTR descending, deterministic tie-break) and keep documents while
+    the running token total stays within the 10k budget — the greedy
+    'best data under a token budget' step of data-constrained training
+    recipes.
+
+    Scale posture: same as q151 — one total-order window (the
+    approx-quantile + range-join rewrite applies identically at 100 TB);
+    the cumulative sum is exact integers, so the cut point is
+    engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("ttr"),
+    )
+    w = (
+        Window.orderBy(F.desc("ttr"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= 10000)
+        .orderBy("doc_id")
+    )
