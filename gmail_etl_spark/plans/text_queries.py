@@ -1606,3 +1606,92 @@ def q146_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return attach_compression_ratio(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q153 — per-source token entropy + KL divergence from the corpus mix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q153_source_token_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    per_source AS (
+        SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok
+    ),
+    src_totals AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM per_source GROUP BY source
+    ),
+    corpus AS (
+        SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM per_source GROUP BY tok
+    ),
+    corpus_total AS (SELECT CAST(SUM(cc) AS BIGINT) AS nn FROM corpus)
+    SELECT s.source,
+           t.n AS n_tokens,
+           COUNT(*) AS n_types,
+           -- per-term round -> exact DECIMAL sum: float summation order
+           -- can never differ between engines
+           CAST(SUM(CAST(ROUND(
+               -(CAST(s.c AS DOUBLE) / t.n)
+                 * log2(CAST(s.c AS DOUBLE) / t.n), 6) AS DECIMAL(18,6)))
+               AS DOUBLE) AS entropy_bits,
+           CAST(SUM(CAST(ROUND(
+               (CAST(s.c AS DOUBLE) / t.n)
+                 * log2((CAST(s.c AS DOUBLE) / t.n)
+                        / (CAST(c.cc AS DOUBLE) / (SELECT nn FROM corpus_total))),
+               6) AS DECIMAL(18,6))) AS DOUBLE) AS kl_from_corpus
+    FROM per_source s
+    JOIN src_totals t USING (source)
+    JOIN corpus c USING (tok)
+    GROUP BY s.source, t.n
+    ORDER BY s.source
+    """,
+    survey="X3,D1",
+)
+def q153_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health metrics per source: Shannon entropy of the token
+    distribution (low = templated/repetitive source) and KL divergence
+    from the whole-corpus distribution (high = domain shift — the
+    quantity mixing recipes monitor when re-weighting sources).
+
+    Engine-exactness: every p·log p term is rounded to 6 dp and summed
+    as exact DECIMAL, so float accumulation ORDER — which differs
+    between engines and within Spark across partitionings — cannot
+    reach the result (the q73 integer-moment idea, generalized to
+    irrational terms).  Scale posture: two partial-aggregating shuffles
+    over (source, token) counts and a broadcast of the small corpus
+    vocabulary; nothing text-sized moves."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    per_source = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    src_totals = per_source.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    corpus = per_source.groupBy("tok").agg(F.sum("c").cast("long").alias("cc"))
+    corpus_total = corpus.agg(F.sum("cc").cast("double").alias("nn"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("cc").cast("double") / F.col("nn")
+    ent_term = F.round(-p * F.log2(p), 6).cast("decimal(18,6)")
+    kl_term = F.round(p * F.log2(p / q), 6).cast("decimal(18,6)")
+    return (
+        per_source.join(F.broadcast(src_totals), "source")
+        .join(corpus, "tok")
+        .crossJoin(F.broadcast(corpus_total))
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(ent_term).cast("double").alias("entropy_bits"),
+            F.sum(kl_term).cast("double").alias("kl_from_corpus"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            "n_types",
+            "entropy_bits",
+            "kl_from_corpus",
+        )
+        .orderBy("source")
+    )
