@@ -756,3 +756,80 @@ def q139_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — triangle census of the near-dup graph (dup-cluster cohesion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q154_dup_graph_triangles",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+        FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS v
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
+    ),
+    tris AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT a AS node FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+        )
+        GROUP BY node
+    )
+    SELECT node, n_triangles FROM per_node ORDER BY node
+    """,
+    survey="D2,2.5-agg",
+)
+def q154_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate graph: per-document count
+    of closed triples among its ≥0.8-Jaccard edges.  High triangle
+    density marks tight duplicate cliques (safe to collapse to one
+    canonical doc); bridge-heavy, triangle-poor components are the
+    false-merge risk a dedup pass inspects before collapsing.
+
+    The classic two-join triangle enumeration on canonically-ordered
+    edges (u < v, so each triangle counts exactly once): at 100 TB the
+    joins shuffle on node id, degeneracy-order the edges first to bound
+    the e1⋈e2 intermediate (the standard MapReduce triangle recipe);
+    the fixture's dup graph is small cliques, so the intermediate here
+    is tiny.  Counts are exact integers."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    edges = (
+        jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return per_node.orderBy("node")

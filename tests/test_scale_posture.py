@@ -299,6 +299,7 @@ _BNLJ_JUSTIFIED = {
     "q112_tfidf_cosine_pairs",
     "q131_important_parts",
     "q148_curation_funnel",
+    "q153_source_token_entropy",  # 1-row corpus-total broadcast
 }
 
 
