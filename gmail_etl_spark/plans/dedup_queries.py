@@ -833,3 +833,90 @@ def q154_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
     return per_node.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q156 — PageRank (3 unrolled iterations) on the near-dup graph
+# ---------------------------------------------------------------------------
+
+_PR_ITER_SQL = """
+    SELECT e.v AS node,
+           ROUND(0.15 + 0.85 * CAST(SUM(CAST(ROUND({src}.r / deg.d, 9)
+                 AS DECIMAL(28,9))) AS DOUBLE), 9) AS r
+    FROM edges e
+    JOIN {src} ON {src}.node = e.u
+    JOIN deg ON deg.u = e.u
+    GROUP BY e.v
+"""
+
+
+@query(
+    "q156_pagerank",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents WHERE doc_id < 1000
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+        FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT a_id, b_id
+      FROM common
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE CAST(n_common AS DOUBLE)
+            / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.95
+    ),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    r0 AS (SELECT u AS node, CAST(1.0 AS DOUBLE) AS r FROM deg),
+    r1 AS (""" + _PR_ITER_SQL.format(src="r0") + """),
+    r2 AS (""" + _PR_ITER_SQL.format(src="r1") + """),
+    r3 AS (""" + _PR_ITER_SQL.format(src="r2") + """)
+    SELECT node, ROUND(r, 6) AS pagerank FROM r3 ORDER BY node
+    """,
+    survey="D2,2.5-agg",
+)
+def q156_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, three unrolled power iterations) over the
+    ≥0.95-Jaccard near-dup graph — the canonical iterative graph
+    algorithm as a DataFrame loop: each round is one edges⋈ranks join
+    and one grouped sum, exactly the shuffle pattern a 1000-executor
+    PageRank runs (ranks partitioned by node, edges by source).
+
+    Engine-exactness for an ITERATIVE float computation: every per-edge
+    contribution rounds to 9 dp and accumulates as exact DECIMAL, and
+    each round's rank is re-rounded — so both engines carry bit-equal
+    state into the next iteration and the final 6-dp hash matches (the
+    q153 discipline, compounded across rounds)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = jaccard_pairs(d, "doc_id", "text", threshold=0.95)
+    edges = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")).unionAll(
+        pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(F.col("u").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(3):
+        contribs = (
+            edges.join(ranks, edges["u"] == ranks["node"])
+            .join(deg, "u")
+            .select(
+                "v",
+                F.round(F.col("r") / F.col("d"), 9)
+                .cast("decimal(28,9)")
+                .alias("c"),
+            )
+        )
+        ranks = contribs.groupBy("v").agg(
+            F.round(
+                F.lit(0.15) + F.lit(0.85) * F.sum("c").cast("double"), 9
+            ).alias("r")
+        ).select(F.col("v").alias("node"), "r")
+    return ranks.select(
+        "node", F.round("r", 6).alias("pagerank")
+    ).orderBy("node")

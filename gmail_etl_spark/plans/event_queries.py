@@ -597,3 +597,63 @@ def q147_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         two_phase_agg(e, key="event_type", value="value", salt_from="event_id", n=8)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — sequential pattern mining: frequent per-user action trigrams
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q155_event_trigrams",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LEAD(event_type, 1) OVER w AS nxt1,
+               LEAD(event_type, 2) OVER w AS nxt2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || nxt1 || '>' || nxt2 AS trigram,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM ordered
+    WHERE nxt2 IS NOT NULL
+    GROUP BY trigram
+    ORDER BY n_occurrences DESC, trigram
+    LIMIT 20
+    """,
+    survey="X5,2.5-window",
+)
+def q155_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: the most frequent three-step action
+    sequences across users (the behavioral n-grams a funnel designer or
+    an agent-trajectory curator ranks).  Each user's event stream is
+    ordered once (ts, event_id total order), trigrams come from two
+    LEADs over that one window, and the count is a plain aggregate —
+    one per-user shuffle plus one tiny trigram shuffle, no self-joins.
+
+    At 100 TB the per-user window is the natural partitioning (user_id
+    shuffle with AQE skew split for power users); the trigram domain is
+    |event_types|³ — bounded, so the final aggregate is never large."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    ).filter(F.col("nxt2").isNotNull())
+    return (
+        ordered.select(
+            F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("trigram"),
+            "user_id",
+        )
+        .groupBy("trigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("trigram"))
+        .limit(20)
+    )
