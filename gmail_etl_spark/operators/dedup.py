@@ -437,3 +437,73 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseOR(term)
     return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Exact token-set Jaccard join with PREFIX FILTERING (the
+    PPJoin/AllPairs family, Chaudhuri et al. 2006 / Xiao et al. 2008):
+    identical output to :func:`jaccard_pairs`, far fewer candidates.
+
+    Tokens get a global rarity rank (ascending document frequency,
+    token tie-break); each document only indexes its
+    ``n - ceil(t·n) + 1`` rarest tokens.  Prefix-filter lemma: two sets
+    with Jaccard ≥ t overlap in ≥ ceil(t·max(n_a, n_b)) tokens, so
+    under a CONSISTENT global order their prefixes must share at least
+    one token — candidate generation over prefixes alone loses nothing,
+    while the postings for frequent tokens (the df² blow-up of the
+    naive inverted index) never materialize.  Candidates are then
+    verified with an exact rank-set intersection.
+
+    Scale shape: the rank table is vocabulary-sized (broadcast); the
+    candidate shuffle carries only prefix postings (the df² term now
+    bounded by prefix occupancy); verification joins fixed-width int
+    arrays by id.  This is the exact-join engine you run INSIDE LSH
+    buckets or after MinHash at 100 TB."""
+    import math
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("token"),
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    rank = dfreq.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.asc("df"), F.asc("token")))
+        .alias("rank"),
+    )
+    ranked = toks.join(F.broadcast(rank), "token").select("id", "rank")
+    # per-doc rank set, rarity-ordered, with its prefix slice
+    per_doc = ranked.groupBy("id").agg(
+        F.array_sort(F.collect_list("rank")).alias("ranks")
+    )
+    n = F.size("ranks")
+    prefix_len = n - F.ceil(n * F.lit(float(threshold))).cast("int") + 1
+    prefixes = per_doc.select(
+        "id", F.explode(F.slice("ranks", 1, prefix_len)).alias("rank")
+    )
+    buckets = (
+        prefixes.groupBy("rank")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.lit(0).alias("band"), F.col("rank").alias("bucket"), "ids")
+    )
+    candidates = capped_pair_candidates(buckets, max_bucket=4096)
+    side = per_doc.hint("shuffle_hash")
+    joined = (
+        candidates.join(
+            side.select(F.col("id").alias("a_id"), F.col("ranks").alias("a_r")),
+            "a_id",
+        ).join(
+            side.select(F.col("id").alias("b_id"), F.col("ranks").alias("b_r")),
+            "b_id",
+        )
+    )
+    inter = F.size(F.array_intersect("a_r", "b_r"))
+    union = F.size("a_r") + F.size("b_r") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return joined.select(
+        "a_id", "b_id", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from gmail_etl_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
+    jaccard_pairs_prefix,
     minhash_lsh_pairs,
 )
 from gmail_etl_spark.operators.text import with_winnow_fps
@@ -920,3 +921,44 @@ def q156_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", F.round("r", 6).alias("pagerank")
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q157 — prefix-filtered exact Jaccard join (PPJoin family): same answer
+# as q43's naive inverted index, provably fewer candidates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q157_jaccard_prefix_join",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+        FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
+    ORDER BY a_id, b_id
+    """,
+    survey="D2",
+)
+def q157_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact similarity join (operators.dedup.
+    jaccard_pairs_prefix): the oracle is the NAIVE all-token inverted
+    index's answer, so a green hash row is a machine-checked proof of
+    the prefix-filter lemma on this corpus — rarest-token prefixes
+    alone generate every qualifying pair."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return jaccard_pairs_prefix(d, "doc_id", "text", threshold=0.8).orderBy(
+        "a_id", "b_id"
+    )
