@@ -2359,3 +2359,81 @@ def q131_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("value_c").cast("double") / 100.0).alias("part_value"))
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — Z-order (Morton) clustering key for two-dimensional data layout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q158_zorder_layout",
+    oracle="""
+    WITH keyed AS (
+        SELECT o_orderkey,
+               CAST(o_custkey % 1024 AS BIGINT) AS x,
+               CAST(epoch(o_orderdate) // 86400 % 1024 AS BIGINT) AS y
+        FROM orders
+    ),
+    coded AS (
+        SELECT o_orderkey, x, y,
+               CAST(list_sum(list_transform(range(0, 10), i ->
+                   (((x // CAST(power(2, i) AS BIGINT)) % 2)
+                        * CAST(power(2, 2*i) AS BIGINT))
+                   + (((y // CAST(power(2, i) AS BIGINT)) % 2)
+                        * CAST(power(2, 2*i + 1) AS BIGINT))
+               )) AS BIGINT) AS morton
+        FROM keyed
+    )
+    SELECT CAST(morton // 4096 AS BIGINT) AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM coded
+    GROUP BY zbucket
+    ORDER BY zbucket
+    """,
+    survey="X6,2.5-agg",
+)
+def q158_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (the lakehouse layout primitive behind
+    Delta/Iceberg OPTIMIZE ZORDER): interleave the bits of two keys —
+    customer and order-day here — into a Morton code, bucket by its high
+    bits, and report each bucket's per-dimension ranges.  Because the
+    space-filling curve preserves 2-D locality, every bucket spans a
+    NARROW range of BOTH keys, so files written in this order serve
+    min/max-pruned scans on either predicate — the property a
+    single-key sort gives only its leading column.
+
+    Map-only integer bit arithmetic (powers of two via exact integer
+    division — no shifts needed, so DuckDB reproduces it verbatim), one
+    1024-group rollup; at 100 TB the same expression is the
+    repartitionByRange + sortWithinPartitions key of the layout job."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).cast("long").alias("x"),
+        (F.floor(F.unix_timestamp("o_orderdate") / 86400) % 1024)
+        .cast("long")
+        .alias("y"),
+    )
+    morton = F.expr(
+        "aggregate(transform(sequence(0, 9), i -> "
+        "  (((x div cast(pow(2, i) as bigint)) % 2)"
+        "       * cast(pow(2, 2*i) as bigint))"
+        "  + (((y div cast(pow(2, i) as bigint)) % 2)"
+        "       * cast(pow(2, 2*i + 1) as bigint))"
+        "), 0L, (acc, v) -> acc + v)"
+    )
+    return (
+        keyed.withColumn("morton", morton)
+        .groupBy((F.col("morton") / 4096).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("zbucket")
+    )
