@@ -507,3 +507,77 @@ def q152_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 10000)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — deterministic weighted sampling (Efraimidis–Spirakis, hash-u)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q159_weighted_sample",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS w,
+               -- uniform in (0,1) from the first 8 sha256 nibbles —
+               -- deterministic, identical on every engine
+               (CAST(list_sum(list_transform(range(1, 9), i ->
+                    CAST(strpos('0123456789abcdef',
+                                substr(sha256(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                         AS BIGINT)
+                    * CAST(power(16, 8 - i) AS BIGINT))) AS DOUBLE) + 1)
+                 / 4294967297.0 AS u
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, w,
+               ROUND(POWER(u, 1.0 / w), 9) AS k
+        FROM scored
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS weight, k AS sample_key
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 50
+    """,
+    survey="sampling",
+)
+def q159_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, fully deterministic: the
+    Efraimidis–Spirakis A-ES scheme (key = u^(1/w), take the top-k
+    keys) with the uniform drawn from a cryptographic hash of the id
+    instead of an RNG — so the same corpus always yields the same
+    sample, re-runs are reproducible, and a SQL oracle can verify the
+    selection exactly.  Weight = token count (longer documents
+    proportionally likelier), the distribution-correct primitive behind
+    weighted source mixing.
+
+    Scale posture: map-only key computation, one top-k (TakeOrdered —
+    no full sort materialization); keys are rounded to 9 dp before
+    ranking so a libm pow() last-ulp difference cannot reorder the
+    selection, with doc_id as the total-order tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    sha = F.sha2(F.col("doc_id").cast("string"), 256)
+    u_int = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: (
+                (F.instr(F.lit("0123456789abcdef"), F.substring(sha, i, F.lit(1))) - 1)
+                * F.pow(F.lit(16.0), (F.lit(8) - i).cast("double")).cast("long")
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = F.size(F.split("text", " "))
+    u = (u_int.cast("double") + 1) / F.lit(4294967297.0)
+    k = F.round(F.pow(u, 1.0 / w.cast("double")), 9)
+    return (
+        d.select(
+            "doc_id",
+            w.cast("long").alias("weight"),
+            k.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(50)
+    )
