@@ -1695,3 +1695,117 @@ def q153_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — language-ID evaluation: confusion matrix of q39's classifier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q160_langid_confusion",
+    oracle="""
+    WITH train AS (SELECT * FROM documents WHERE doc_id >= 100),
+    test AS (SELECT * FROM documents WHERE doc_id < 100),
+    prof AS (
+        SELECT lang, substr(text, i, 2) AS bigram, COUNT(*) AS prof_cnt
+        FROM train, UNNEST(range(1, length(text))) AS t(i)
+        GROUP BY lang, bigram
+    ),
+    vecs AS (
+        SELECT doc_id, substr(text, i, 2) AS bigram, COUNT(*) AS doc_cnt
+        FROM test, UNNEST(range(1, length(text))) AS t(i)
+        GROUP BY doc_id, bigram
+    ),
+    scored AS (
+        SELECT v.doc_id, p.lang,
+               CAST(SUM(v.doc_cnt * p.prof_cnt) AS BIGINT) AS score
+        FROM vecs v JOIN prof p USING (bigram)
+        GROUP BY v.doc_id, p.lang
+    ),
+    pred AS (
+        SELECT doc_id, lang AS predicted
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, lang) AS rn
+            FROM scored
+        )
+        WHERE rn = 1
+    )
+    SELECT t.lang AS true_lang,
+           p.predicted AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM test t JOIN pred p USING (doc_id)
+    GROUP BY true_lang, predicted_lang
+    ORDER BY true_lang, predicted_lang
+    """,
+    survey="X3,2.5-agg",
+)
+def q160_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation in-engine: the confusion matrix of the q39
+    bigram-profile language classifier against the labeled test slice —
+    the accuracy/error-mode table a curation team reviews before
+    trusting an automatic language filter.  Composition: the q39
+    classify plan joined back to truth labels, two tiny aggregations on
+    top; everything stays in the same declarative pipeline (no model
+    export/import round-trip)."""
+    from gmail_etl_spark.operators.text import langid_classify
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") >= 100)
+    test = d.filter(F.col("doc_id") < 100)
+    pred = langid_classify(train, test).select("doc_id", "predicted_lang")
+    return (
+        test.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q161 — normalization kernel: casefold, strip punctuation, collapse space
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q161_normalize_text",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS norm_len,
+           sha256(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS norm_sha
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY doc_id
+    """,
+    survey="X3,F1",
+)
+def q161_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical text-normalization kernel applied before hashing /
+    dedup / shingling: casefold, replace every non-alphanumeric with a
+    space, collapse runs, trim — with the normalized sha256 emitted so
+    the oracle certifies the normalized BYTES, not just a length.
+    Map-only regexp_replace chain in whole-stage codegen; at 100 TB
+    this fuses into the ingest scan ahead of every dedup stage."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("norm_len"),
+        F.sha2(norm, 256).alias("norm_sha"),
+    ).orderBy("doc_id")
