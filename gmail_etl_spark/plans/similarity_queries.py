@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmail_etl_spark.operators.similarity import cosine_topk
@@ -604,4 +604,82 @@ def q150_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("head_norm") > 0)
         .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162 — embedding outliers: farthest vectors from their label centroid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q162_embedding_outliers",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(val AS DECIMAL(20,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS c
+        FROM flat GROUP BY label, dim
+    ),
+    dists AS (
+        SELECT f.vec_id, f.label,
+               ROUND(CAST(SUM(CAST(ROUND((f.val - c.c) * (f.val - c.c), 12)
+                       AS DECIMAL(26,12))) AS DOUBLE), 6) AS dist2
+        FROM flat f JOIN cent c ON c.label = f.label AND c.dim = f.dim
+        GROUP BY f.vec_id, f.label
+    )
+    SELECT label, vec_id, dist2, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY dist2 DESC, vec_id) AS rank
+        FROM dists
+    )
+    WHERE rank <= 5
+    ORDER BY label, rank
+    """,
+    survey="X1,2.5-window",
+)
+def q162_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit: the five vectors farthest from their
+    label's centroid, per label — the mislabeled/corrupt-embedding
+    candidates a curation pass reviews (the per-cluster analogue of the
+    z-score outlier report q73).
+
+    Engine-exactness chain: centroids from DECIMAL sums (q52), per-dim
+    squared deviations rounded to 12 dp and DECIMAL-summed (the q153
+    order-proof discipline), final distance rounded to 6 — so an
+    order-dependent 64-term float sum never reaches the hash.  Shuffles
+    carry (label, dim) partials and (vec, dim) triples; the centroid
+    table broadcasts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("dim"), "val")
+    cent = flat.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(20,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("c")
+    )
+    term = F.round((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")), 12).cast(
+        "decimal(26,12)"
+    )
+    dists = (
+        flat.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("dist2"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), F.asc("vec_id"))
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("label", "vec_id", "dist2", "rank")
+        .orderBy("label", "rank")
     )
