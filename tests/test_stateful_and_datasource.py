@@ -125,3 +125,48 @@ def test_gmail_datasource_limit(spark):
 
     spark.dataSource.register(GmailDataSource)
     assert spark.read.format("gmail").option("limit", 4).load().count() == 4
+
+
+def test_gmail_streaming_datasource_incremental(spark, tmp_path):
+    """Spark 4 Python STREAMING data source: the Gmail poll loop as a
+    first-class readStream source — offsets advance through the mailbox
+    in capped micro-batches, every message arrives exactly once, and
+    the rows equal the batch reader's."""
+    from pyspark.sql import functions as F
+
+    from gmail_etl_spark.sources.gmail_datasource import GmailDataSource
+
+    spark.dataSource.register(GmailDataSource)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batches: list[int] = []
+
+    def process(batch_df, batch_id):
+        n = batch_df.count()
+        if n:
+            batches.append(n)
+            batch_df.select("id").write.mode("append").parquet(out)
+
+    # three availableNow runs over one checkpoint: each restart resumes
+    # from the committed offset and takes the next capped slice
+    for _ in range(3):
+        q = (
+            spark.readStream.format("gmail")
+            .option("maxMessagesPerBatch", 4)
+            .load()
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    streamed = {r["id"] for r in spark.read.parquet(out).collect()}
+    batch_ids = {
+        r["id"]
+        for r in spark.read.format("gmail").load().select("id").collect()
+    }
+    assert streamed == batch_ids and len(streamed) > 0
+    assert len(batches) >= 3  # capped slices across restarts
+    assert sum(batches) == len(streamed)  # exactly-once across restarts
