@@ -962,3 +962,61 @@ def q157_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_prefix(d, "doc_id", "text", threshold=0.8).orderBy(
         "a_id", "b_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — dedup keeping the BEST copy (quality-ranked canonical selection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q163_dedup_keep_best",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, source,
+               sha256(text) AS sha,
+               ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr
+        FROM documents
+    )
+    SELECT doc_id, lang, source, ttr
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY sha
+                                     ORDER BY ttr DESC, doc_id) AS rn
+        FROM scored
+    )
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    survey="D1",
+)
+def q163_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup that keeps the BEST copy, not the first: canonical row per
+    content hash chosen by quality score (type-token ratio descending,
+    id tie-break) — what production pipelines do when duplicates differ
+    in extraction quality (same content, different boilerplate damage).
+    Same one-shuffle shape as min-id dedup (q41); only the window order
+    changes, which is exactly the point — canonical-selection policy is
+    a pluggable ORDER BY."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.sha2("text", 256).alias("sha"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("ttr"),
+    )
+    w = Window.partitionBy("sha").orderBy(F.desc("ttr"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "ttr")
+        .orderBy("doc_id")
+    )

@@ -1809,3 +1809,88 @@ def q161_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).alias("norm_len"),
         F.sha2(norm, 256).alias("norm_sha"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q164 — PMI co-occurrence mining: the strongest token associations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q164_token_pmi",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE doc_id < 300
+    ),
+    n_docs AS (SELECT COUNT(*) AS n FROM docs),
+    occurs AS (
+        SELECT doc_id, unnest(toks) AS tok FROM docs
+    ),
+    tok_df AS (SELECT tok, COUNT(*) AS df FROM occurs GROUP BY tok),
+    pairs AS (
+        SELECT a.doc_id, a.tok AS tok_a, b.tok AS tok_b
+        FROM occurs a JOIN occurs b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+    ),
+    pair_df AS (
+        SELECT tok_a, tok_b, COUNT(*) AS co_df
+        FROM pairs GROUP BY tok_a, tok_b
+        HAVING COUNT(*) >= 5
+    )
+    SELECT tok_a, tok_b, co_df,
+           ROUND(log2(
+               (CAST(co_df AS DOUBLE) * (SELECT n FROM n_docs))
+               / (CAST(da.df AS DOUBLE) * db.df)), 6) AS pmi
+    FROM pair_df
+    JOIN tok_df da ON da.tok = tok_a
+    JOIN tok_df db ON db.tok = tok_b
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT 25
+    """,
+    survey="X3,2.5-agg",
+)
+def q164_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level token
+    co-occurrence — the classic word-association miner (collocations,
+    topic seeds, leakage detection: suspiciously-glued token pairs often
+    mark templated or machine-generated text).  PMI =
+    log2(P(a,b) / (P(a)P(b))) at document granularity with a minimum
+    co-occurrence support of 5.
+
+    Scale posture: co-occurrence pairs explode per document (bounded by
+    tokens-per-doc², the standard within-context blow-up — window the
+    context, not the corpus); document frequencies broadcast back onto
+    the bounded pair aggregate; the single log is rounded in-query on
+    both engines and every input to it is an exact integer."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    occurs = docs.select("doc_id", F.explode("toks").alias("tok"))
+    tok_df = occurs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    a = occurs.select("doc_id", F.col("tok").alias("tok_a"))
+    b = occurs.select("doc_id", F.col("tok").alias("tok_b"))
+    pair_df = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("co_df"))
+        .filter(F.col("co_df") >= 5)
+    )
+    da = tok_df.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    db = tok_df.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pmi = F.round(
+        F.log2(
+            (F.col("co_df").cast("double") * F.col("n"))
+            / (F.col("df_a").cast("double") * F.col("df_b"))
+        ),
+        6,
+    )
+    return (
+        pair_df.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select("tok_a", "tok_b", "co_df", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(25)
+    )

@@ -300,6 +300,7 @@ _BNLJ_JUSTIFIED = {
     "q131_important_parts",
     "q148_curation_funnel",
     "q153_source_token_entropy",  # 1-row corpus-total broadcast
+    "q164_token_pmi",  # 1-row doc-count broadcast
 }
 
 
