@@ -197,6 +197,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q158_zorder_layout", "q159_weighted_sample",
     "q160_langid_confusion", "q161_normalize_text", "q162_embedding_outliers",
     "q163_dedup_keep_best", "q164_token_pmi",
+    "q165_late_data_audit", "q166_recency_decay_scores",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",

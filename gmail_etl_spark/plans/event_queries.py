@@ -657,3 +657,124 @@ def q155_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("trigram"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — late-data audit: what a given watermark would have dropped
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q165_late_data_audit",
+    oracle="""
+    WITH arrivals AS (
+        -- event_id is the arrival proxy: the high-water mark of event
+        -- time seen so far in arrival order
+        SELECT event_id, ts, user_id,
+               MAX(ts) OVER (ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS hwm
+        FROM events
+    )
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ts < hwm - INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late_30m,
+           CAST(SUM(CASE WHEN ts < hwm - INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late_5m
+    FROM arrivals
+    GROUP BY bucket_start
+    ORDER BY bucket_start
+    """,
+    survey="X5,ST2",
+)
+def q165_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing, answered from history: per 10-minute window,
+    how many events arrived LATER than a 5-minute / 30-minute watermark
+    would tolerate (event time below the running event-time high-water
+    mark, in arrival order, minus the delay).  This is the audit a
+    streaming team runs before choosing `withWatermark` — too tight
+    drops these counts on the floor, too loose holds state for nothing.
+
+    One arrival-order running max (the same cumulative window the
+    stream's watermark tracker maintains), then a tumbling-window
+    rollup; exact integer counts."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    arrivals = e.select(
+        "ts", F.max("ts").over(w).alias("hwm")
+    )
+    late_30 = (F.col("ts") < F.col("hwm") - F.expr("INTERVAL 30 MINUTES")).cast("int")
+    late_5 = (F.col("ts") < F.col("hwm") - F.expr("INTERVAL 5 MINUTES")).cast("int")
+    return (
+        arrivals.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(late_30).cast("long").alias("n_late_30m"),
+            F.sum(late_5).cast("long").alias("n_late_5m"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "n_events",
+            "n_late_30m",
+            "n_late_5m",
+        )
+        .orderBy("bucket_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q166 — exponential recency decay: per-user freshness-weighted activity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q166_recency_decay_scores",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    aged AS (
+        SELECT user_id,
+               CAST(floor(epoch((SELECT mx FROM anchor) - ts) / 3600)
+                    AS BIGINT) AS age_h
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(POWER(0.5, CAST(age_h AS DOUBLE) / 24.0), 9)
+                AS DECIMAL(20,9))) AS DOUBLE) AS decayed_score
+    FROM aged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    survey="X5,2.5-agg",
+)
+def q166_recency_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-weighted activity: each event contributes
+    0.5^(age_hours/24) — a 24-hour half-life — relative to the corpus
+    max timestamp, summed per user.  The recency weighting behind data
+    freshness sampling and decayed engagement metrics.
+
+    Ages quantize to integer hours before the pow (exact on both
+    engines); each decay term rounds to 9 dp and accumulates as exact
+    DECIMAL (the order-proof discipline), so the per-user float sum is
+    engine-identical.  One scalar anchor broadcast, one grouped sum."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("mx"))
+    aged = e.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.floor(
+            (F.unix_timestamp("mx") - F.unix_timestamp("ts")) / 3600
+        ).alias("age_h"),
+    )
+    term = F.round(
+        F.pow(F.lit(0.5), F.col("age_h").cast("double") / 24.0), 9
+    ).cast("decimal(20,9)")
+    return (
+        aged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(term).cast("double").alias("decayed_score"),
+        )
+        .orderBy("user_id")
+    )
