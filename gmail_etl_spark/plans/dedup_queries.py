@@ -1020,3 +1020,50 @@ def q163_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "ttr")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — dedup report: duplicate-cluster size distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q168_cluster_size_histogram",
+    oracle=_CC_ORACLE_PREFIX
+    + """
+    , cluster_sizes AS (
+        SELECT component, COUNT(*) AS size FROM comp GROUP BY component
+    )
+    SELECT size AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(size) AS BIGINT) AS n_docs,
+           CAST(SUM(size - 1) AS BIGINT) AS n_removable
+    FROM cluster_sizes
+    GROUP BY size
+    ORDER BY size
+    """,
+    survey="D2,2.5-agg",
+)
+def q168_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup run report: distribution of duplicate-cluster sizes
+    plus the headline number — how many documents a collapse-to-
+    canonical pass removes (size − 1 per cluster).  The table every
+    dedup job logs; a sudden fat tail here is the first sign of a
+    boilerplate explosion or a broken extractor upstream."""
+    from gmail_etl_spark.operators.dedup import connected_components
+
+    comp = connected_components(
+        _jaccard_edges(spark, sf_dir).select(
+            F.col("a_id").alias("u"), F.col("b_id").alias("v")
+        )
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy(F.col("size").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("size").cast("long").alias("n_docs"),
+            F.sum(F.col("size") - 1).cast("long").alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -778,3 +778,88 @@ def q166_recency_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — A/B comparison: two-proportion z-test across a hash split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q167_ab_proportion_test",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN substr(sha256(CAST(user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 'A' ELSE 'B' END AS arm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    arms AS (
+        SELECT arm,
+               COUNT(*) AS n,
+               CAST(SUM(conv) AS BIGINT) AS conversions
+        FROM assigned GROUP BY arm
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+            MAX(CASE WHEN arm = 'A' THEN conversions END) AS c_a,
+            MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+            MAX(CASE WHEN arm = 'B' THEN conversions END) AS c_b
+        FROM arms
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+           ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+           ROUND(
+             (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM wide
+    """,
+    survey="2.5-agg,sampling",
+)
+def q167_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics in-engine: users assign to arms by a
+    cryptographic hash (deterministic, unstratified), conversion =
+    purchase events, and the pooled two-proportion z-statistic comes out
+    of one aggregation — the significance readout of an A/B readout
+    pipeline.  Every input to the one float expression is an exact
+    integer; the division/sqrt chain is identical on both engines and
+    rounded in-query."""
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.sha2(F.col("user_id").cast("string"), 256), 1, 1) < "8", "A"
+    ).otherwise("B")
+    assigned = e.select(
+        arm.alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").cast("long").alias("conversions")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("conversions"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("conversions"))).alias("c_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (ra - rb) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
