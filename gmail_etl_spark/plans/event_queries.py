@@ -863,3 +863,101 @@ def q167_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rb, 6).alias("rate_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — mergeable-sketch rollup: HLL per window, unioned to the hour
+# ---------------------------------------------------------------------------
+
+
+@query("q169_hll_sketch_rollup", oracle=None, survey="2.5-agg,X5")
+def q169_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch re-aggregation pattern that makes distinct counts
+    composable at 100 TB: build an HLL sketch of user_id per 10-minute
+    window (`hll_sketch_agg`), then UNION THE SKETCHES — not the data —
+    up to the hour (`hll_union_agg`) and estimate.  A cube/rollup over
+    distinct counts re-scans raw data once per grain; sketch union makes
+    every coarser grain a cheap merge of the finer one's state (the
+    datasketches property Spark 3.5+ exposes natively).
+
+    Rows-only: DuckDB has no compatible sketch to merge; the estimate's
+    relative error vs exact distinct counts is gated in
+    tests/test_operators.py."""
+    e = load_table(spark, sf_dir, "events")
+    fine = (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            (F.floor(F.col("w.start").cast("long") / 3600) * 3600).alias("hour_start"),
+            "sk",
+        )
+    )
+    return (
+        fine.groupBy("hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias(
+                "approx_users"
+            ),
+        )
+        .orderBy("hour_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170 — day-over-day deltas: the trend table behind every ops dashboard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q170_daily_value_deltas",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_start,
+               COUNT(*) AS n_events,
+               SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+        FROM events
+        GROUP BY day_start
+    )
+    SELECT day_start, n_events, total_value,
+           ROUND(total_value - LAG(total_value) OVER (ORDER BY day_start), 2)
+               AS delta,
+           ROUND((total_value - LAG(total_value) OVER (ORDER BY day_start))
+                 / LAG(total_value) OVER (ORDER BY day_start) * 100, 4)
+               AS pct_change
+    FROM daily
+    ORDER BY day_start
+    """,
+    survey="2.5-window,X5",
+)
+def q170_daily_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day trend table: daily event volume and exact-cents
+    value totals with absolute and percentage deltas via LAG — the
+    shape of every operational dashboard's top row.  The daily rollup
+    is one partial-aggregating shuffle; the LAG window runs over one
+    row per day (driver-trivial at any scale); deltas divide/round the
+    already-exact totals identically on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+    w = Window.orderBy("day_start")
+    prev = F.lag("total_value").over(w)
+    return daily.select(
+        "day_start",
+        "n_events",
+        "total_value",
+        F.round(F.col("total_value") - prev, 2).alias("delta"),
+        F.round((F.col("total_value") - prev) / prev * 100, 4).alias("pct_change"),
+    ).orderBy("day_start")

@@ -885,3 +885,33 @@ def test_compression_ratio_discriminates(spark):
     assert got[1] < 0.05, got
     assert got[1] < got[2] < got[3], got
     assert got[3] > 0.5, got
+
+
+def test_hll_sketch_rollup_accuracy(spark):
+    """Sketch-union distinct counts stay within HLL error bounds of the
+    exact per-hour numbers (lgK=12 → ~1.6% typical relative error)."""
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+
+    _ensure_loaded()
+    approx = {
+        r["hour_start"]: r["approx_users"]
+        for r in CATALOG["q169_hll_sketch_rollup"].builder(spark, SF_DIR).collect()
+    }
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from gmail_etl_spark.plans.catalog import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["hour_start"]: r["n"]
+        for r in e.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("hour_start")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for h, a in approx.items():
+        rel = abs(a - exact[h]) / max(exact[h], 1)
+        assert rel < 0.05, (h, a, exact[h], rel)
