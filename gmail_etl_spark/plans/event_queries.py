@@ -961,3 +961,49 @@ def q170_daily_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total_value") - prev, 2).alias("delta"),
         F.round((F.col("total_value") - prev) / prev * 100, 4).alias("pct_change"),
     ).orderBy("day_start")
+
+
+# ---------------------------------------------------------------------------
+# q171 — SLO percentile bands: P50/P95/P99 per event type per day
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q171_slo_percentile_bands",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY day_start, event_type
+    ORDER BY day_start, event_type
+    """,
+    survey="2.5-agg,X5",
+)
+def q171_slo_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SLO table: exact P50/P95/P99 of the value distribution per
+    event type per day — the percentile bands an alerting rule
+    thresholds.  One grouped exact-percentile aggregation (map-side
+    partial); percentiles round in-query on both engines (the q68
+    last-ulp discipline).  At 100 TB swap `percentile` for
+    `approx_percentile` with a documented error budget — the query
+    shape is unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("day_start", "event_type")
+    )
