@@ -581,3 +581,64 @@ def q159_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sample_key"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — erasure impact audit: cascade counts for a deletion list
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q172_erasure_impact",
+    oracle="""
+    WITH victims AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0
+    )
+    SELECT
+        (SELECT COUNT(*) FROM victims) AS n_users,
+        (SELECT COUNT(*) FROM events e
+         WHERE EXISTS (SELECT 1 FROM victims v WHERE v.user_id = e.user_id))
+            AS n_events,
+        (SELECT COUNT(*) FROM orders o
+         WHERE EXISTS (SELECT 1 FROM victims v WHERE v.user_id = o.o_custkey))
+            AS n_orders,
+        (SELECT COUNT(*) FROM lineitem l
+         WHERE EXISTS (
+             SELECT 1 FROM orders o
+             JOIN victims v ON v.user_id = o.o_custkey
+             WHERE o.o_orderkey = l.l_orderkey))
+            AS n_lineitems
+    """,
+    survey="J1,2.5-agg",
+)
+def q172_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a deletion list (users
+    with id % 13 == 0 here), the row counts an erasure job will touch in
+    every table that references them — directly (events, orders) and
+    transitively (lineitems of their orders).  The dry-run report a
+    compliance pass signs off before the actual anti-join rewrite.
+
+    Scale posture: the deletion list broadcasts into three semi-joins
+    (left_semi — no row widening); the transitive hop reuses the
+    filtered orders' keys as the next broadcast.  Counts are exact."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    victims = e.filter(F.col("user_id") % 13 == 0).select("user_id").distinct()
+    ev = e.join(F.broadcast(victims), "user_id", "left_semi")
+    ord_hit = o.join(
+        F.broadcast(victims.select(F.col("user_id").alias("o_custkey"))),
+        "o_custkey",
+        "left_semi",
+    )
+    li_hit = li.join(
+        F.broadcast(ord_hit.select(F.col("o_orderkey").alias("l_orderkey"))),
+        "l_orderkey",
+        "left_semi",
+    )
+    return (
+        victims.agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(ev.agg(F.count(F.lit(1)).alias("n_events"))))
+        .crossJoin(F.broadcast(ord_hit.agg(F.count(F.lit(1)).alias("n_orders"))))
+        .crossJoin(F.broadcast(li_hit.agg(F.count(F.lit(1)).alias("n_lineitems"))))
+    )
