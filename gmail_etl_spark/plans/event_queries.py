@@ -734,9 +734,12 @@ def q165_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
     aged AS (
+        -- truncate EACH timestamp to whole seconds before differencing,
+        -- matching Spark's unix_timestamp; epoch(interval) would keep
+        -- fractional seconds and flip hour buckets at boundaries
         SELECT user_id,
-               CAST(floor(epoch((SELECT mx FROM anchor) - ts) / 3600)
-                    AS BIGINT) AS age_h
+               CAST(floor((floor(epoch((SELECT mx FROM anchor)))
+                           - floor(epoch(ts))) / 3600) AS BIGINT) AS age_h
         FROM events
     )
     SELECT user_id,
