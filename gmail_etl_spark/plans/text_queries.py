@@ -1894,3 +1894,67 @@ def q164_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "tok_a", "tok_b")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# q173 — SFT sample assembly: chat-template rendering with role budgets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q173_chat_template_render",
+    oracle="""
+    WITH pairs AS (
+        SELECT u.doc_id AS pair_id,
+               u.text AS user_text,
+               a.text AS assistant_text
+        FROM documents u
+        JOIN documents a ON a.doc_id = u.doc_id + 1
+        WHERE u.doc_id % 2 = 0 AND u.doc_id < 400
+    )
+    SELECT pair_id,
+           len(string_split(user_text, ' ')) AS user_tokens,
+           len(string_split(assistant_text, ' ')) AS assistant_tokens,
+           len(string_split(user_text, ' '))
+             + len(string_split(assistant_text, ' ')) + 3 AS total_tokens,
+           sha256('<|user|>' || user_text || '<|assistant|>'
+                  || assistant_text || '<|end|>') AS rendered_sha
+    FROM pairs
+    ORDER BY pair_id
+    """,
+    survey="X3,2.5-agg",
+)
+def q173_chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SFT-data assembly step: pair documents into (user, assistant)
+    turns, render them through a chat template with special tokens, and
+    report per-role token budgets plus the rendered-bytes hash — what a
+    fine-tuning pipeline materializes before packing (q72) and masking.
+    The template's 3 special tokens count toward the sequence budget.
+
+    A green row certifies the exact rendered BYTES (template placement
+    included) via sha256, not just lengths.  Scale posture: one
+    self-join on adjacent ids (at 100 TB the pairing key is a real
+    conversation id and the join is bucketed); rendering is
+    whole-stage-codegen string concat fused into the join output."""
+    d = load_table(spark, sf_dir, "documents")
+    u = d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 400)).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("user_text")
+    )
+    a = d.select((F.col("doc_id") - 1).alias("pair_id"), F.col("text").alias("assistant_text"))
+    pairs = u.join(a, "pair_id")
+    ut = F.size(F.split("user_text", " "))
+    at = F.size(F.split("assistant_text", " "))
+    rendered = F.concat(
+        F.lit("<|user|>"),
+        F.col("user_text"),
+        F.lit("<|assistant|>"),
+        F.col("assistant_text"),
+        F.lit("<|end|>"),
+    )
+    return pairs.select(
+        "pair_id",
+        ut.alias("user_tokens"),
+        at.alias("assistant_tokens"),
+        (ut + at + 3).alias("total_tokens"),
+        F.sha2(rendered, 256).alias("rendered_sha"),
+    ).orderBy("pair_id")
