@@ -302,6 +302,7 @@ _BNLJ_JUSTIFIED = {
     "q153_source_token_entropy",  # 1-row corpus-total broadcast
     "q164_token_pmi",  # 1-row doc-count broadcast
     "q166_recency_decay_scores",  # 1-row max-timestamp anchor broadcast
+    "q172_erasure_impact",  # four 1-row audit-count broadcasts
 }
 
 
