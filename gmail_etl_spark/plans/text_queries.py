@@ -1940,7 +1940,12 @@ def q173_chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 400)).select(
         F.col("doc_id").alias("pair_id"), F.col("text").alias("user_text")
     )
-    a = d.select((F.col("doc_id") - 1).alias("pair_id"), F.col("text").alias("assistant_text"))
+    # explicit bound: Catalyst cannot infer the join-key range through
+    # the -1 projection, and without it the assistant side scans the
+    # whole table (verified via PushedFilters)
+    a = d.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 401)).select(
+        (F.col("doc_id") - 1).alias("pair_id"), F.col("text").alias("assistant_text")
+    )
     pairs = u.join(a, "pair_id")
     ut = F.size(F.split("user_text", " "))
     at = F.size(F.split("assistant_text", " "))
