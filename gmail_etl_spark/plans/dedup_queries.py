@@ -1067,3 +1067,83 @@ def q168_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — corpus snapshot diff: content-level delta between two sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q174_corpus_diff",
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT sha256(text) AS sha,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents WHERE source = 'src0'
+    ),
+    b AS (
+        SELECT DISTINCT sha256(text) AS sha,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents WHERE source = 'src1'
+    ),
+    merged AS (
+        SELECT COALESCE(a.sha, b.sha) AS sha,
+               (a.sha IS NOT NULL) AS in_a,
+               (b.sha IS NOT NULL) AS in_b,
+               COALESCE(a.n_tokens, b.n_tokens) AS n_tokens
+        FROM a FULL OUTER JOIN b ON a.sha = b.sha
+    )
+    SELECT
+        CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_common,
+        CAST(SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_only_a,
+        CAST(SUM(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_only_b,
+        CAST(SUM(CASE WHEN in_a AND NOT in_b THEN n_tokens ELSE 0 END) AS BIGINT)
+            AS tokens_only_a,
+        CAST(SUM(CASE WHEN in_b AND NOT in_a THEN n_tokens ELSE 0 END) AS BIGINT)
+            AS tokens_only_b
+    FROM merged
+    """,
+    survey="D1,2.5-set",
+)
+def q174_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff at content granularity: the added/removed/
+    shared breakdown (and the token budget of each delta) between two
+    corpus snapshots — here the 'src0' and 'src1' source slices — keyed
+    on content hash, so renames/re-crawls of identical text count as
+    shared.  The table a data-versioning step logs per release to
+    explain "what changed in the training set".
+
+    Scale posture: each side reduces to distinct (sha, n_tokens) before
+    the full-outer join — the join carries hashes, never text — and the
+    final rollup is one row."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def side(src: str, tag: str) -> DataFrame:
+        return (
+            d.filter(F.col("source") == src)
+            .select(
+                F.sha2("text", 256).alias("sha"),
+                F.size(F.split("text", " ")).alias(f"n_tokens_{tag}"),
+            )
+            .distinct()
+        )
+
+    merged = side("src0", "a").join(side("src1", "b"), "sha", "full_outer")
+    in_a = F.col("n_tokens_a").isNotNull()
+    in_b = F.col("n_tokens_b").isNotNull()
+    nt = F.coalesce("n_tokens_a", "n_tokens_b")
+    return merged.agg(
+        F.sum((in_a & in_b).cast("int")).cast("long").alias("n_common"),
+        F.sum((in_a & ~in_b).cast("int")).cast("long").alias("n_only_a"),
+        F.sum((in_b & ~in_a).cast("int")).cast("long").alias("n_only_b"),
+        F.sum(F.when(in_a & ~in_b, nt).otherwise(0)).cast("long").alias(
+            "tokens_only_a"
+        ),
+        F.sum(F.when(in_b & ~in_a, nt).otherwise(0)).cast("long").alias(
+            "tokens_only_b"
+        ),
+    )

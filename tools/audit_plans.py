@@ -34,11 +34,7 @@ def main() -> int:
         try:
             df = cq.builder(spark, args.sf)
             plan = df._jdf.queryExecution().explainString(
-                spark.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
-                )
-                if hasattr(spark, "sparkSession")
-                else spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
                 )
             )
