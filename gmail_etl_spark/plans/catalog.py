@@ -182,18 +182,27 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q44_minhash_lsh", "q45_simhash", "q54_hyperplane_lsh",
     "q72_pack_sequences", "q75_kmeans_cells", "q96_stratified_sample",
     "q110_semantic_dedup", "q132_pq_adc_topk",
-    # -- (3b) added in round 3 --
-    "q133_repeated_ngram_spans", "q134_bpe_merge_candidates",
-    "q135_jl_projection", "q136_ivf_pq_topk", "q137_domain_quality_rollup",
-    "q138_salted_skew_join", "q139_remove_dup_spans",
+    # -- (3b) added in round 3; ~11 of these fit the remaining driver
+    # budget, so the proof-carrying entries lead: q157/q143 are
+    # machine-checked algorithm-equivalence lemmas, q142/q144 certify
+    # the decode paths bit-for-bit, q156/q153 pin the iterative/
+    # order-proof float disciplines, q138/q147 prove skew rewrites
+    # semantics-free --
+    "q157_jaccard_prefix_join", "q143_image_near_dup_pairs",
+    "q142_image_dhash", "q144_audio_fingerprint",
+    "q156_pagerank", "q153_source_token_entropy",
+    "q138_salted_skew_join", "q147_two_phase_agg",
+    "q133_repeated_ngram_spans", "q139_remove_dup_spans",
+    "q135_jl_projection",
+    "q134_bpe_merge_candidates", "q136_ivf_pq_topk",
+    "q137_domain_quality_rollup",
     "q140_profile_columns", "q141_shard_assignment",
-    "q142_image_dhash", "q143_image_near_dup_pairs",
-    "q144_audio_fingerprint", "q145_feature_hashing",
-    "q146_compression_ratio", "q147_two_phase_agg", "q148_curation_funnel",
+    "q145_feature_hashing",
+    "q146_compression_ratio", "q148_curation_funnel",
     "q149_multimodal_assembly", "q150_matryoshka_truncate",
     "q151_curriculum_deciles", "q152_token_budget_selection",
-    "q153_source_token_entropy", "q154_dup_graph_triangles",
-    "q155_event_trigrams", "q156_pagerank", "q157_jaccard_prefix_join",
+    "q154_dup_graph_triangles",
+    "q155_event_trigrams",
     "q158_zorder_layout", "q159_weighted_sample",
     "q160_langid_confusion", "q161_normalize_text", "q162_embedding_outliers",
     "q163_dedup_keep_best", "q164_token_pmi",
