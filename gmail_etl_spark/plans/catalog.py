@@ -210,7 +210,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q167_ab_proportion_test", "q168_cluster_size_histogram",
     "q169_hll_sketch_rollup", "q170_daily_value_deltas",
     "q171_slo_percentile_bands", "q172_erasure_impact",
-    "q173_chat_template_render", "q174_corpus_diff",
+    "q173_chat_template_render", "q174_corpus_diff", "q175_novelty_curve",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",

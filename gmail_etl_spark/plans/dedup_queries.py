@@ -1147,3 +1147,74 @@ def q174_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_only_b"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — corpus novelty curve: fraction of first-seen n-grams per document
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q175_novelty_curve",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS win
+        FROM d, UNNEST(range(1, len(toks) - 6)) AS t(i)
+        WHERE len(toks) >= 8
+    ),
+    firsts AS (
+        SELECT win, MIN(doc_id) AS first_doc FROM w GROUP BY win
+    )
+    SELECT w.doc_id,
+           COUNT(*) AS n_windows,
+           CAST(SUM((f.first_doc = w.doc_id)::INT) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM((f.first_doc = w.doc_id)::INT) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM w JOIN firsts f USING (win)
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+    """,
+    survey="D1,D2",
+)
+def q175_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-saturation diagnostic: per document (in ingestion-id
+    order), the fraction of its 8-token windows never seen in any
+    earlier document.  A falling novelty curve is the quantitative
+    "more data is mostly repeats now" signal that stops a crawl or
+    reweights a source; attribution is by MIN(doc_id) over each
+    window's occurrences, so the answer is order-deterministic.
+
+    Same two-shuffle shape as q133 (window groupBy + join back); at
+    100 TB hash windows to longs and make doc_id the ingestion
+    sequence number."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    w = (
+        d.filter(F.size(toks) >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 7),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+                )
+            ).alias("win"),
+        )
+    )
+    firsts = w.groupBy("win").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        w.join(firsts, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
