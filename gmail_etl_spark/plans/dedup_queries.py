@@ -10,6 +10,7 @@ from gmail_etl_spark.operators.dedup import (
     jaccard_pairs,
     jaccard_pairs_prefix,
     minhash_lsh_pairs,
+    shingles,
 )
 from gmail_etl_spark.operators.text import with_winnow_fps
 from gmail_etl_spark.plans.catalog import load_table, query
@@ -1218,3 +1219,49 @@ def q175_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — theta-sketch source overlap: set algebra on sketches, not data
+# ---------------------------------------------------------------------------
+
+
+@query("q177_theta_source_overlap", oracle=None, survey="D2,X3")
+def q177_theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-space form of q74's contamination matrix: one theta
+    sketch of the distinct 3-shingle set per source
+    (`theta_sketch_agg`, lgK=14), then pairwise |A|, |B|, |A∪B|, |A∩B|
+    and |A\\B| straight off the sketches (`theta_union` /
+    `theta_intersection` / `theta_difference`) plus the implied Jaccard.
+    q74 joins the full shingle postings (cost Σ df²); this touches the
+    raw data ONCE to build per-source state of a few KB, after which
+    every pairwise comparison — and any future source added to the
+    matrix — is sketch algebra on the driver-sized state.  That is the
+    only shape that survives a 100-source × 100 TB corpus, and theta
+    (unlike HLL) supports intersection/difference natively.
+
+    The pairwise inequality self-join runs on one row per source
+    (bounded by contract, like q74's matrix itself).  Rows-only: DuckDB
+    has no theta sketch; estimate error vs q74's exact containment is
+    gated in tests/test_operators.py."""
+    d = load_table(spark, sf_dir, "documents")
+    sk = (
+        d.select("source", F.explode(shingles(F.col("text"), 3)).alias("shingle"))
+        .groupBy("source")
+        .agg(F.expr("theta_sketch_agg(shingle, 14)").alias("sk"))
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    est = lambda e: F.expr(f"theta_sketch_estimate({e})").cast("long")  # noqa: E731
+    pairs = a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+    inter = est("theta_intersection(a.sk, b.sk)")
+    union = est("theta_union(a.sk, b.sk)")
+    return pairs.select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        est("a.sk").alias("est_a"),
+        est("b.sk").alias("est_b"),
+        union.alias("est_union"),
+        inter.alias("est_common"),
+        est("theta_difference(a.sk, b.sk)").alias("est_only_a"),
+        F.round(inter / union, 6).alias("jaccard_est"),
+    ).orderBy("source_a", "source_b")

@@ -1010,3 +1010,120 @@ def q171_slo_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — mergeable quantile rollup: KLL per window, merged to the hour
+# ---------------------------------------------------------------------------
+
+
+@query("q176_kll_quantile_rollup", oracle=None, survey="2.5-agg,X5")
+def q176_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile companion to q169's HLL rollup: a KLL doubles sketch
+    of `value` per 10-minute window (`kll_sketch_agg_double`, k=400),
+    then MERGE THE SKETCHES — not the data — up to the hour
+    (`kll_merge_agg_double`) and read P50/P95/P99 off the merged state.
+    Exact grouped percentiles (q171) buffer every value per group and
+    re-scan raw data once per grain; KLL state is O(k·log(n/k)) per
+    window and every coarser grain is a cheap merge of the finer one's
+    state, with a proven rank-error bound (~1.65/sqrt(k) ≈ 0.8% at
+    k=400) — the datasketches property Spark 4.1 exposes natively.
+
+    Rows-only: DuckDB has no KLL to merge; the merged estimates'
+    rank error vs exact per-hour quantiles is gated in
+    tests/test_operators.py."""
+    e = load_table(spark, sf_dir, "events")
+    fine = (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.expr("kll_sketch_agg_double(CAST(value AS DOUBLE), 400)").alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            (F.floor(F.col("w.start").cast("long") / 3600) * 3600).alias("hour_start"),
+            "sk",
+            "n",
+        )
+    )
+    merged = fine.groupBy("hour_start").agg(
+        F.sum("n").alias("n_events"),
+        F.expr("kll_merge_agg_double(sk)").alias("msk"),
+    )
+    return merged.select(
+        "hour_start",
+        "n_events",
+        F.round(F.expr("kll_sketch_get_quantile_double(msk, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("kll_sketch_get_quantile_double(msk, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("kll_sketch_get_quantile_double(msk, 0.99)"), 6).alias("p99"),
+    ).orderBy("hour_start")
+
+
+# ---------------------------------------------------------------------------
+# q180 — incremental aggregate maintenance: merge(state, delta) ≡ recompute
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q180_incremental_agg_merge",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_seen
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    survey="2.5-agg,X5,ST5",
+)
+def q180_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance, proven lossless: partition the
+    stream at its final day boundary into STATE (all prior days — at
+    100 TB, yesterday's materialized per-user rollup) and DELTA (the
+    final day's new events), aggregate each side independently, and
+    merge with a full outer join + coalesce (count/sum add, max takes
+    greatest).  The oracle is the from-scratch GROUP BY over all
+    events — a hash match PROVES merge(state, delta) ≡ recompute, the
+    algebraic property that lets a daily pipeline touch only the new
+    day's data instead of re-scanning the corpus.
+
+    The split anchor (max event day) is a 1-row broadcast scalar (the
+    q166 anchor pattern); both aggregates are ordinary partial-agg
+    shuffles on user_id; the merge join co-partitions on the same key,
+    so AQE coalesces it into the agg exchange."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    anchor = e.select(
+        (F.floor(F.max("epoch") / 86400) * 86400).cast("long").alias("split_at")
+    )
+    tagged = e.join(F.broadcast(anchor))
+
+    def _agg(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+            F.max("epoch").alias("last_seen"),
+        )
+
+    state = _agg(tagged.filter(F.col("epoch") < F.col("split_at")))
+    delta = _agg(tagged.filter(F.col("epoch") >= F.col("split_at")))
+    s, d = state.alias("s"), delta.alias("d")
+    return (
+        s.join(d, F.col("s.user_id") == F.col("d.user_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("s.user_id"), F.col("d.user_id")).alias("user_id"),
+            (
+                F.coalesce(F.col("s.n_events"), F.lit(0))
+                + F.coalesce(F.col("d.n_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("s.total_cents"), F.lit(0))
+                + F.coalesce(F.col("d.total_cents"), F.lit(0))
+            ).alias("total_cents"),
+            F.greatest(F.col("s.last_seen"), F.col("d.last_seen")).alias("last_seen"),
+        )
+        .orderBy("user_id")
+    )

@@ -2437,3 +2437,98 @@ def q158_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — join-key skew audit: the diagnostic behind every strategy choice
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q179_join_key_skew_audit",
+    oracle="""
+    WITH audits AS (
+        SELECT 'lineitem.l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_custkey', o_custkey FROM orders
+        UNION ALL
+        SELECT 'events.user_id', user_id FROM events
+    ),
+    per_key AS (
+        SELECT key_col, k, COUNT(*) AS cnt
+        FROM audits GROUP BY key_col, k
+    ),
+    ranked AS (
+        SELECT key_col, cnt,
+               ROW_NUMBER() OVER (PARTITION BY key_col ORDER BY cnt DESC, k) AS rnk,
+               COUNT(*) OVER (PARTITION BY key_col) AS n_keys,
+               CAST(SUM(cnt) OVER (PARTITION BY key_col) AS BIGINT) AS n_rows
+        FROM per_key
+    )
+    SELECT key_col,
+           MAX(n_rows) AS n_rows,
+           MAX(n_keys) AS n_keys,
+           MAX(CASE WHEN rnk = 1 THEN cnt END) AS max_per_key,
+           round(CAST(MAX(CASE WHEN rnk = 1 THEN cnt END) AS DOUBLE)
+                 * MAX(n_keys) / MAX(n_rows), 6) AS skew_ratio,
+           round(CAST(SUM(CASE WHEN rnk * 100 <= n_keys THEN cnt ELSE 0 END)
+                      AS DOUBLE) / MAX(n_rows), 6) AS top1pct_share
+    FROM ranked
+    GROUP BY key_col
+    ORDER BY key_col
+    """,
+    survey="2.5-agg,X6",
+)
+def q179_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for the catalog's hottest join/agg
+    keys — the numbers that decide between a plain shuffle join, a
+    broadcast, AQE skew splitting, or an explicit salt (q138): per key
+    column, the row and key counts, the hottest key's row count, its
+    ratio to a perfectly uniform distribution (skew_ratio = max·keys/rows,
+    1.0 = uniform), and the share of rows owned by the top 1% of keys.
+    One pass per audited column (partial-agg shuffle on the key), then a
+    window over the per-key counts — the count table is |keys|-sized,
+    never |rows|.  Ties rank deterministically by key so top-1% cutoffs
+    hash-match the oracle.  At 100 TB this query IS the planning input:
+    run it on yesterday's partition and feed skew_ratio into the salt
+    factor (reference has nothing comparable; its joins are 300-row)."""
+    tables = {
+        "lineitem.l_orderkey": ("lineitem", "l_orderkey"),
+        "lineitem.l_partkey": ("lineitem", "l_partkey"),
+        "orders.o_custkey": ("orders", "o_custkey"),
+        "events.user_id": ("events", "user_id"),
+    }
+    per_key = None
+    for label, (tbl, col) in sorted(tables.items()):
+        cnt = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(label).alias("key_col"), "k", "cnt")
+        )
+        per_key = cnt if per_key is None else per_key.unionByName(cnt)
+    w = Window.partitionBy("key_col")
+    ranked = per_key.select(
+        "key_col",
+        "cnt",
+        F.row_number()
+        .over(w.orderBy(F.desc("cnt"), F.asc("k")))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(w).alias("n_keys"),
+        F.sum("cnt").over(w).alias("n_rows"),
+    )
+    top1 = F.sum(F.when(F.col("rnk") * 100 <= F.col("n_keys"), F.col("cnt")).otherwise(F.lit(0)))
+    mx = F.max(F.when(F.col("rnk") == 1, F.col("cnt")))
+    return (
+        ranked.groupBy("key_col")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("n_keys").alias("n_keys"),
+            mx.alias("max_per_key"),
+            F.round(mx * F.max("n_keys") / F.max("n_rows"), 6).alias("skew_ratio"),
+            F.round(top1 / F.max("n_rows"), 6).alias("top1pct_share"),
+        )
+        .orderBy("key_col")
+    )

@@ -1963,3 +1963,57 @@ def q173_chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ut + at + 3).alias("total_tokens"),
         F.sha2(rendered, 256).alias("rendered_sha"),
     ).orderBy("pair_id")
+
+
+# ---------------------------------------------------------------------------
+# q178 — exact heavy hitters via Misra–Gries candidates + verify pass
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q178_heavy_hitter_shingles",
+    oracle="""
+    WITH tok AS (
+        SELECT array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                   AS shingle
+        FROM documents,
+             unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS t(i)
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT shingle, COUNT(*) AS cnt,
+           round(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 6) AS share
+    FROM tok
+    GROUP BY shingle
+    HAVING COUNT(*) * 5000 >= (SELECT n FROM tot)
+    ORDER BY cnt DESC, shingle
+    """,
+    survey="D2,X3",
+)
+def q178_heavy_hitter_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter shingles (share ≥ 1/5000 of all 3-shingle
+    occurrences — the boilerplate/duplication signal) computed WITHOUT a
+    full-universe GROUP BY: per-partition Misra–Gries summaries whose
+    survivor union provably contains every global heavy hitter, then an
+    exact count of only the candidates (broadcast semi-join ahead of the
+    shuffle).  The oracle is the naive full GROUP BY + HAVING — a hash
+    match proves the sketch's superset guarantee delivered the exact
+    answer, q157's prove-the-pruning pattern applied to aggregation.
+    At 100 TB the naive plan shuffles the full distinct-shingle universe
+    (billions of keys); this plan shuffles ≤ capacity × partitions
+    candidate rows plus one scalar total."""
+    from gmail_etl_spark.operators.sketches import exact_heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    # multiset shingles (occurrences, not the per-doc distinct sets the
+    # MinHash operator uses): every 3-token window, docs under 3 tokens
+    # contribute none — matching the oracle's generate_series bounds
+    toks = F.split(F.col("text"), " ")
+    occ = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    sh = d.select(F.explode(occ).alias("shingle"))
+    return exact_heavy_hitters(sh, "shingle", denom=5000, k_margin=2)

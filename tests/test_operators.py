@@ -915,3 +915,118 @@ def test_hll_sketch_rollup_accuracy(spark):
     for h, a in approx.items():
         rel = abs(a - exact[h]) / max(exact[h], 1)
         assert rel < 0.05, (h, a, exact[h], rel)
+
+
+# ---------------------------------------------------------------------------
+# sketches: Misra–Gries heavy hitters + native datasketches gates
+# ---------------------------------------------------------------------------
+
+
+def test_misra_gries_superset_property(spark):
+    """Adversarial skew: with capacity k, every item whose global count
+    exceeds n/(k+1) must survive the per-partition summary union — the
+    guarantee q178 turns into an exact query."""
+    import pandas as pd
+
+    from gmail_etl_spark.operators.sketches import misra_gries_candidates
+
+    # Zipf-ish head + a long uniform tail, shuffled deterministically
+    # across 8 partitions so heavy items straddle partition boundaries
+    rows = []
+    for i in range(20):
+        rows += [f"hot{i:02d}"] * (400 - 15 * i)
+    for i in range(5000):
+        rows.append(f"cold{i:05d}")
+    pdf = pd.DataFrame({"token": rows})
+    pdf["ord"] = [(i * 2654435761) % len(rows) for i in range(len(rows))]
+    pdf = pdf.sort_values("ord")
+    df = spark.createDataFrame(pdf[["token"]]).repartition(8)
+    n = len(rows)
+    k = 100
+    survivors = {
+        r["token"] for r in misra_gries_candidates(df, "token", k).collect()
+    }
+    true_heavy = {
+        t for t, c in pd.Series(rows).value_counts().items() if c > n / (k + 1)
+    }
+    assert true_heavy, "test needs a non-empty heavy set"
+    missing = true_heavy - survivors
+    assert not missing, f"MG superset guarantee violated: {missing}"
+
+
+def test_exact_heavy_hitters_matches_bruteforce(spark):
+    import pandas as pd
+
+    from gmail_etl_spark.operators.sketches import exact_heavy_hitters
+
+    rows = ["alpha"] * 300 + ["beta"] * 120 + [f"t{i:04d}" for i in range(900)]
+    pdf = pd.DataFrame({"token": rows}).sample(frac=1.0, random_state=7)
+    df = spark.createDataFrame(pdf).repartition(4)
+    got = exact_heavy_hitters(df, "token", denom=20).toPandas()
+    n = len(rows)
+    brute = (
+        pd.Series(rows)
+        .value_counts()
+        .loc[lambda s: s * 20 >= n]
+        .rename_axis("token")
+        .reset_index(name="cnt")
+    )
+    assert list(got["token"]) == list(brute["token"])
+    assert list(got["cnt"]) == list(brute["cnt"])
+
+
+def test_q176_kll_rank_error_vs_exact(spark):
+    """The merged KLL estimates must sit within ±3% rank error of the
+    exact per-hour quantiles (k=400 guarantees ~0.8%; the gate leaves
+    slack for tiny windows)."""
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+
+    _ensure_loaded()
+    est = CATALOG["q176_kll_quantile_rollup"].builder(spark, SF_DIR).toPandas()
+    assert len(est) > 0
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+        .cast("long")
+        .alias("hour_start"),
+        F.col("value").cast("double").alias("v"),
+    )
+    exact = e.toPandas()
+    for _, row in est.iterrows():
+        vals = exact.loc[exact.hour_start == row.hour_start, "v"]
+        assert len(vals) == row.n_events
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            rank = (vals <= row[col]).mean()
+            assert abs(rank - q) <= 0.03 + 1.0 / len(vals), (
+                row.hour_start, col, rank, q,
+            )
+
+
+def test_q177_theta_estimates_vs_exact(spark):
+    """Theta set-algebra estimates within 5% relative error of the
+    exact per-source distinct-shingle cardinalities and overlaps
+    (lgK=14 ⇒ ~0.8% RSE; sf fixtures sit far below saturation)."""
+    from gmail_etl_spark.operators.dedup import shingles
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+
+    _ensure_loaded()
+    est = CATALOG["q177_theta_source_overlap"].builder(spark, SF_DIR).toPandas()
+    assert len(est) > 0
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = d.select(
+        "source", F.explode(shingles(F.col("text"), 3)).alias("shingle")
+    ).distinct()
+    sets: dict = {}
+    for r in sh.collect():
+        sets.setdefault(r["source"], set()).add(r["shingle"])
+    for _, row in est.iterrows():
+        A, B = sets[row.source_a], sets[row.source_b]
+        for got, true in (
+            (row.est_a, len(A)),
+            (row.est_b, len(B)),
+            (row.est_union, len(A | B)),
+            (row.est_common, len(A & B)),
+            (row.est_only_a, len(A - B)),
+        ):
+            assert abs(got - true) <= max(2, 0.05 * true), (
+                row.source_a, row.source_b, got, true,
+            )

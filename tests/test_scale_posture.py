@@ -303,6 +303,9 @@ _BNLJ_JUSTIFIED = {
     "q164_token_pmi",  # 1-row doc-count broadcast
     "q166_recency_decay_scores",  # 1-row max-timestamp anchor broadcast
     "q172_erasure_impact",  # four 1-row audit-count broadcasts
+    "q177_theta_source_overlap",  # pairwise join on one sketch row/source
+    "q178_heavy_hitter_shingles",  # 1-row exact-total broadcast
+    "q180_incremental_agg_merge",  # 1-row split-anchor broadcast
 }
 
 
@@ -320,3 +323,44 @@ def test_no_unjustified_nested_loop_joins_anywhere(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_JUSTIFIED:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """Catalyst's runtime row-level filtering: on a selective dim→fact
+    join, the optimizer injects a bloom filter built from the dim side
+    into the fact scan (`might_contain(scalar-subquery)`), so fact rows
+    that cannot match die before the shuffle.  At 100 TB this is the
+    default semi-join reduction — the default thresholds
+    (creationSideThreshold 10MB / applicationSide 10GB) only arm it at
+    real scale, so the test arms it explicitly and pins that the
+    injection actually fires on this Spark version.  Correctness is
+    asserted against the un-filtered join."""
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(0, 200_000).selectExpr(
+        "id AS l_k", "id % 100 AS v"
+    ).write.parquet(fact_p)
+    spark.range(0, 20_000).selectExpr(
+        "id AS d_k", "id % 7 AS attr"
+    ).write.parquet(dim_p)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter("attr = 3")
+        j = fact.join(dim, fact.l_k == dim.d_k)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        assert j.count() == 20_000 // 7 + (1 if 3 < 20_000 % 7 else 0)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
