@@ -212,8 +212,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q171_slo_percentile_bands", "q172_erasure_impact",
     "q173_chat_template_render", "q174_corpus_diff", "q175_novelty_curve",
     "q178_heavy_hitter_shingles", "q179_join_key_skew_audit",
-    "q180_incremental_agg_merge", "q176_kll_quantile_rollup",
-    "q177_theta_source_overlap",
+    "q180_incremental_agg_merge", "q181_kcore_peel", "q182_gap_fill_locf",
+    "q176_kll_quantile_rollup", "q177_theta_source_overlap",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",

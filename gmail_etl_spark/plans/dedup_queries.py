@@ -1265,3 +1265,87 @@ def q177_theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         est("theta_difference(a.sk, b.sk)").alias("est_only_a"),
         F.round(inter / union, 6).alias("jaccard_est"),
     ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# q181 — k-core peel: iterative subgraph pruning with an unrolled oracle
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 30
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peel: eR keeps edges whose BOTH endpoints have degree
+    ≥ k in e(R-1).  Generated once at import — the oracle string is the
+    loop, spelled out."""
+    ctes = [
+        "e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem)"
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        ctes.append(
+            f"""e{r} AS (
+        SELECT s, p FROM {prev}
+        WHERE s IN (SELECT s FROM {prev} GROUP BY s HAVING COUNT(*) >= {k})
+          AND p IN (SELECT p FROM {prev} GROUP BY p HAVING COUNT(*) >= {k})
+    )"""
+        )
+    last = f"e{rounds}"
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT 's' AS side, s AS node_id, COUNT(*) AS degree
+    FROM {last} GROUP BY s
+    UNION ALL
+    SELECT 'p' AS side, p AS node_id, COUNT(*) AS degree
+    FROM {last} GROUP BY p
+    ORDER BY side, node_id
+    """
+
+
+@query(
+    "q181_kcore_peel",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+    survey="D2,2.5-agg",
+)
+def q181_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative degree peeling on the bipartite
+    supplier–part graph (edges = distinct l_suppkey↔l_partkey): each
+    round drops every node of degree < k and its incident edges, until
+    the {k}-core remains.  The classic iterative-subgraph shape next to
+    CC (q47) and PageRank (q156) — each round is two left-semi joins
+    against the qualifying-node sets (degree tables are |nodes|-sized,
+    never |edges|), and the unroll depth is fixed at 4 rounds, which the
+    convergence test pins as ≥ 1 past fixpoint on the fixtures.  The
+    oracle is the same loop unrolled into nested CTEs — a hash match
+    proves all four peel iterations, not just the final projection.  At
+    100 TB: persist each round's edge set (the CC localCheckpoint
+    discipline) instead of stacking semi-joins into one lineage."""
+    e = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        good_s = (
+            e.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= _KCORE_K)
+            .select("s")
+        )
+        good_p = (
+            e.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= _KCORE_K)
+            .select("p")
+        )
+        e = e.join(good_s, "s", "left_semi").join(good_p, "p", "left_semi")
+    deg_s = (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.lit("s").alias("side"), F.col("s").alias("node_id"), "degree")
+    )
+    deg_p = (
+        e.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.lit("p").alias("side"), F.col("p").alias("node_id"), "degree")
+    )
+    return deg_s.unionByName(deg_p).orderBy("side", "node_id")

@@ -1127,3 +1127,106 @@ def q180_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — hourly spine + last-observation-carried-forward gap fill
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q182_gap_fill_locf",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+               event_id, value
+        FROM events WHERE user_id < 25
+    ),
+    hourly AS (
+        SELECT user_id, (ep // 3600) * 3600 AS hour_start, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, (ep // 3600) * 3600
+                   ORDER BY ep DESC, event_id DESC
+               ) AS rn
+        FROM ev
+    ),
+    obs AS (SELECT user_id, hour_start, value FROM hourly WHERE rn = 1),
+    spans AS (
+        SELECT user_id, MIN(hour_start) AS h0, MAX(hour_start) AS h1
+        FROM obs GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, h0 + 3600 * i AS hour_start
+        FROM spans, unnest(generate_series(0, (h1 - h0) // 3600)) AS t(i)
+    )
+    SELECT s.user_id, s.hour_start,
+           round(last_value(o.value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled,
+           (o.value IS NULL) AS is_gap
+    FROM spine s LEFT JOIN obs o
+      ON o.user_id = s.user_id AND o.hour_start = s.hour_start
+    ORDER BY s.user_id, s.hour_start
+    """,
+    survey="X5,2.5-window",
+)
+def q182_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per audited user (bounded cohort),
+    build the dense hourly spine between their first and last active
+    hour (sequence + explode — driver-free, the q100 spine pattern made
+    per-key), left-join the last observation of each hour (row_number
+    by (epoch, event_id), the deterministic 'latest wins'), and fill
+    gaps by carrying the last non-null forward (`last(..., ignorenulls)`
+    over an unbounded-preceding row frame — Spark's LOCF idiom, matched
+    by DuckDB's `IGNORE NULLS`).  The fill window shuffles once on
+    user_id; spine width is bounded by each user's own activity span,
+    so a sparse user never inflates the frame.  This is the resample/
+    ffill step every metrics store and feature pipeline runs before
+    windowed training joins."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 25)
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("ep"),
+            "event_id",
+            "value",
+        )
+    )
+    hour = (F.floor(F.col("ep") / 3600) * 3600).cast("long")
+    w_pick = Window.partitionBy("user_id", "hour_start").orderBy(
+        F.desc("ep"), F.desc("event_id")
+    )
+    obs = (
+        e.withColumn("hour_start", hour)
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour_start", "value")
+    )
+    spans = obs.groupBy("user_id").agg(
+        F.min("hour_start").alias("h0"), F.max("hour_start").alias("h1")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.lit(3600).cast("long"))
+        ).alias("hour_start"),
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(obs, ["user_id", "hour_start"], "left")
+        .select(
+            "user_id",
+            "hour_start",
+            F.round(F.last("value", ignorenulls=True).over(w_fill), 6).alias(
+                "value_filled"
+            ),
+            F.col("value").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "hour_start")
+    )

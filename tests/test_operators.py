@@ -1030,3 +1030,20 @@ def test_q177_theta_estimates_vs_exact(spark):
             assert abs(got - true) <= max(2, 0.05 * true), (
                 row.source_a, row.source_b, got, true,
             )
+
+
+def test_q181_kcore_converged_at_unroll_depth(spark):
+    """The fixed 4-round unroll must reach the true k-core fixpoint on
+    the fixtures (docstring claim): one more peel round removes
+    nothing."""
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+    from gmail_etl_spark.plans.dedup_queries import _KCORE_K
+
+    _ensure_loaded()
+    # sf0.01: the smallest fixture whose 30-core is non-empty (at
+    # sf0.001 part degrees sit far below k and the core is empty —
+    # correctly, but vacuously for this test)
+    res = CATALOG["q181_kcore_peel"].builder(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(res) > 0
+    # every surviving node already has degree >= k: a further round is a no-op
+    assert (res["degree"] >= _KCORE_K).all(), res[res["degree"] < _KCORE_K]
