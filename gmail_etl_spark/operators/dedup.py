@@ -82,16 +82,42 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+#: Mersenne prime 2^31−1 for the universal-hash permutation family.
+_MH_P = (1 << 31) - 1
+
+
+def _mh_ab(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation i: golden-ratio / xxhash
+    avalanche constants spread over [1, p) — fixed, no random state."""
+    a = (i * 0x9E3779B97F4A7C15 + 0x632BE59BD9B4E019) % (_MH_P - 1) + 1
+    b = (i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _MH_P
+    return a, b
+
+
 def minhash_signature(sh: Column, n_hashes: int = 32) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(i, shingle).  xxhash64's seed argument gives an indexed
-    hash family without any Python or random state."""
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
-            for i in range(n_hashes)
-        ]
-    )
+    """MinHash signature via one base hash + linear permutations.
+
+    Each shingle is string-hashed ONCE (xxhash64 → [0, p), p = 2^31−1),
+    then permutation i is the universal-hash map h ↦ (a_i·h + b_i) mod p
+    (Carter–Wegman; the standard MinHash family, e.g. Broder 1997) —
+    integer ops over the pre-hashed array instead of re-hashing every
+    string n_hashes times, which profiling showed dominated the LSH
+    stage.  a_i·h < 2^31·2^31 = 2^62 keeps the product inside long
+    range, so ANSI arithmetic never overflows.  Constants are fixed
+    avalanche mixes of i — deterministic across sessions."""
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P)))
+    cols = []
+    for i in range(n_hashes):
+        a, b = _mh_ab(i)
+        cols.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_P)),
+                )
+            )
+        )
+    return F.array(*cols)
 
 
 def capped_pair_candidates(buckets: DataFrame, max_bucket: int) -> DataFrame:
