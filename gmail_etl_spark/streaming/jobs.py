@@ -192,6 +192,35 @@ def _resolve_rollup_version(spark: SparkSession, rollup_dir: str) -> tuple[str, 
     return "", -1
 
 
+def _publish_rollup_version(
+    spark: SparkSession, rollup_dir: str, merged: DataFrame, batch_id: int
+) -> None:
+    """Write ``merged`` as ``_v<batch_id>`` and atomically publish it via
+    the ``_CURRENT`` pointer (shared by the additive rollup and the
+    sketch-state rollup — see :func:`maintain_daily_rollup` for the
+    crash-safety contract)."""
+    version_name = f"_v{batch_id:015d}"
+    new_dir = f"{rollup_dir.rstrip('/')}/{version_name}"
+    merged.write.mode("overwrite").parquet(new_dir)
+    jvm, fs, base = _rollup_fs(spark, rollup_dir)
+    ptr = jvm.org.apache.hadoop.fs.Path(rollup_dir, "_CURRENT")
+    tmp = jvm.org.apache.hadoop.fs.Path(rollup_dir, f"_CURRENT.{batch_id}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(f"{batch_id}\t{version_name}".encode("utf-8"))
+    finally:
+        out.close()
+    if fs.exists(ptr):
+        fs.delete(ptr, False)  # rename-over is non-portable; _resolve
+        # falls back to the newest _v dir in this sub-second window
+    fs.rename(tmp, ptr)
+    # best-effort cleanup of superseded versions
+    for s in fs.listStatus(base):
+        name = s.getPath().getName()
+        if s.isDirectory() and name.startswith("_v") and name != version_name:
+            fs.delete(s.getPath(), True)
+
+
 def read_daily_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     """Reader for the versioned rollup published by
     :func:`maintain_daily_rollup`."""
@@ -266,27 +295,7 @@ def maintain_daily_rollup(
             )
         else:
             merged = inc
-        version_name = f"_v{batch_id:015d}"
-        new_dir = f"{rollup_dir.rstrip('/')}/{version_name}"
-        merged.write.mode("overwrite").parquet(new_dir)
-        # atomic publish: write pointer aside, rename over _CURRENT
-        jvm, fs, base = _rollup_fs(spark_l, rollup_dir)
-        ptr = jvm.org.apache.hadoop.fs.Path(rollup_dir, "_CURRENT")
-        tmp = jvm.org.apache.hadoop.fs.Path(rollup_dir, f"_CURRENT.{batch_id}.tmp")
-        out = fs.create(tmp, True)
-        try:
-            out.write(f"{batch_id}\t{version_name}".encode("utf-8"))
-        finally:
-            out.close()
-        if fs.exists(ptr):
-            fs.delete(ptr, False)  # rename-over is non-portable; _resolve
-            # falls back to the newest _v dir in this sub-second window
-        fs.rename(tmp, ptr)
-        # best-effort cleanup of superseded versions
-        for s in fs.listStatus(base):
-            name = s.getPath().getName()
-            if s.isDirectory() and name.startswith("_v") and name != version_name:
-                fs.delete(s.getPath(), True)
+        _publish_rollup_version(spark_l, rollup_dir, merged, batch_id)
 
     q = (
         events.writeStream.foreachBatch(merge_batch)
@@ -381,4 +390,71 @@ def stream_scrub_documents(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST5/X5 — incremental DISTINCT-count state: mergeable sketches, not counts
+# ---------------------------------------------------------------------------
+
+
+def maintain_daily_distinct_sketch(
+    spark: SparkSession,
+    events_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """The sketch-state companion to :func:`maintain_daily_rollup`:
+    per-day DISTINCT users cannot be maintained by adding counts (a
+    returning user must not double-count across micro-batches), but the
+    HLL register state IS mergeable — each batch aggregates its rows
+    into one sketch per day (`hll_sketch_agg`) and unions it into the
+    persisted per-day sketch (`hll_union_agg`).  Because HLL union takes
+    the register-wise max, the final state after ANY partition of the
+    stream into batches is byte-identical to the one-shot batch sketch —
+    the test asserts estimate equality EXACTLY, not within tolerance.
+
+    Same crash-safety contract as the additive rollup (versioned dirs +
+    `_CURRENT` pointer + batch_id idempotence).  At 100 TB the state is
+    days × 2^lgK bytes — the stream never re-reads history to answer
+    "distinct users per day so far"."""
+    events = read_events_stream(spark, events_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        cur_dir, last_merged = _resolve_rollup_version(spark_l, rollup_dir)
+        if batch_id <= last_merged:
+            return  # at-least-once replay of an already-published merge
+        inc = batch_df.groupBy(F.to_date("ts").alias("day")).agg(
+            F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
+        )
+        if cur_dir:
+            prev = spark_l.read.parquet(cur_dir)
+            merged = (
+                prev.unionByName(inc)
+                .groupBy("day")
+                .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+            )
+        else:
+            merged = inc
+        _publish_rollup_version(spark_l, rollup_dir, merged, batch_id)
+
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_daily_distinct_estimates(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Estimates off the published sketch state: (day, approx_users)."""
+    return (
+        read_daily_rollup(spark, rollup_dir)
+        .select(
+            "day",
+            F.expr("hll_sketch_estimate(sk)").cast("long").alias("approx_users"),
+        )
+        .orderBy("day")
     )
