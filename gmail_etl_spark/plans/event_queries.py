@@ -1230,3 +1230,59 @@ def q182_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — count-min probe: point-lookup frequencies off one shuffled row
+# ---------------------------------------------------------------------------
+
+
+@query("q183_cms_probe_counts", oracle=None, survey="2.5-agg,X5")
+def q183_cms_probe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point lookups: one `count_min_sketch` aggregate
+    (eps=0.001, confidence=0.99, fixed seed) compresses the full
+    user-activity distribution into a ~110 KB binary that leaves the
+    executors as a single row; the audited user ids are then probed by
+    decoding that binary (operators/sketches.py — layout and row-hash
+    verified bit-for-bit against the JVM impl in tests) and joined to
+    their exact counts for the overcount audit.  At 100 TB the sketch
+    is the only thing that crosses the wire for ANY number of probes —
+    the per-probe exact join here is the audit, not the mechanism.
+    Partial sketches merge by table addition, so the distributed
+    aggregate is order-independent and deterministic under the fixed
+    seed.  Rows-only: the estimate depends on the sketch's hash layout;
+    the CMS bounds (never undercounts, overcount ≤ eps·N w.p. ≥
+    confidence) are gated in tests/test_operators.py."""
+    from gmail_etl_spark.operators.sketches import cms_probe_longs
+
+    probe_ids = list(range(25))
+    e = load_table(spark, sf_dir, "events")
+    raw = bytes(
+        e.select(
+            F.expr(
+                "count_min_sketch(user_id, cast(0.001 as double),"
+                " cast(0.99 as double), 42)"
+            ).alias("sk")
+        ).head()["sk"]
+    )
+    est = cms_probe_longs(raw, probe_ids)
+    est_df = spark.createDataFrame(
+        [(int(i), int(est[i])) for i in probe_ids], "user_id bigint, est_count bigint"
+    )
+    exact = (
+        e.join(F.broadcast(est_df.select("user_id")), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        est_df.join(exact, "user_id", "left")
+        .select(
+            "user_id",
+            "est_count",
+            F.coalesce("true_count", F.lit(0)).alias("true_count"),
+            (F.col("est_count") - F.coalesce("true_count", F.lit(0))).alias(
+                "overcount"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -1047,3 +1047,41 @@ def test_q181_kcore_converged_at_unroll_depth(spark):
     assert len(res) > 0
     # every surviving node already has degree >= k: a further round is a no-op
     assert (res["degree"] >= _KCORE_K).all(), res[res["degree"] < _KCORE_K]
+
+
+def test_cms_decode_bitexact_and_bounds(spark):
+    """The Python CMS decoder must reproduce the JVM sketch exactly:
+    every table row sums to totalCount, and probes of planted items
+    return their exact counts when the width is collision-free; on the
+    real q183 run, estimates never undercount and overcounts respect
+    eps·N with at most one 1%-tail violation across the probe set."""
+    from gmail_etl_spark.operators.sketches import (
+        cms_probe_longs,
+        decode_count_min_sketch,
+    )
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+
+    # planted distribution, wide sketch → estimates exactly equal truth
+    vals = [(1,)] * 5 + [(2,)] * 3 + [(7,)] * 1 + [(123456789,)] * 4
+    df = spark.createDataFrame(vals, "c long")
+    raw = bytes(
+        df.select(
+            F.expr(
+                "count_min_sketch(c, cast(0.001 as double),"
+                " cast(0.99 as double), 7)"
+            ).alias("sk")
+        ).head()["sk"]
+    )
+    total, depth, width, hash_a, table = decode_count_min_sketch(raw)
+    assert total == len(vals)
+    assert all(int(row.sum()) == total for row in table)
+    est = cms_probe_longs(raw, [1, 2, 7, 123456789, 999])
+    assert est == {1: 5, 2: 3, 7: 1, 123456789: 4, 999: 0}
+
+    _ensure_loaded()
+    res = CATALOG["q183_cms_probe_counts"].builder(spark, SF_DIR).toPandas()
+    assert len(res) == 25
+    assert (res["overcount"] >= 0).all()  # CMS never undercounts
+    n_total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    viol = int((res["overcount"] > 0.001 * n_total).sum())
+    assert viol <= 1, res[res["overcount"] > 0.001 * n_total]
