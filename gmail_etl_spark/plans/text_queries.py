@@ -2017,3 +2017,99 @@ def q178_heavy_hitter_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
     sh = d.select(F.explode(occ).alias("shingle"))
     return exact_heavy_hitters(sh, "shingle", denom=5000, k_margin=2)
+
+
+# ---------------------------------------------------------------------------
+# q184 — interpolated bigram LM: the next-order perplexity filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q184_bigram_lm_nll",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    big AS (
+        SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        FROM arrs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2),
+    c1 AS (
+        SELECT token, COUNT(*) AS n1
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(n1) AS DOUBLE) AS t FROM c1)
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln(
+               0.7 * (CAST(cc.n2 AS DOUBLE) / CAST(u1.n1 AS DOUBLE))
+               + 0.3 * (CAST(u2.n1 AS DOUBLE) / (SELECT t FROM tot))
+           )), 6) AS avg_nll
+    FROM big b
+    JOIN c2 cc ON cc.w1 = b.w1 AND cc.w2 = b.w2
+    JOIN c1 u1 ON u1.token = b.w1
+    JOIN c1 u2 ON u2.token = b.w2
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    survey="X3",
+)
+def q184_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order LM quality score: per-document average NLL under a
+    Jelinek–Mercer-interpolated bigram model trained on the corpus
+    itself — p(w₂|w₁) = 0.7·c(w₁w₂)/c(w₁) + 0.3·c(w₂)/T.  Interpolation
+    (not backoff) keeps every observed bigram's probability a smooth
+    function of two count tables, and a document's bigrams are by
+    construction observed, so the score is total.  The bigram step is
+    what separates fluent boilerplate (low NLL under q105's unigram
+    model AND here) from bag-of-frequent-words noise (low unigram NLL,
+    HIGH bigram NLL) — the standard second filter in a curation stack.
+
+    Scale shape: model state = the two count tables; unigrams broadcast
+    (vocabulary-sized), bigrams join on their natural key (at 100 TB the
+    bigram table is itself big data — it shuffle-joins, map-side-combed
+    on both sides, and would be count-pruned like any production LM).
+    The corpus total rides the tiny unigram table as a 1-row broadcast
+    (q105 pattern); ln rounds to 6dp in-query on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    a = F.split("text", " ")
+    bigrams = F.when(
+        F.size(a) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(a) - 1),
+            lambda i: F.struct(
+                F.element_at(a, i).alias("w1"),
+                F.element_at(a, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+    big = d.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    toks = d.select(F.explode(a).alias("token"))
+    c1 = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n1"))
+    tot = c1.agg(F.sum("n1").cast("double").alias("t"))
+    p = (
+        F.lit(0.7) * (F.col("n2").cast("double") / F.col("u1_n").cast("double"))
+        + F.lit(0.3) * (F.col("u2_n").cast("double") / F.col("t"))
+    )
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(
+            F.broadcast(c1.select(F.col("token").alias("w1"), F.col("n1").alias("u1_n"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("token").alias("w2"), F.col("n1").alias("u2_n"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

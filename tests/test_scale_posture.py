@@ -306,6 +306,7 @@ _BNLJ_JUSTIFIED = {
     "q177_theta_source_overlap",  # pairwise join on one sketch row/source
     "q178_heavy_hitter_shingles",  # 1-row exact-total broadcast
     "q180_incremental_agg_merge",  # 1-row split-anchor broadcast
+    "q184_bigram_lm_nll",  # 1-row corpus-total broadcast (q105 pattern)
 }
 
 
