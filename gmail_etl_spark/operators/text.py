@@ -192,3 +192,37 @@ def attach_compression_ratio(
         "ratio",
         F.round(F.col("compressed_len").cast("double") / F.col("byte_len"), 6),
     )
+
+
+# ---------------------------------------------------------------------------
+# UDTF surface (U-family): arbitrary-Python row expansion, Arrow-batched
+# ---------------------------------------------------------------------------
+
+
+def make_chunk_spans_udtf():
+    """Python UDTF (Spark 4 table function) emitting overlapping token
+    spans per document — the API surface for chunkers whose boundary
+    logic outgrows column expressions (tokenizer-aware splits, semantic
+    boundaries).  For plain fixed-width chunking q71's JVM expression is
+    the 100 TB path; this UDTF exists to cover the `spark.udtf` +
+    LATERAL surface with Arrow batching (`useArrow=True`).
+
+    Deterministic contract (oracled by q186): chunks start at
+    0, step, 2·step, … < max(n_tokens − width + 1, 1) — short documents
+    yield exactly one chunk of everything."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_id int, start_tok int, n_tok int, chunk_text string",
+        useArrow=True,
+    )
+    class ChunkSpans:
+        def eval(self, text: str, width: int, step: int):
+            toks = text.split(" ")
+            cid = 0
+            for start in range(0, max(len(toks) - width + 1, 1), step):
+                piece = toks[start : start + width]
+                yield cid, start, len(piece), " ".join(piece)
+                cid += 1
+
+    return ChunkSpans

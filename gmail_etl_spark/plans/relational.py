@@ -2532,3 +2532,43 @@ def q179_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_col")
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — one ANSI SQL text, two engines: the SQL-API parity proof
+# ---------------------------------------------------------------------------
+
+#: Executed VERBATIM by Spark (over temp views) AND DuckDB (over the
+#: pre-registered parquet views): engine-portable ANSI only — explicit
+#: joins, integer-cents arithmetic, CASE, no dialect functions.
+_Q185_SHARED_SQL = """
+    SELECT n.n_name AS nation,
+           o.o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_totalprice > 1000
+    GROUP BY n.n_name, o.o_orderpriority
+    ORDER BY nation, priority
+"""
+
+
+@query("q185_ansi_sql_parity", oracle=_Q185_SHARED_SQL, survey="2.5-agg,P3")
+def q185_ansi_sql_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API surface, proven at the strictest possible grain: the
+    SAME ANSI SQL text (module constant `_Q185_SHARED_SQL`) runs
+    verbatim through `spark.sql` over temp views AND through DuckDB as
+    its own oracle — any engine-semantics divergence (join behavior,
+    CASE, ROUND, integer casts, ORDER BY collation on ASCII keys) would
+    hash-mismatch.  Catalyst still plans it like the DataFrame twins
+    (dims broadcast behind the selective region filter, one fact
+    shuffle), because SQL and DataFrame converge to the same logical
+    plan — which is the point: users of the engine can write either."""
+    for t in ("orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q185_SHARED_SQL)

@@ -2113,3 +2113,51 @@ def q184_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — Python UDTF chunker through LATERAL (U-family API surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q186_udtf_chunk_spans",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(i / 24 AS INT) AS chunk_id,
+           CAST(i AS INT) AS start_tok,
+           CAST(len(list_slice(a, i + 1, i + 32)) AS INT) AS n_tok,
+           array_to_string(list_slice(a, i + 1, i + 32), ' ') AS chunk_text
+    FROM arrs,
+         unnest(generate_series(0, GREATEST(len(a) - 32 + 1, 1) - 1, 24)) AS t(i)
+    ORDER BY doc_id, chunk_id
+    """,
+    survey="U1,X3",
+)
+def q186_udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4 Python UDTF surface under LATERAL: an Arrow-batched
+    table function expands each document into overlapping 32-token
+    spans (step 24) — the chunker shape whose boundary logic, in real
+    pipelines, is arbitrary Python (tokenizer-aware splits) that column
+    expressions can't host.  The oracle recomputes the identical span
+    arithmetic in SQL, so the UDTF's row contract is hash-pinned, and
+    q71 remains the pure-JVM fixed-width path for when Python isn't
+    needed.  Bounded to the 200-doc audit slice: per-row Python (even
+    Arrow-batched) prices every row — the UDTF is API surface, not the
+    100 TB bulk path."""
+    from gmail_etl_spark.operators.text import make_chunk_spans_udtf
+
+    spark.udtf.register("chunk_spans", make_chunk_spans_udtf())
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d.select("doc_id", "text").createOrReplaceTempView("_q186_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.start_tok, c.n_tok, c.chunk_text
+        FROM _q186_docs d, LATERAL chunk_spans(d.text, 32, 24) AS c
+        ORDER BY d.doc_id, c.chunk_id
+        """
+    )

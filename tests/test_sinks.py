@@ -289,3 +289,21 @@ def test_orc_roundtrip_and_sharded_partition_write(spark, tmp_path):
     # partition pruning: only the shard=3 directory is scanned
     assert one.count() > 0
     assert "shard" not in plan.split("ReadSchema")[-1].split("]")[0]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Lake-layout evolution: a v2 writer adds a column; readers with
+    mergeSchema see the union schema, v1 rows surface NULL for the new
+    column, and plain readers keep working on the footer they pick."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id"), F.lit("a").alias("source")).write.parquet(out)
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("source"), F.lit(1.5).alias("quality")
+    ).write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "source", "quality"}
+    assert merged.count() == 8
+    assert merged.filter(F.col("quality").isNull()).count() == 5
+    assert merged.filter((F.col("source") == "b") & F.col("quality").isNotNull()).count() == 3
