@@ -1286,3 +1286,77 @@ def q183_cms_probe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — grouped OLS drift: regression slope of daily volume per type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q187_daily_value_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        GROUP BY event_type, day_idx
+    ),
+    anchored AS (
+        SELECT event_type,
+               day_idx - MIN(day_idx) OVER (PARTITION BY event_type) AS x,
+               cents AS y
+        FROM daily
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (CAST(COUNT(*) AS DOUBLE) * SUM(x * x) - SUM(x) * SUM(x)),
+                 4) AS slope_cents_per_day,
+           ROUND((SUM(y) - ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                            / (CAST(COUNT(*) AS DOUBLE) * SUM(x * x)
+                               - SUM(x) * SUM(x))) * SUM(x))
+                 / COUNT(*), 4) AS intercept_cents
+    FROM anchored
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey="2.5-agg,X5",
+)
+def q187_daily_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend detection as grouped OLS: per event type, the least-squares
+    slope (and intercept) of daily value totals against the day index —
+    the one-number drift signal behind "is this source decaying?"
+    alerts.  The regression reduces to five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) that stay EXACT integers until the final
+    division: x is a small day offset, y integer cents, so every product
+    fits a long and the oracle's float surface is one division + one
+    4dp round, identical on both engines.  Shape: one daily partial-agg
+    shuffle, a per-type MIN window to anchor x at zero (keeps Σx² small
+    and the formula conditioning trivial), then a per-type fold —
+    group count × 5 longs of state at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    w = Window.partitionBy("event_type")
+    anchored = daily.select(
+        "event_type",
+        (F.col("day_idx") - F.min("day_idx").over(w)).alias("x"),
+        F.col("cents").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx * sy) / (n.cast("double") * sxx - sx * sx)
+    return (
+        anchored.groupBy("event_type")
+        .agg(
+            n.alias("n_days"),
+            F.round(slope, 4).alias("slope_cents_per_day"),
+            F.round((sy - slope * sx) / n, 4).alias("intercept_cents"),
+        )
+        .orderBy("event_type")
+    )

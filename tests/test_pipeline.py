@@ -84,3 +84,27 @@ def test_transform_handles_null_payload_rows(spark):
     rows = transform_stage1(df).collect()
     assert len(rows) == 1
     assert rows[0]["body"] is None or rows[0]["body"] == ""
+
+
+def test_observe_metrics_on_stage1_transform(spark):
+    """Pipeline observability without extra actions: `df.observe`
+    attaches accumulator-style metrics to the stage-1 transform, and the
+    single write/collect action yields row counts + null-audit numbers
+    as a side channel — at 100 TB this replaces a second audit scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+    from gmail_etl_spark.pipeline import transform_stage1
+
+    raw = fixture_raw_df(spark)
+    obs = Observation("stage1_audit")
+    stage1 = transform_stage1(raw).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("date_string").isNull().cast("int")).alias("null_dates"),
+    )
+    n = stage1.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["null_dates"] == stage1.filter(
+        F.col("date_string").isNull()
+    ).count()
