@@ -734,3 +734,104 @@ def ivf_pq_topk(
         .withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA (covariance method) — X1/X3 dimensionality reduction
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int):
+    """Fit PCA by the covariance method, the only shape that scales to
+    100 TB of embeddings: ONE ``mapInPandas`` pass emits per-batch
+    sufficient statistics (n, Σx, XᵀX) — d + d² doubles per batch,
+    independent of row count — the driver sums them (batch-count-bounded
+    collect, the PQ-codebook contract), forms the covariance
+    C = (XᵀX − n·x̄x̄ᵀ)/(n−1), and takes the top-k eigenvectors of the
+    d×d matrix with numpy eigh (d=64 here; eigh of d×d is driver-trivial
+    for any d where the covariance method applies).
+
+    Determinism: batch statistics are float sums whose per-batch
+    partials are summed in a FIXED order (sorted by partition/batch
+    index) and eigh of the same matrix is deterministic; each
+    eigenvector's sign is canonicalized so its largest-magnitude entry
+    is positive.  Returns (components k×d numpy array, explained
+    variance ratios length-k list, mean length-d numpy array)."""
+    import numpy as np
+    import pandas as pd
+
+    def stats_kernel(batches):
+        import numpy as _np
+
+        idx = 0
+        for pdf in batches:
+            X = _np.asarray(pdf[vec_col].tolist(), dtype=_np.float64)
+            if len(X) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "bidx": [idx],
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "xtx": [(X.T @ X).ravel().tolist()],
+                }
+            )
+            idx += 1
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(
+            stats_kernel,
+            schema="bidx long, n long, s array<double>, xtx array<double>",
+        )
+        .collect()
+    )
+    # stable total order: bidx restarts per partition task, so the sum
+    # order is pinned by the statistics themselves (deterministic for a
+    # deterministic input partitioning)
+    parts = sorted(parts, key=lambda r: (r["bidx"], r["n"], tuple(r["s"])))
+    n = sum(r["n"] for r in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    xtx = np.zeros((d, d))
+    for r in parts:
+        s += np.asarray(r["s"])
+        xtx += np.asarray(r["xtx"]).reshape(d, d)
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k × d
+    for i in range(len(comps)):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    ratios = (evals[order] / evals.sum()).tolist()
+    return comps, ratios, mean
+
+
+def pca_project(
+    df: DataFrame, id_col: str, vec_col: str, comps, mean
+) -> DataFrame:
+    """Project vectors onto fitted components: map-only second pass —
+    the k×d component matrix and mean ride the closure (plan literals),
+    each Arrow batch is one centered matmul, no shuffle anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    V = np.asarray(comps, dtype=np.float64)  # k × d
+    mu = np.asarray(mean, dtype=np.float64)
+    k = V.shape[0]
+
+    def proj_kernel(batches):
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            P = (X - mu) @ V.T if len(X) else np.zeros((0, k))
+            out = pd.DataFrame({id_col: pdf[id_col]})
+            out["proj"] = [row.tolist() for row in P]
+            yield out
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        proj_kernel, schema=f"{id_col} {id_type}, proj array<double>"
+    )

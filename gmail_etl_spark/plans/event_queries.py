@@ -1360,3 +1360,131 @@ def q187_daily_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — association rules over session baskets (support/confidence/lift)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q189_session_association_rules",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 5 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    ),
+    baskets AS (
+        SELECT DISTINCT user_id, session_no, event_type FROM sess
+    ),
+    n AS (SELECT COUNT(DISTINCT (user_id, session_no)) AS n_sessions FROM baskets),
+    item AS (
+        SELECT event_type, COUNT(*) AS cnt FROM baskets GROUP BY event_type
+    ),
+    pair AS (
+        SELECT a.event_type AS antecedent, b.event_type AS consequent,
+               COUNT(*) AS cnt_ab
+        FROM baskets a
+        JOIN baskets b
+          ON a.user_id = b.user_id AND a.session_no = b.session_no
+         AND a.event_type <> b.event_type
+        GROUP BY antecedent, consequent
+    )
+    SELECT p.antecedent, p.consequent,
+           (SELECT n_sessions FROM n) AS n_sessions,
+           ia.cnt AS cnt_a, p.cnt_ab,
+           round(CAST(p.cnt_ab AS DOUBLE) / ia.cnt, 6) AS confidence,
+           round(CAST(p.cnt_ab AS DOUBLE) * (SELECT n_sessions FROM n)
+                 / (ia.cnt * ic.cnt), 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.event_type = p.antecedent
+    JOIN item ic ON ic.event_type = p.consequent
+    ORDER BY p.antecedent, p.consequent
+    """,
+    survey="X5,2.5-agg",
+)
+def q189_session_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining over behavioral sessions: baskets are the
+    distinct event types of each (user, 5-min-gap session) — q62's
+    gaps-and-islands sessionization reused verbatim — and every directed
+    type pair gets support, confidence (P(B|A)) and lift
+    (P(AB)/(P(A)P(B))), the association-rule triple behind "users who X
+    also Y".  Counts stay exact integers; the two ratios round to 6dp
+    identically on both engines.  Shape: baskets are one
+    window-plus-distinct over the events shuffle; the pair join runs
+    WITHIN session keys (baskets per session ≤ |event-type vocabulary|,
+    so the per-key expansion is a small clique — the q74 postings
+    argument); item/pair tables are vocabulary-sized."""
+    e = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        # µs-exact gap compare: the oracle's `> INTERVAL 5 MINUTE` is
+        # full-precision, so a seconds-truncated epoch diff would flip
+        # sessions whose gap straddles 300.000000s (the q166 lesson)
+        F.when(
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_lag)
+                > 300_000_000
+            )
+            | F.lag("ts").over(w_lag).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_type",
+        F.sum("new_session")
+        .over(w_lag.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+    )
+    baskets = sess.select("user_id", "session_no", "event_type").distinct()
+    n_sessions = baskets.select("user_id", "session_no").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    b2 = baskets.select(
+        "user_id", "session_no", F.col("event_type").alias("consequent")
+    )
+    pair = (
+        baskets.select("user_id", "session_no", F.col("event_type").alias("antecedent"))
+        .join(b2, ["user_id", "session_no"])
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+    )
+    ia = item.select(F.col("event_type").alias("antecedent"), F.col("cnt").alias("cnt_a"))
+    ic = item.select(F.col("event_type").alias("consequent"), F.col("cnt").alias("cnt_c"))
+    return (
+        pair.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_sessions",
+            "cnt_a",
+            "cnt_ab",
+            F.round(F.col("cnt_ab") / F.col("cnt_a"), 6).alias("confidence"),
+            F.round(
+                F.col("cnt_ab") * F.col("n_sessions")
+                / (F.col("cnt_a") * F.col("cnt_c")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

@@ -683,3 +683,41 @@ def q162_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "vec_id", "dist2", "rank")
         .orderBy("label", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — distributed PCA: fit on sufficient statistics, project map-only
+# ---------------------------------------------------------------------------
+
+
+@query("q190_pca_project", oracle=None, survey="X1,X3")
+def q190_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding corpus by the covariance method
+    (operators/similarity.py:pca_fit): one mapInPandas pass reduces the
+    corpus to d+d² sufficient statistics per batch, the driver eigensolves
+    the 64×64 covariance, and projection onto the top-4 components is a
+    second map-only pass with the component matrix as a plan literal —
+    no shuffle in either pass, the only scalable PCA shape for 100 TB of
+    embeddings.  Output: per-vector top-4 coordinates (6dp) plus label
+    for downstream visualization/stratification.  Rows-only: eigenvector
+    sign/float chains are not SQL; fidelity is gated in tests — spectrum
+    vs numpy's PCA of the collected corpus, explained-variance ordering,
+    and exact orthonormality of the returned basis."""
+    from gmail_etl_spark.operators.similarity import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, ratios, mean = pca_fit(emb, "embedding", k=4)
+    proj = pca_project(emb, "vec_id", "embedding", comps, mean)
+    lbl = emb.select("vec_id", "label")
+    return (
+        proj.join(lbl, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            *[
+                F.round(F.col("proj")[i], 6).alias(f"pc{i + 1}")
+                for i in range(4)
+            ],
+        )
+        .orderBy("vec_id")
+    )

@@ -1085,3 +1085,41 @@ def test_cms_decode_bitexact_and_bounds(spark):
     n_total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     viol = int((res["overcount"] > 0.001 * n_total).sum())
     assert viol <= 1, res[res["overcount"] > 0.001 * n_total]
+
+
+def test_pca_matches_numpy_and_is_orthonormal(spark):
+    """Distributed sufficient-statistics PCA must agree with numpy's
+    eigendecomposition of the same covariance computed directly on the
+    collected corpus: eigenvalue spectrum to 1e-8 relative, components
+    to 1e-6 after sign canonicalization, basis exactly orthonormal,
+    explained-variance ratios decreasing."""
+    import numpy as np
+
+    from gmail_etl_spark.operators.similarity import pca_fit, pca_project
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    comps, ratios, mean = pca_fit(emb, "embedding", k=4)
+    X = np.asarray([r["embedding"] for r in emb.orderBy("vec_id").collect()],
+                   dtype=np.float64)
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / (len(X) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    ref = evecs[:, order].T
+    for i in range(4):
+        j = int(np.abs(ref[i]).argmax())
+        if ref[i][j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-6), np.abs(comps - ref).max()
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+    assert all(ratios[i] >= ratios[i + 1] - 1e-12 for i in range(3))
+    want = (evals[order] / evals.sum())
+    assert np.allclose(ratios, want, rtol=1e-8)
+    # projection round-trip: distributed projection equals numpy's
+    proj = pca_project(emb, "vec_id", "embedding", comps, mean)
+    got = {r["vec_id"]: r["proj"] for r in proj.collect()}
+    P = (X - mu) @ np.asarray(comps).T
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").collect()]
+    for row_i, vid in enumerate(ids):
+        assert np.allclose(got[vid], P[row_i], atol=1e-9)
