@@ -307,6 +307,7 @@ _BNLJ_JUSTIFIED = {
     "q178_heavy_hitter_shingles",  # 1-row exact-total broadcast
     "q180_incremental_agg_merge",  # 1-row split-anchor broadcast
     "q184_bigram_lm_nll",  # 1-row corpus-total broadcast (q105 pattern)
+    "q189_session_association_rules",  # 1-row session-count broadcast
 }
 
 
