@@ -221,10 +221,16 @@ def cosine_topk_vectorized(
                 {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
             )
 
+    # id types follow the input schemas (the pq_topk discipline): a
+    # string-keyed corpus must not crash a generic signature
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    c_id_type = corpus.schema[id_col].dataType.simpleString()
     partials = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).mapInPandas(_kernel, "query_id long, neighbor_id long, sim double")
+    ).mapInPandas(
+        _kernel, f"query_id {q_id_type}, neighbor_id {c_id_type}, sim double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         partials.withColumn("sim", F.round("sim", 6))
