@@ -1488,3 +1488,54 @@ def q189_session_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — sketch cube: one leaf scan, every grain a merge
+# ---------------------------------------------------------------------------
+
+
+@query("q191_hll_cube_users", oracle=None, survey="2.5-agg,X5")
+def q191_hll_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cube counterpart to q169's rollup: distinct users at all four
+    grains of (event_type × day) — leaf, by-type, by-day, grand total —
+    from ONE scan.  The leaf grain aggregates raw data into per-cell HLL
+    sketches; every coarser grain is `hll_union_agg` over the leaf's
+    few-KB state, so adding a grain costs a metadata-sized merge, not a
+    re-scan.  A plain CUBE over COUNT(DISTINCT) re-shuffles the raw
+    corpus once per grouping set — at 100 TB, four scans versus one.
+
+    Distinct counts are not additive (the same user appears on many
+    days), which is exactly why the state must be sketches; union takes
+    register maxima, so merged estimates EQUAL the one-shot estimates
+    at every grain — asserted exactly in tests, the q169/q176 merge
+    discipline."""
+    e = load_table(spark, sf_dir, "events")
+    leaf = e.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long").alias("day"),
+    ).agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    est = lambda c: F.expr(f"hll_sketch_estimate({c})").cast("long")  # noqa: E731
+
+    leaf_out = leaf.select(
+        "event_type", "day", est("sk").alias("approx_users")
+    )
+    by_type = leaf.groupBy("event_type").agg(
+        F.expr("hll_union_agg(sk)").alias("m")
+    ).select("event_type", F.lit(None).cast("long").alias("day"), est("m").alias("approx_users"))
+    by_day = leaf.groupBy("day").agg(F.expr("hll_union_agg(sk)").alias("m")).select(
+        F.lit(None).cast("string").alias("event_type"), "day", est("m").alias("approx_users")
+    )
+    total = leaf.agg(F.expr("hll_union_agg(sk)").alias("m")).select(
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("day"),
+        est("m").alias("approx_users"),
+    )
+    return (
+        leaf_out.unionByName(by_type)
+        .unionByName(by_day)
+        .unionByName(total)
+        .orderBy(
+            F.col("event_type").asc_nulls_last(), F.col("day").asc_nulls_last()
+        )
+    )

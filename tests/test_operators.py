@@ -1123,3 +1123,46 @@ def test_pca_matches_numpy_and_is_orthonormal(spark):
     ids = [r["vec_id"] for r in emb.orderBy("vec_id").collect()]
     for row_i, vid in enumerate(ids):
         assert np.allclose(got[vid], P[row_i], atol=1e-9)
+
+
+def test_q191_cube_merge_equals_direct_sketches(spark):
+    """Every coarser grain of the sketch cube must estimate EXACTLY what
+    a one-shot sketch over that grain's raw rows estimates — HLL union
+    is register-wise max, so merge order and grouping cannot change the
+    state."""
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded, load_table
+
+    _ensure_loaded()
+    got = CATALOG["q191_hll_cube_users"].builder(spark, SF_DIR).toPandas()
+    e = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long").alias("day"),
+        "user_id",
+    )
+    def direct(group_cols):
+        agg = (
+            e.groupBy(*group_cols) if group_cols else e.groupBy()
+        ).agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+            .cast("long")
+            .alias("approx_users")
+        )
+        return agg.toPandas()
+
+    # grand total
+    tot = got[got.event_type.isna() & got.day.isna()]
+    assert len(tot) == 1
+    assert int(tot.approx_users.iloc[0]) == int(direct([]).approx_users.iloc[0])
+    # by type
+    bt = got[got.event_type.notna() & got.day.isna()].set_index("event_type")
+    ref = direct(["event_type"]).set_index("event_type")
+    assert bt["approx_users"].astype(int).to_dict() == ref["approx_users"].astype(int).to_dict()
+    # by day
+    bd = got[got.event_type.isna() & got.day.notna()]
+    refd = direct(["day"])
+    assert dict(zip(bd.day.astype(int), bd.approx_users.astype(int))) == dict(
+        zip(refd.day.astype(int), refd.approx_users.astype(int))
+    )
+    # sanity: true distinct within 2% at lgK=12
+    truth = e.select("user_id").distinct().count()
+    assert abs(int(tot.approx_users.iloc[0]) - truth) <= max(2, 0.02 * truth)

@@ -366,3 +366,29 @@ def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning — THE scan reducer for partitioned
+    100 TB facts: joining a partitioned fact to a filtered dim must
+    inject a runtime subquery filter on the partition column
+    (`dynamicpruning` in the plan), so only the dim-selected partitions
+    are read.  Correctness pinned against the unpartitioned join."""
+    fact_p = str(tmp_path / "fact_part")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "bucket", (F.col("o_custkey") % 10).cast("int")
+    )
+    o.write.partitionBy("bucket").parquet(fact_p)
+    dim = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .select((F.col("c_custkey") % 10).cast("int").alias("bucket"), "c_mktsegment")
+        .distinct()
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    fact = spark.read.parquet(fact_p)
+    joined = fact.join(dim, "bucket")
+    plan = joined._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "dynamicpruning" in plan, plan[:2000]
+    expected_buckets = {r["bucket"] for r in dim.select("bucket").collect()}
+    got = joined.select("bucket").distinct()
+    assert {r["bucket"] for r in got.collect()} == expected_buckets
