@@ -721,3 +721,82 @@ def q190_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — hard-negative mining: nearest neighbors with a DIFFERENT label
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q192_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS anchor_id, label AS a_label,
+                      embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id < 40),
+    scored AS (
+        SELECT q.anchor_id, q.a_label,
+               c.vec_id AS negative_id, c.label AS n_label,
+               round(list_cosine_similarity(q.q_vec, c.embedding::DOUBLE[]), 6)
+                   AS sim
+        FROM q JOIN embeddings c ON c.label <> q.a_label
+    )
+    SELECT anchor_id, a_label, negative_id, n_label, sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY sim DESC, negative_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    ORDER BY anchor_id, rank
+    """,
+    survey="X1",
+)
+def q192_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-5 most-similar vectors with a DIFFERENT label — the
+    "closest wrong answers" that make the strongest negatives.  The
+    label inequality rides the scored stream as a filter (at 100 TB
+    you'd mine via the ANN index — q51/q136 — then label-filter the
+    candidates; the exact form here IS the recall oracle for that).
+    Same broadcast-queries / rounded-(sim, id) total-order discipline
+    as q50, so partial top-k stays lossless."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    scored = (
+        F.broadcast(anchors)
+        .join(cand, F.col("a_label") != F.col("n_label"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "negative_id",
+            "n_label",
+            F.round(dot / (norm(F.col("q_vec")) * norm(F.col("c_vec"))), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("anchor_id", "rank")
+    )

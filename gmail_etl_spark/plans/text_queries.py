@@ -2237,3 +2237,155 @@ def q188_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_key", "b_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — rule ablation: which curation gate does the killing?
+# ---------------------------------------------------------------------------
+
+_Q193_RULES_SQL = """
+        SELECT doc_id,
+               n_tokens < 15 OR n_tokens > 5000 AS f_tokens,
+               mean_tok_len < 2.0 OR mean_tok_len > 12.0 AS f_mean_len,
+               digit_ratio > 0.2 AS f_digit,
+               top_tok_frac > 0.2 AS f_top_tok,
+               lang <> 'en' AS f_lang
+        FROM r
+"""
+
+
+@query(
+    "q193_rule_ablation",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lang,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+               length(text) AS n_chars_txt
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               n_tokens,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+               CAST(list_max(list_transform(list_distinct(toks),
+                    t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE) AS top_tok_frac,
+               CAST(n_digits AS DOUBLE) / CAST(n_chars_txt AS DOUBLE) AS digit_ratio,
+               lang
+        FROM m
+    ),
+    flags AS (
+"""
+    + _Q193_RULES_SQL
+    + """
+    ),
+    unpv AS (
+        SELECT doc_id, 'tokens' AS rule, f_tokens AS failed,
+               (CAST(f_mean_len AS INT) + CAST(f_digit AS INT)
+                + CAST(f_top_tok AS INT) + CAST(f_lang AS INT)) = 0 AS others_pass
+        FROM flags
+        UNION ALL
+        SELECT doc_id, 'mean_len', f_mean_len,
+               (CAST(f_tokens AS INT) + CAST(f_digit AS INT)
+                + CAST(f_top_tok AS INT) + CAST(f_lang AS INT)) = 0
+        FROM flags
+        UNION ALL
+        SELECT doc_id, 'digit', f_digit,
+               (CAST(f_tokens AS INT) + CAST(f_mean_len AS INT)
+                + CAST(f_top_tok AS INT) + CAST(f_lang AS INT)) = 0
+        FROM flags
+        UNION ALL
+        SELECT doc_id, 'top_tok', f_top_tok,
+               (CAST(f_tokens AS INT) + CAST(f_mean_len AS INT)
+                + CAST(f_digit AS INT) + CAST(f_lang AS INT)) = 0
+        FROM flags
+        UNION ALL
+        SELECT doc_id, 'lang', f_lang,
+               (CAST(f_tokens AS INT) + CAST(f_mean_len AS INT)
+                + CAST(f_digit AS INT) + CAST(f_top_tok AS INT)) = 0
+        FROM flags
+    )
+    SELECT rule,
+           CAST(SUM(CAST(failed AS INT)) AS BIGINT) AS n_failed,
+           CAST(SUM(CAST(failed AND others_pass AS INT)) AS BIGINT) AS n_sole,
+           round(CAST(SUM(CAST(failed AS INT)) AS DOUBLE)
+                 / COUNT(*), 6) AS fail_rate
+    FROM unpv
+    GROUP BY rule
+    ORDER BY rule
+    """,
+    survey="X3,P5",
+)
+def q193_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-rule attribution, the ablation table every filter stack
+    review starts from: per gate, how many documents fail it
+    (`n_failed`), how many it ALONE kills (`n_sole` — the marginal
+    impact: relaxing that rule recovers exactly those docs), and the
+    corpus fail rate.  Sole-kill is where rule debates are settled —
+    a rule with high n_failed but zero n_sole is redundant with the
+    rest of the stack.  One narrow pass computes the five q55 flags, a
+    stack() unpivot emits (doc, rule) pairs, one aggregation reduces to
+    five rows.  Flag expressions mirror q55 exactly, so this table
+    explains q55's keep column row-for-row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    mean_tok_len = (
+        F.aggregate(F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v)
+        .cast("double") / n_tokens.cast("double")
+    )
+    top_tok_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).cast("double")
+        / n_tokens.cast("double")
+    )
+    digit_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double")
+        / F.length("text").cast("double")
+    )
+    flags = d.select(
+        "doc_id",
+        ((n_tokens < 15) | (n_tokens > 5000)).alias("f_tokens"),
+        ((mean_tok_len < 2.0) | (mean_tok_len > 12.0)).alias("f_mean_len"),
+        (digit_ratio > 0.2).alias("f_digit"),
+        (top_tok_frac > 0.2).alias("f_top_tok"),
+        (F.col("lang") != "en").alias("f_lang"),
+    )
+    names = ["tokens", "mean_len", "digit", "top_tok", "lang"]
+    cols = ["f_tokens", "f_mean_len", "f_digit", "f_top_tok", "f_lang"]
+    stack_args = []
+    for name, col in zip(names, cols):
+        others = [c for c in cols if c != col]
+        others_pass = (
+            sum(F.col(c).cast("int") for c in others) == 0
+        )
+        stack_args.append(
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(col).alias("failed"),
+                others_pass.alias("others_pass"),
+            )
+        )
+    unpv = flags.select(
+        "doc_id", F.explode(F.array(*stack_args)).alias("u")
+    ).select("doc_id", "u.rule", "u.failed", "u.others_pass")
+    return (
+        unpv.groupBy("rule")
+        .agg(
+            F.sum(F.col("failed").cast("int")).cast("long").alias("n_failed"),
+            F.sum((F.col("failed") & F.col("others_pass")).cast("int"))
+            .cast("long")
+            .alias("n_sole"),
+            F.round(
+                F.sum(F.col("failed").cast("int")) / F.count(F.lit(1)), 6
+            ).alias("fail_rate"),
+        )
+        .orderBy("rule")
+    )

@@ -308,6 +308,7 @@ _BNLJ_JUSTIFIED = {
     "q180_incremental_agg_merge",  # 1-row split-anchor broadcast
     "q184_bigram_lm_nll",  # 1-row corpus-total broadcast (q105 pattern)
     "q189_session_association_rules",  # 1-row session-count broadcast
+    "q192_hard_negatives",  # bounded-by-contract anchor broadcast (q50 family)
 }
 
 
