@@ -6,7 +6,7 @@ expressions (no Python in the hot path) with exact DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmail_etl_spark.operators.text import with_winnow_fps
@@ -2388,4 +2388,232 @@ def q193_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fail_rate"),
         )
         .orderBy("rule")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q194 — BM25: the lexical retrieval leg, scored exactly
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q194_bm25_scores",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+               (SELECT AVG(CAST(dlen AS DOUBLE)) FROM dl) AS avg_len
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    q AS (
+        SELECT doc_id AS query_id, token AS q_token
+        FROM tf WHERE doc_id < 5
+    )
+    SELECT q.query_id, t.doc_id AS doc_id,
+           round(SUM(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avg_len))
+           ), 6) AS bm25
+    FROM q
+    JOIN tf t ON t.token = q.q_token
+    JOIN dl ON dl.doc_id = t.doc_id
+    JOIN df ON df.token = t.token
+    CROSS JOIN stats
+    WHERE t.doc_id <> q.query_id
+    GROUP BY q.query_id, t.doc_id
+    ORDER BY query_id, t.doc_id
+    """,
+    survey="X3,X1",
+)
+def q194_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75), the standard lexical retrieval
+    scorer: five query documents against the corpus via the inverted
+    index — postings join on token, so cost is Σ df(t) over query
+    terms, never |Q|×|D|.  idf uses the +1 form (always positive);
+    tf saturation and length normalization are the textbook formula.
+    The model state (df table, avg length, N) is vocabulary-sized;
+    the per-(query, doc) sum is one grouped aggregation.  Scores round
+    to 6dp in-query — q195 fuses these ranks with the vector leg."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
+        dl.agg(F.avg(F.col("dlen").cast("double")).alias("avg_len"))
+    )
+    q = tf.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("token").alias("q_token")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avg_len"))
+    )
+    return (
+        q.join(tf.withColumnRenamed("token", "q_token"), "q_token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(df_t.withColumnRenamed("token", "q_token")), "q_token")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy("query_id", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q195 — hybrid retrieval: reciprocal-rank fusion of BM25 + cosine legs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q195_rrf_hybrid",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+               (SELECT AVG(CAST(dlen AS DOUBLE)) FROM dl) AS avg_len
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    q AS (SELECT doc_id AS query_id, token AS q_token FROM tf WHERE doc_id < 5),
+    bm25 AS (
+        SELECT q.query_id, t.doc_id AS doc_id,
+               round(SUM(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avg_len))
+               ), 6) AS s
+        FROM q
+        JOIN tf t ON t.token = q.q_token
+        JOIN dl ON dl.doc_id = t.doc_id
+        JOIN df ON df.token = t.token
+        CROSS JOIN stats
+        WHERE t.doc_id <> q.query_id
+        GROUP BY q.query_id, t.doc_id
+    ),
+    lex_rank AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id) AS r
+        FROM bm25
+    ),
+    vec AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS s
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 5
+    ),
+    vec_rank AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id) AS r
+        FROM vec
+    ),
+    fused AS (
+        SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+               COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               round(COALESCE(1.0 / (60 + l.r), 0.0)
+                     + COALESCE(1.0 / (60 + v.r), 0.0), 6) AS rrf
+        FROM lex_rank l FULL OUTER JOIN vec_rank v
+          ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id, rrf, rank FROM (
+        SELECT query_id, doc_id, rrf,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused
+    )
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    survey="X1,X3",
+)
+def q195_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval the way modern RAG stacks ship it: the BM25
+    lexical leg (q194) and the cosine vector leg (q50's discipline)
+    each rank candidates per query, and reciprocal-rank fusion
+    combines them — rrf = Σ 1/(60 + rank_leg), the parameter-free
+    fusion from Cormack et al. that needs no score calibration
+    between legs.  Ranks are computed over 6dp-rounded scores with id
+    tie-breaks, so both engines rank identically; legs join FULL OUTER
+    (a doc ranked by only one leg still scores).  Every piece is a
+    bounded-query-set broadcast or a postings join; the fusion itself
+    is rank arithmetic on (queries × candidates) rows."""
+    from gmail_etl_spark.plans.catalog import CATALOG
+
+    bm25 = CATALOG["q194_bm25_scores"].builder(spark, sf_dir).withColumnRenamed(
+        "bm25", "s"
+    )
+    w_l = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    lex = bm25.select(
+        "query_id", "doc_id", F.row_number().over(w_l).alias("r_lex")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    vec = (
+        F.broadcast(anchors)
+        .join(cand, F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(dot / (nrm(F.col("q_vec")) * nrm(F.col("c_vec"))), 6).alias("s"),
+        )
+    )
+    w_v = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    vecr = vec.select("query_id", "doc_id", F.row_number().over(w_v).alias("r_vec"))
+    l, v = lex.alias("l"), vecr.alias("v")
+    fused = (
+        l.join(
+            v,
+            (F.col("l.query_id") == F.col("v.query_id"))
+            & (F.col("l.doc_id") == F.col("v.doc_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("l.query_id"), F.col("v.query_id")).alias("query_id"),
+            F.coalesce(F.col("l.doc_id"), F.col("v.doc_id")).alias("doc_id"),
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("l.r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("v.r_vec")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
     )

@@ -309,6 +309,8 @@ _BNLJ_JUSTIFIED = {
     "q184_bigram_lm_nll",  # 1-row corpus-total broadcast (q105 pattern)
     "q189_session_association_rules",  # 1-row session-count broadcast
     "q192_hard_negatives",  # bounded-by-contract anchor broadcast (q50 family)
+    "q194_bm25_scores",  # 1-row (N, avg_len) stats broadcast
+    "q195_rrf_hybrid",  # bounded query-set broadcast on the vector leg
 }
 
 
