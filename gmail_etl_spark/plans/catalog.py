@@ -219,6 +219,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q188_jaro_winkler_linkage", "q189_session_association_rules",
     "q190_pca_project", "q191_hll_cube_users", "q192_hard_negatives",
     "q193_rule_ablation", "q194_bm25_scores", "q195_rrf_hybrid",
+    "q196_retrieval_ndcg",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",

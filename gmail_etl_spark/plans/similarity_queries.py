@@ -800,3 +800,128 @@ def q192_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("anchor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — retrieval evaluation: nDCG@10 with label-match relevance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q196_retrieval_ndcg",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id < 40),
+    scored AS (
+        SELECT q.query_id, q.q_label, c.vec_id AS doc_id, c.label AS d_label,
+               round(list_cosine_similarity(q.q_vec, c.embedding::DOUBLE[]), 6)
+                   AS sim
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, q_label, d_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, doc_id) AS rank
+        FROM scored
+    ),
+    topk AS (SELECT * FROM ranked WHERE rank <= 10),
+    dcg AS (
+        SELECT query_id,
+               SUM(CASE WHEN d_label = q_label
+                        THEN 1.0 / (ln(rank + 1.0) / ln(2.0)) ELSE 0.0 END)
+                   AS dcg,
+               CAST(SUM(CASE WHEN d_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_relevant
+        FROM topk GROUP BY query_id
+    ),
+    ideal AS (
+        SELECT i AS rank, 1.0 / (ln(i + 1.0) / ln(2.0)) AS gain
+        FROM unnest(generate_series(1, 10)) AS t(i)
+    ),
+    idcg AS (
+        SELECT d.query_id,
+               SUM(CASE WHEN i.rank <= d.n_relevant THEN i.gain ELSE 0.0 END)
+                   AS idcg
+        FROM dcg d CROSS JOIN ideal i GROUP BY d.query_id
+    )
+    SELECT d.query_id, d.n_relevant,
+           round(d.dcg, 6) AS dcg,
+           round(CASE WHEN d.n_relevant = 0 THEN 0.0
+                      ELSE d.dcg / i.idcg END, 6) AS ndcg
+    FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+    ORDER BY d.query_id
+    """,
+    survey="X1",
+)
+def q196_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation closing the X1 loop (index → search →
+    fuse → MEASURE): nDCG@10 of the exact-cosine ranking with
+    same-label relevance — per query, DCG = Σ rel/log₂(rank+1) over the
+    top 10, normalized by the ideal DCG for that query's relevant count
+    (binary relevance ⇒ IDCG = the first n_relevant positions).
+    Ranks come from the same rounded-(sim, id) total order as q50, so
+    both engines rank — and therefore gain — identically; the log-ratio
+    floats round at 6dp.  At 100 TB the eval set is the broadcast side
+    and the corpus streams through the scorer once, exactly like
+    serving."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("label").alias("d_label"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = (
+        F.broadcast(anchors)
+        .join(cand, F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "doc_id",
+            "d_label",
+            F.round(dot / (nrm(F.col("q_vec")) * nrm(F.col("c_vec"))), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+    rel = (F.col("d_label") == F.col("q_label")).cast("int")
+    gain = rel.cast("double") / (F.log(F.col("rank") + 1.0) / F.log(F.lit(2.0)))
+    dcg = topk.groupBy("query_id").agg(
+        F.sum(gain).alias("dcg"),
+        F.sum(rel).cast("long").alias("n_relevant"),
+    )
+    ideal_gain = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(10)).cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.lit(1.0) / (F.log(i.cast("double") + 1.0) / F.log(F.lit(2.0))),
+    )
+    return (
+        dcg.select(
+            "query_id",
+            "n_relevant",
+            F.round("dcg", 6).alias("dcg"),
+            F.round(
+                F.when(F.col("n_relevant") == 0, F.lit(0.0)).otherwise(
+                    F.col("dcg") / ideal_gain
+                ),
+                6,
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

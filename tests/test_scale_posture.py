@@ -311,6 +311,7 @@ _BNLJ_JUSTIFIED = {
     "q192_hard_negatives",  # bounded-by-contract anchor broadcast (q50 family)
     "q194_bm25_scores",  # 1-row (N, avg_len) stats broadcast
     "q195_rrf_hybrid",  # bounded query-set broadcast on the vector leg
+    "q196_retrieval_ndcg",  # bounded eval-set broadcast (q50 family)
 }
 
 
