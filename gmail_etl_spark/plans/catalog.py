@@ -220,6 +220,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q190_pca_project", "q191_hll_cube_users", "q192_hard_negatives",
     "q193_rule_ablation", "q194_bm25_scores", "q195_rrf_hybrid",
     "q196_retrieval_ndcg",
+    "q197_funnel_conversion", "q198_cohort_retention",
+    "q199_scd2_state_history", "q200_merge_upsert",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",
@@ -291,5 +293,6 @@ def _ensure_loaded() -> None:
     from gmail_etl_spark.plans import dedup_queries, similarity_queries, event_queries  # noqa: F401
     from gmail_etl_spark.plans import gmail_queries, multimodal_queries  # noqa: F401
     from gmail_etl_spark.plans import sampling_queries, temporal_queries  # noqa: F401
+    from gmail_etl_spark.plans import warehouse_queries  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,341 @@
+"""Warehouse-operations catalog entries: funnel conversion, cohort
+retention, SCD type-2 history, and MERGE-style upserts over the
+``events`` table.
+
+These are the classic product-analytics / dimensional-modeling shapes a
+user of the reference pipeline would eventually reach for once messages
+land in a warehouse (the reference stops at the CSV/ledger hand-off,
+``gmail_etl.py:L1-L88``; this module is the downstream surface).  All
+arithmetic follows the hash-stability discipline: integer counts and
+cents everywhere, one division at the end mirrored verbatim in the
+oracle, timestamps passed through raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmail_etl_spark.plans.catalog import load_table, query
+
+# ---------------------------------------------------------------------------
+# q197 — ordered-step funnel conversion (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q197_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    ),
+    agg AS (
+        SELECT (SELECT COUNT(*) FROM s1) AS u1,
+               (SELECT COUNT(*) FROM s2) AS u2,
+               (SELECT COUNT(*) FROM s3) AS u3
+    )
+    SELECT step, step_name, users,
+           ROUND(users / CAST(base AS DOUBLE), 6) AS conv_from_first
+    FROM (
+        SELECT 1 AS step, 'view' AS step_name, u1 AS users, u1 AS base FROM agg
+        UNION ALL
+        SELECT 2, 'click', u2, u1 FROM agg
+        UNION ALL
+        SELECT 3, 'purchase', u3, u1 FROM agg
+    )
+    ORDER BY step
+    """,
+    survey="X5,2.5-agg",
+)
+def q197_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel: a user converts to step k only via an event
+    strictly AFTER their step-(k-1) time — the min-timestamp chaining
+    that distinguishes a real funnel from three independent filters.
+    Each stage is a filtered per-user MIN aggregate joined to the
+    previous stage's survivors, so the data volume shrinks monotonically
+    down the funnel; at 100 TB each stage is one shuffle on user_id and
+    later stages ride AQE's coalesced partitions as the survivor set
+    collapses.  The 3-row readout is a single ``stack`` over one
+    aggregate row — no driver loop, no cross join.  Conversion ratios
+    divide two integer counts (deterministic across engines) and round
+    to 6dp on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    funnel = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    agg = funnel.agg(
+        F.count("t1").alias("u1"),
+        F.count("t2").alias("u2"),
+        F.count("t3").alias("u3"),
+    )
+    return (
+        agg.select(
+            F.expr(
+                "stack(3, 1, 'view', u1, u1, 2, 'click', u2, u1,"
+                " 3, 'purchase', u3, u1) AS (step, step_name, users, base)"
+            )
+        )
+        .select(
+            "step",
+            "step_name",
+            "users",
+            F.round(F.col("users") / F.col("base"), 6).alias("conv_from_first"),
+        )
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q198 — weekly cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q198_cohort_retention",
+    oracle="""
+    WITH weekly AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week_idx
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(week_idx) AS cohort_week FROM weekly GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_week
+    ),
+    activity AS (
+        SELECT c.cohort_week, w.week_idx - c.cohort_week AS week_offset,
+               COUNT(DISTINCT w.user_id) AS active_users
+        FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+        GROUP BY c.cohort_week, week_offset
+    )
+    SELECT a.cohort_week, a.week_offset, a.active_users, s.cohort_size,
+           ROUND(a.active_users / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+    FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
+    ORDER BY a.cohort_week, a.week_offset
+    """,
+    survey="X5,2.5-agg",
+)
+def q198_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active epoch-week, then
+    for each (cohort, week-offset) cell the fraction of the cohort still
+    active.  The classic triangular retention matrix, computed from two
+    shuffles — one to build per-user distinct weeks (map-side combine
+    collapses each user's events to <=5 rows here), one for the cohort
+    fold — and a join back to cohort sizes that AQE broadcasts (the
+    cohort-size table has one row per week, tiny at any corpus scale).
+    All cells are exact integer counts; the retention ratio is the only
+    float, divided and 6dp-rounded identically on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week_idx"),
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    activity = (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+    return (
+        activity.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — SCD type-2 state history (validity intervals from an event log)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q199_scd2_state_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+        WHERE user_id < 20
+    ),
+    changes AS (
+        SELECT user_id, ts, event_type
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+               AS version,
+           event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+    FROM changes
+    ORDER BY user_id, version
+    """,
+    survey="2.5-window,X5",
+)
+def q199_scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from a raw event log:
+    collapse consecutive repeats of the per-user state (lag), then emit
+    versioned validity intervals [valid_from, valid_to) with an open
+    (NULL) end for the current row — the standard dimension-build that
+    turns an append-only log into point-in-time joinable history.  Both
+    windows partition by user_id with a (ts, event_id) total order, so
+    the whole build is ONE shuffle reused by lag, row_number and lead
+    (Catalyst collapses same-key windows into one sort); at 100 TB this
+    is the per-entity timeline pattern — state scales with one user's
+    events, never the corpus.  The user_id < 20 slice bounds oracle
+    output; timestamps pass through raw (no float surface)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "ts", "event_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return (
+        changes.select(
+            "user_id",
+            F.row_number().over(w2).cast("long").alias("version"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q200 — MERGE-style upsert (snapshot + late batch -> next snapshot)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q200_merge_upsert",
+    oracle="""
+    WITH ranked_before AS (
+        SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS value_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15'
+    ),
+    target AS (
+        SELECT user_id, ts, value_cents FROM ranked_before WHERE rn = 1
+    ),
+    ranked_after AS (
+        SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS value_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+    ),
+    updates AS (
+        SELECT user_id, ts, value_cents FROM ranked_after WHERE rn = 1
+    )
+    SELECT COALESCE(t.user_id, u.user_id) AS user_id,
+           COALESCE(u.value_cents, t.value_cents) AS value_cents,
+           COALESCE(u.ts, t.ts) AS last_ts,
+           CASE WHEN t.user_id IS NULL THEN 'inserted'
+                WHEN u.user_id IS NULL THEN 'kept'
+                ELSE 'updated' END AS action
+    FROM target t FULL OUTER JOIN updates u ON t.user_id = u.user_id
+    ORDER BY user_id
+    """,
+    survey="J2,2.5-window",
+)
+def q200_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: the current per-user
+    snapshot (latest value before the cutoff) full-outer-joined with a
+    late batch's latest values — matched rows update, unmatched source
+    rows insert, unmatched target rows carry forward, each tagged with
+    its action.  This is the Delta/Iceberg upsert expressed as a plain
+    shuffle join, and the generalization of the reference's ledger
+    anti-join (J2, ``gmail_etl.py:L62-L78``) from insert-only to
+    update-in-place.  Both 'latest per key' reductions are one
+    row_number window over a (ts, event_id) DESC total order — at scale
+    the window and the join share the user_id hash partitioning, so the
+    merge costs one shuffle of each side and AQE handles the skewed
+    super-user keys.  Values are integer cents; timestamps raw."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "user_id",
+                "ts",
+                F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    target = latest(e.filter(F.col("ts") < cutoff))
+    updates = latest(e.filter(F.col("ts") >= cutoff))
+    t, u = target.alias("t"), updates.alias("u")
+    return (
+        t.join(u, F.col("t.user_id") == F.col("u.user_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("t.user_id"), F.col("u.user_id")).alias("user_id"),
+            F.coalesce(F.col("u.value_cents"), F.col("t.value_cents")).alias(
+                "value_cents"
+            ),
+            F.coalesce(F.col("u.ts"), F.col("t.ts")).alias("last_ts"),
+            F.when(F.col("t.user_id").isNull(), F.lit("inserted"))
+            .when(F.col("u.user_id").isNull(), F.lit("kept"))
+            .otherwise(F.lit("updated"))
+            .alias("action"),
+        )
+        .orderBy("user_id")
+    )
