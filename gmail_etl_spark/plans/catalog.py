@@ -222,6 +222,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q196_retrieval_ndcg",
     "q197_funnel_conversion", "q198_cohort_retention",
     "q199_scd2_state_history", "q200_merge_upsert",
+    "q201_acf_daily_counts", "q202_cusum_changepoint",
+    "q203_moment_shape_stats", "q204_k_anonymity_audit",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",
@@ -294,5 +296,6 @@ def _ensure_loaded() -> None:
     from gmail_etl_spark.plans import gmail_queries, multimodal_queries  # noqa: F401
     from gmail_etl_spark.plans import sampling_queries, temporal_queries  # noqa: F401
     from gmail_etl_spark.plans import warehouse_queries  # noqa: F401
+    from gmail_etl_spark.plans import stats_queries  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,362 @@
+"""Statistical-analytics catalog entries: autocorrelation, CUSUM
+changepoint detection, exact-moment shape statistics, and a
+k-anonymity governance audit.
+
+Each query keeps every aggregate an EXACT integer (counts, cents,
+products of both) until one final scalar expression, so the only float
+operations are deterministic IEEE ops on exact integer inputs —
+division, sqrt (correctly rounded by IEEE-754), multiplication —
+mirrored token-for-token in the DuckDB oracle and rounded in-query on
+both sides.  This is the hash-stability discipline (DEVNOTES) applied
+to second-, third- and fourth-moment statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmail_etl_spark.plans.catalog import load_table, query
+
+# ---------------------------------------------------------------------------
+# q201 — autocorrelation of daily event counts (lags 1..3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q201_acf_daily_counts",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               COUNT(*) AS y
+        FROM events
+        GROUP BY event_type, day_idx
+    ),
+    lagged AS (
+        SELECT event_type, day_idx, y,
+               LEAD(day_idx, 1) OVER w AS d1, LEAD(y, 1) OVER w AS y1,
+               LEAD(day_idx, 2) OVER w AS d2, LEAD(y, 2) OVER w AS y2,
+               LEAD(day_idx, 3) OVER w AS d3, LEAD(y, 3) OVER w AS y3
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS ss,
+               SUM(CASE WHEN d1 = day_idx + 1 THEN y * y1 ELSE 0 END) AS p1,
+               SUM(CASE WHEN d1 = day_idx + 1 THEN y ELSE 0 END) AS h1,
+               SUM(CASE WHEN d1 = day_idx + 1 THEN y1 ELSE 0 END) AS t1,
+               SUM(CASE WHEN d1 = day_idx + 1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN d2 = day_idx + 2 THEN y * y2 ELSE 0 END) AS p2,
+               SUM(CASE WHEN d2 = day_idx + 2 THEN y ELSE 0 END) AS h2,
+               SUM(CASE WHEN d2 = day_idx + 2 THEN y2 ELSE 0 END) AS t2,
+               SUM(CASE WHEN d2 = day_idx + 2 THEN 1 ELSE 0 END) AS n2,
+               SUM(CASE WHEN d3 = day_idx + 3 THEN y * y3 ELSE 0 END) AS p3,
+               SUM(CASE WHEN d3 = day_idx + 3 THEN y ELSE 0 END) AS h3,
+               SUM(CASE WHEN d3 = day_idx + 3 THEN y3 ELSE 0 END) AS t3,
+               SUM(CASE WHEN d3 = day_idx + 3 THEN 1 ELSE 0 END) AS n3
+        FROM lagged
+        GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND((n * n * p1 - n * s * (h1 + t1) + n1 * s * s)
+                 / CAST(n * n * ss - n * s * s AS DOUBLE), 6) AS acf_lag1,
+           ROUND((n * n * p2 - n * s * (h2 + t2) + n2 * s * s)
+                 / CAST(n * n * ss - n * s * s AS DOUBLE), 6) AS acf_lag2,
+           ROUND((n * n * p3 - n * s * (h3 + t3) + n3 * s * s)
+                 / CAST(n * n * ss - n * s * s AS DOUBLE), 6) AS acf_lag3
+    FROM stats
+    ORDER BY event_type
+    """,
+    survey="X5,2.5-window",
+)
+def q201_acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the per-type daily-count series at lags
+    1–3 — the seasonality / burstiness signal behind ingest-anomaly
+    alerts.  The ACF is computed entirely from exact integer sufficient
+    statistics: with S=Σy, SS=Σy², and per-lag pair sums Pₖ=Σyₜyₜ₊ₖ,
+    Hₖ/Tₖ (head/tail sums over matched pairs), the estimator
+    rₖ = (n²Pₖ − nS(Hₖ+Tₖ) + nₖS²) / (n²SS − nS²) is ONE division of two
+    exact integers — no float accumulates, so the 6dp round is
+    engine-stable.  A day-gap guard (dₖ = day+k) keeps semantics honest
+    on sparse series.  Shape: one partial-agg shuffle to daily grain
+    (the big reduction), one per-type window sort over ~n_days rows,
+    one per-type fold — window state is days-per-type, never events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    lagged = daily.select(
+        "event_type",
+        "day_idx",
+        "y",
+        *[
+            c
+            for k in (1, 2, 3)
+            for c in (
+                F.lead("day_idx", k).over(w).alias(f"d{k}"),
+                F.lead("y", k).over(w).alias(f"y{k}"),
+            )
+        ],
+    )
+
+    def pair_sums(k: int) -> list:
+        ok = F.col(f"d{k}") == F.col("day_idx") + k
+        return [
+            F.sum(F.when(ok, F.col("y") * F.col(f"y{k}")).otherwise(0)).alias(f"p{k}"),
+            F.sum(F.when(ok, F.col("y")).otherwise(0)).alias(f"h{k}"),
+            F.sum(F.when(ok, F.col(f"y{k}")).otherwise(0)).alias(f"t{k}"),
+            F.sum(F.when(ok, 1).otherwise(0)).alias(f"n{k}"),
+        ]
+
+    stats = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+        *pair_sums(1),
+        *pair_sums(2),
+        *pair_sums(3),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    den = (n * n * ss - n * s * s).cast("double")
+
+    def acf(k: int):
+        p, h, t, nk = (F.col(c + str(k)) for c in ("p", "h", "t", "n"))
+        return F.round((n * n * p - n * s * (h + t) + nk * s * s) / den, 6)
+
+    return stats.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        acf(1).alias("acf_lag1"),
+        acf(2).alias("acf_lag2"),
+        acf(3).alias("acf_lag3"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q202 — CUSUM changepoint over daily value totals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q202_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        GROUP BY event_type, day_idx
+    ),
+    cum AS (
+        SELECT event_type, day_idx,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+               SUM(cents) OVER (PARTITION BY event_type ORDER BY day_idx
+                                ROWS UNBOUNDED PRECEDING) AS csum,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               SUM(cents) OVER (PARTITION BY event_type) AS total
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+    ),
+    dev AS (
+        SELECT event_type, day_idx,
+               abs(n * csum - t * total) AS abs_dev_scaled, n
+        FROM cum
+    )
+    SELECT event_type,
+           MIN(CASE WHEN abs_dev_scaled = m THEN day_idx END) AS change_day_idx,
+           ROUND(MAX(m / CAST(n AS DOUBLE)) / 100.0, 2) AS max_dev_dollars
+    FROM (SELECT *, MAX(abs_dev_scaled) OVER (PARTITION BY event_type) AS m
+          FROM dev)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey="X5,2.5-window",
+)
+def q202_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint locator: per event type, the day where
+    the cumulative deviation from the series mean |Σᵢ≤ₜyᵢ − t·ȳ| peaks —
+    the maximum-likelihood single-changepoint estimate for a mean shift.
+    Scaling by n clears the float mean: Dₜ = n·cumsumₜ − t·total is an
+    EXACT integer, so the argmax (ties → earliest day) is exact and the
+    one reported float (max deviation in dollars) is a single division +
+    2dp round on both engines.  Shape: daily partial-agg shuffle, then
+    per-type running-sum windows over ~30 rows/type — the window state
+    is the daily grain, so a 1000× corpus only deepens the first
+    map-side combine."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    wo = Window.partitionBy("event_type").orderBy("day_idx")
+    wa = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day_idx",
+        F.row_number().over(wo).cast("long").alias("t"),
+        F.sum("cents").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "csum"
+        ),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+        F.sum("cents").over(wa).alias("total"),
+    )
+    dev = cum.select(
+        "event_type",
+        "day_idx",
+        F.abs(F.col("n") * F.col("csum") - F.col("t") * F.col("total")).alias(
+            "abs_dev_scaled"
+        ),
+        "n",
+    ).withColumn("m", F.max("abs_dev_scaled").over(wa))
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("abs_dev_scaled") == F.col("m"), F.col("day_idx"))
+            ).alias("change_day_idx"),
+            F.round(
+                F.max(F.col("m") / F.col("n").cast("double")) / 100.0, 2
+            ).alias("max_dev_dollars"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q203 — exact-moment skewness and excess kurtosis per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q203_moment_shape_stats",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS v
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(v) AS s1, SUM(v * v) AS s2,
+               SUM(v * v * v) AS s3, SUM(v * v * v * v) AS s4
+        FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+                      AS DOUBLE)
+                 / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                    * CAST(n * s2 - s1 * s1 AS DOUBLE)), 6) AS skewness,
+           ROUND(CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+                      + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+                      AS DOUBLE)
+                 / (CAST(n * s2 - s1 * s1 AS DOUBLE)
+                    * CAST(n * s2 - s1 * s1 AS DOUBLE)) - 3.0, 6)
+               AS excess_kurtosis
+    FROM m
+    ORDER BY event_type
+    """,
+    survey="2.5-agg,X3",
+)
+def q203_moment_shape_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per event type from EXACT
+    integer power sums — the distribution-shape profile behind
+    quality-gate alerts ('did the value distribution grow a heavy
+    tail?').  Engines disagree on float accumulation order AND on
+    skewness/kurtosis sample-vs-population conventions, so both are
+    bypassed: S₁..S₄ accumulate exactly (DECIMAL(38,0) on Spark,
+    HUGEINT in DuckDB — cents⁴ power sums need ~36 digits at 100k
+    rows/group; beyond ~1e5 rows/group rescale the cents), then
+    skew = B/(√A·A) and kurt = C/A² − 3 with A = nS₂−S₁²,
+    B = n²S₃−3nS₁S₂+2S₁³, C = n³S₄−4n²S₁S₃+6nS₁²S₂−3S₁⁴ — every float
+    op (int→double cast, sqrt, one multiply, one divide) is correctly
+    rounded IEEE on identical exact inputs, so 6dp rounding is stable.
+    Shape: map-side partial power sums, one tiny per-type fold; the
+    whole query is one scan + one 5-row shuffle at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    m = e.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v")).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    a = (n * s2 - s1 * s1).cast("double")
+    b = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1).cast("double")
+    c = (
+        n * n * n * s4
+        - 4 * n * n * s1 * s3
+        + 6 * n * s1 * s1 * s2
+        - 3 * s1 * s1 * s1 * s1
+    ).cast("double")
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        F.round(b / (F.sqrt(a) * a), 6).alias("skewness"),
+        F.round(c / (a * a) - 3.0, 6).alias("excess_kurtosis"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q204 — k-anonymity audit over quasi-identifier classes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q204_k_anonymity_audit",
+    oracle="""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS class_size,
+               COUNT(DISTINCT CASE WHEN c_acctbal >= 0 THEN 'pos'
+                                   ELSE 'neg' END) AS sensitive_diversity
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, class_size,
+           CAST(sensitive_diversity AS BIGINT) AS sensitive_diversity,
+           class_size < 5 AS at_risk
+    FROM classes
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    survey="X3,2.5-agg",
+)
+def q204_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit for training-data release: group records
+    by their quasi-identifier tuple (nation, market segment), report
+    each equivalence-class size and the diversity of a sensitive
+    attribute within it (l-diversity on the account-balance sign), and
+    flag classes below k=5 — the re-identification risk set a curation
+    pipeline must suppress or generalize before export.  The corpus
+    k-anonymity level is the min class_size; at_risk rows are the
+    suppression worklist.  One partial-agg shuffle on the
+    quasi-identifier key; class counts are exact integers, no float
+    surface at all."""
+    cst = load_table(spark, sf_dir, "customer")
+    return (
+        cst.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct(
+                F.when(F.col("c_acctbal") >= 0, F.lit("pos")).otherwise(
+                    F.lit("neg")
+                )
+            )
+            .cast("long")
+            .alias("sensitive_diversity"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "sensitive_diversity",
+            (F.col("class_size") < 5).alias("at_risk"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
