@@ -224,6 +224,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q199_scd2_state_history", "q200_merge_upsert",
     "q201_acf_daily_counts", "q202_cusum_changepoint",
     "q203_moment_shape_stats", "q204_k_anonymity_audit",
+    "q205_distribution_drift", "q206_gini_concentration",
+    "q207_benford_audit", "q208_ewma_smoothing",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",

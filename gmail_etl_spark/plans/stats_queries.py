@@ -360,3 +360,345 @@ def q204_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — distribution drift between month halves (total-variation distance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q205_distribution_drift",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type,
+               CAST(floor(CAST(round(value * 100) AS BIGINT) / 3600.0)
+                    AS BIGINT) AS bin,
+               CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS h1,
+               CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END AS h2
+        FROM events
+    ),
+    per_bin AS (
+        SELECT event_type, bin, SUM(h1) AS a, SUM(h2) AS b
+        FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(a) AS BIGINT) AS n1,
+               CAST(SUM(b) AS BIGINT) AS n2
+        FROM per_bin GROUP BY event_type
+    ),
+    dev AS (
+        SELECT p.event_type, p.bin,
+               abs(p.a * t.n2 - p.b * t.n1) AS cross_dev, t.n1, t.n2
+        FROM per_bin p JOIN tot t ON p.event_type = t.event_type
+    )
+    SELECT event_type,
+           ROUND(CAST(SUM(cross_dev) AS DOUBLE)
+                 / (2.0 * ANY_VALUE(n1) * ANY_VALUE(n2)), 6) AS tvd,
+           MIN(CASE WHEN cross_dev = m THEN bin END) AS worst_bin
+    FROM (SELECT *, MAX(cross_dev) OVER (PARTITION BY event_type) AS m
+          FROM dev)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey="X3,2.5-agg",
+)
+def q205_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/serve drift check: total-variation distance between the
+    first- and second-half-of-month value histograms per event type
+    (16 fixed 36-dollar bins), plus the bin contributing the largest
+    deviation.  The naive Σ|aᵢ/n₁ − bᵢ/n₂| sums floats in engine-
+    specific order; clearing denominators makes every addend the EXACT
+    integer |aᵢn₂ − bᵢn₁| so the sum is order-free and the single final
+    division /(2n₁n₂) is deterministic.  Shape: one conditional-count
+    shuffle to (type, bin) grain — 80 rows — then scalar joins; the
+    drift readout costs one corpus scan at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    half1 = (F.col("ts") < F.lit("2024-01-15").cast("timestamp")).cast("int")
+    per_bin = (
+        e.select(
+            "event_type",
+            F.floor(
+                F.round(F.col("value") * 100).cast("long") / F.lit(3600.0)
+            )
+            .cast("long")
+            .alias("bin"),
+            half1.alias("h1"),
+            (1 - half1).alias("h2"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.sum("h1").alias("a"), F.sum("h2").alias("b"))
+    )
+    tot = per_bin.groupBy("event_type").agg(
+        F.sum("a").cast("long").alias("n1"), F.sum("b").cast("long").alias("n2")
+    )
+    dev = per_bin.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        F.abs(F.col("a") * F.col("n2") - F.col("b") * F.col("n1")).alias(
+            "cross_dev"
+        ),
+        "n1",
+        "n2",
+    )
+    wa = Window.partitionBy("event_type")
+    return (
+        dev.withColumn("m", F.max("cross_dev").over(wa))
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum("cross_dev").cast("double")
+                / (2.0 * F.any_value("n1") * F.any_value("n2")),
+                6,
+            ).alias("tvd"),
+            F.min(
+                F.when(F.col("cross_dev") == F.col("m"), F.col("bin"))
+            ).alias("worst_bin"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206 — Gini concentration of customer spend per market segment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q206_gini_concentration",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment, c.c_custkey,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    ranked AS (
+        SELECT c_mktsegment, cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY cents, c_custkey) AS BIGINT) AS i
+        FROM spend
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)
+                      AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * SUM(cents)), 6) AS gini
+    FROM ranked
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    survey="2.5-window,2.5-agg",
+)
+def q206_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: the Gini coefficient of per-customer
+    spend within each market segment, via the rank formula
+    G = (2Σi·xᵢ − (n+1)Σx)/(nΣx) over cents sorted ascending (ties
+    broken by custkey — equal values contribute identically under any
+    tie order, so the rank tie-break is presentational, not semantic).
+    Every term is an exact integer — rank times cents stays under 2⁶³
+    past sf1 — and the one division is 6dp-rounded on both engines.
+    Shape: the orders→customer join shuffles on custkey, the rank
+    window shuffles on segment; both keys are high-cardinality or
+    low-skew, and the window input is one row per customer, already
+    reduced by the map-side spend aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    ranked = spend.select(
+        "c_mktsegment", "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    n = F.count(F.lit(1))
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            n.cast("long").alias("n_customers"),
+            F.round(
+                (2 * F.sum(F.col("i") * F.col("cents")) - (n + 1) * F.sum("cents"))
+                .cast("double")
+                / (n.cast("double") * F.sum("cents")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q207 — Benford first-digit audit of order totals
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) to 6dp, shared verbatim by both engines so the
+#: expected-share column has zero float surface.
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+@query(
+    "q207_benford_audit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+    ),
+    obs AS (
+        SELECT digit, COUNT(*) AS observed FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs),
+    expected(digit, expected_share) AS (VALUES
+        (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691),
+        (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+        (9, 0.045757))
+    SELECT e.digit,
+           COALESCE(o.observed, 0) AS observed,
+           ROUND(COALESCE(o.observed, 0) / CAST(t.n AS DOUBLE), 6)
+               AS observed_share,
+           e.expected_share,
+           ROUND(abs(COALESCE(o.observed, 0) / CAST(t.n AS DOUBLE)
+                     - e.expected_share), 6) AS abs_dev
+    FROM expected e
+    LEFT JOIN obs o ON o.digit = e.digit
+    CROSS JOIN tot t
+    ORDER BY e.digit
+    """,
+    survey="2.5-agg,X3",
+)
+def q207_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law data-quality audit: the first-digit distribution of
+    integer order totals against the log10(1+1/d) expectation — the
+    standard fabricated-or-truncated-data smoke test for an ingested
+    numeric column.  Expected shares are 6dp literals shared verbatim
+    by both engines, so the only computed floats are observed/n and one
+    subtraction of a rounded literal — deterministic single IEEE ops.
+    Shape: one 9-group conditional count (map-side combined), the
+    9-row expectation broadcast, the 1-row total broadcast; the audit
+    is a single scan at any corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = (
+        o.select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    expected = o.sparkSession.createDataFrame(
+        [(d, s) for d, s in _BENFORD.items()], "digit bigint, expected_share double"
+    )
+    tot = obs.agg(F.sum("observed").cast("long").alias("n"))
+    share = F.col("observed") / F.col("n").cast("double")
+    return (
+        expected.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("observed", F.lit(0)).alias("observed"),
+            F.round(
+                F.coalesce("observed", F.lit(0)) / F.col("n").cast("double"), 6
+            ).alias("observed_share"),
+            "expected_share",
+            F.round(
+                F.abs(
+                    F.coalesce("observed", F.lit(0)) / F.col("n").cast("double")
+                    - F.col("expected_share")
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208 — EWMA smoothing as exact integer prefix sums (alpha = 1/2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q208_ewma_smoothing",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        GROUP BY event_type, day_idx
+    ),
+    indexed AS (
+        SELECT event_type, day_idx, cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day_idx) - 1 AS BIGINT) AS t
+        FROM daily
+    ),
+    weighted AS (
+        SELECT event_type, day_idx, cents, t,
+               cents * (CASE WHEN t = 0 THEN 1
+                             ELSE (CAST(1 AS BIGINT) << (t - 1)) END) AS wy
+        FROM indexed
+    )
+    SELECT event_type, day_idx, cents,
+           ROUND(CAST(SUM(wy) OVER (PARTITION BY event_type ORDER BY day_idx
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST((CAST(1 AS BIGINT) << t) AS DOUBLE), 4)
+               AS level_cents
+    FROM weighted
+    ORDER BY event_type, day_idx
+    """,
+    survey="X5,2.5-window",
+)
+def q208_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily value totals with
+    α = 1/2, computed WITHOUT per-row float recursion: the recurrence
+    levelₜ = (yₜ + levelₜ₋₁)/2 telescopes to Lₜ = Σwᵢyᵢ with integer
+    weights w₀=1, wᵢ=2^(i−1), so the running state is ONE exact integer
+    prefix sum and levelₜ = Lₜ/2ᵗ is a single power-of-two division —
+    the float appears once per row on exact inputs, making the 4dp
+    round engine-stable (Lₜ stays under 2⁶³ for series up to ~35 steps;
+    longer series re-anchor per window, the standard segmented-scan
+    trick).  This is the general recipe for linear recurrences on Spark:
+    turn the sequential dependency into a weighted prefix sum a window
+    can evaluate, instead of a driver loop or a per-row UDF."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    wo = Window.partitionBy("event_type").orderBy("day_idx")
+    indexed = daily.withColumn(
+        "t", (F.row_number().over(wo) - 1).cast("long")
+    )
+    weighted = indexed.withColumn(
+        "wy",
+        F.col("cents")
+        * F.when(F.col("t") == 0, F.lit(1).cast("long")).otherwise(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(t - 1 AS INT))")
+        ),
+    )
+    return weighted.select(
+        "event_type",
+        "day_idx",
+        "cents",
+        F.round(
+            F.sum("wy")
+            .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(t AS INT)) AS DOUBLE)"),
+            4,
+        ).alias("level_cents"),
+    ).orderBy("event_type", "day_idx")
