@@ -558,10 +558,14 @@ _BENFORD = {
         SELECT digit, COUNT(*) AS observed FROM digits GROUP BY digit
     ),
     tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs),
-    expected(digit, expected_share) AS (VALUES
-        (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691),
-        (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
-        (9, 0.045757))
+    expected AS (
+        SELECT CAST(digit AS BIGINT) AS digit,
+               CAST(expected_share AS DOUBLE) AS expected_share
+        FROM (VALUES
+            (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691),
+            (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+            (9, 0.045757)) AS v(digit, expected_share)
+    )
     SELECT e.digit,
            COALESCE(o.observed, 0) AS observed,
            ROUND(COALESCE(o.observed, 0) / CAST(t.n AS DOUBLE), 6)
