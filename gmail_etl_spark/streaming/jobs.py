@@ -458,3 +458,108 @@ def read_daily_distinct_estimates(spark: SparkSession, rollup_dir: str) -> DataF
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# X5 — streaming drift monitor (incremental TVD over maintained histograms)
+# ---------------------------------------------------------------------------
+
+
+def maintain_drift_histograms(
+    spark: SparkSession,
+    events_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    cutoff: str = "2024-01-15",
+    bin_cents: int = 3600,
+) -> None:
+    """Incremental form of the q205 drift readout: maintain the per
+    (event_type, value-bin) first-half/second-half counts ADDITIVELY
+    across micro-batches, exactly like :func:`maintain_daily_rollup`
+    (versioned dirs + ``_CURRENT`` pointer + batch_id idempotence), so
+    the monitoring surface — total-variation distance between reference
+    and live histograms — is always answerable from state that is
+    days × types × bins small, without re-reading the stream.
+
+    Counts are mergeable integers, so after ANY partition of the stream
+    into batches the state equals the one-shot batch histogram and the
+    TVD readout (:func:`read_drift_tvd`) hash-matches the q205 catalog
+    query — the test asserts exact equality, not tolerance.  This is the
+    general recipe: any drift statistic computed from per-bin counts
+    (TVD, chi-square, PSI) becomes incrementally maintainable the moment
+    its sufficient statistics are additive."""
+    events = read_events_stream(spark, events_dir)
+    cutoff_ts = F.lit(cutoff).cast("timestamp")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        cur_dir, last_merged = _resolve_rollup_version(spark_l, rollup_dir)
+        if batch_id <= last_merged:
+            return  # at-least-once replay of an already-published merge
+        half1 = (F.col("ts") < cutoff_ts).cast("int")
+        inc = (
+            batch_df.select(
+                "event_type",
+                F.floor(
+                    F.round(F.col("value") * 100).cast("long") / F.lit(float(bin_cents))
+                )
+                .cast("long")
+                .alias("bin"),
+                half1.alias("h1"),
+                (1 - half1).alias("h2"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.sum("h1").alias("a"), F.sum("h2").alias("b"))
+        )
+        if cur_dir:
+            prev = spark_l.read.parquet(cur_dir)
+            merged = (
+                prev.unionByName(inc)
+                .groupBy("event_type", "bin")
+                .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+            )
+        else:
+            merged = inc
+        _publish_rollup_version(spark_l, rollup_dir, merged, batch_id)
+
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_drift_tvd(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """TVD readout off the maintained histogram state; column-for-column
+    identical to the q205 catalog query (event_type, tvd, worst_bin)."""
+    from pyspark.sql import Window
+
+    per_bin = read_daily_rollup(spark, rollup_dir)
+    tot = per_bin.groupBy("event_type").agg(
+        F.sum("a").cast("long").alias("n1"), F.sum("b").cast("long").alias("n2")
+    )
+    dev = per_bin.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        F.abs(F.col("a") * F.col("n2") - F.col("b") * F.col("n1")).alias("cross_dev"),
+        "n1",
+        "n2",
+    )
+    wa = Window.partitionBy("event_type")
+    return (
+        dev.withColumn("m", F.max("cross_dev").over(wa))
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum("cross_dev").cast("double")
+                / (2.0 * F.any_value("n1") * F.any_value("n2")),
+                6,
+            ).alias("tvd"),
+            F.min(F.when(F.col("cross_dev") == F.col("m"), F.col("bin"))).alias(
+                "worst_bin"
+            ),
+        )
+        .orderBy("event_type")
+    )

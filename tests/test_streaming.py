@@ -442,3 +442,66 @@ def test_incremental_distinct_sketch_equals_batch(spark, tmp_path):
         for r in read_daily_distinct_estimates(spark, rollup).collect()
     }
     assert got2 == exp
+
+
+def test_drift_histograms_match_batch(spark, tmp_path):
+    """The incrementally-maintained drift histograms (4 micro-batches)
+    must yield EXACTLY the one-shot TVD readout: per-bin counts are
+    additive state, so stream order/batching cannot change the result."""
+    import pandas as pd
+
+    from gmail_etl_spark.streaming.jobs import (
+        maintain_drift_histograms,
+        read_drift_tvd,
+    )
+    from tests.conftest import SF_DIR
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = pd.read_parquet(f"{SF_DIR}/events.parquet").head(400)
+    for i in range(4):
+        base.iloc[i * 100 : (i + 1) * 100].to_parquet(src / f"{i}.parquet")
+
+    # cutoff at the median timestamp so both histogram halves are
+    # populated regardless of the fixture's time span
+    cut = str(pd.to_datetime(base["ts"]).median().floor("s"))
+    rollup = str(tmp_path / "drift")
+    maintain_drift_histograms(
+        spark, str(src), rollup, str(tmp_path / "ckpt"), cutoff=cut
+    )
+
+    # expected: exact integer arithmetic over the same 400 rows
+    pdf = base.copy()
+    pdf["bin"] = ((pdf["value"] * 100).round().astype("int64") // 3600).astype(
+        "int64"
+    )
+    pdf["h1"] = (pd.to_datetime(pdf["ts"]) < pd.Timestamp(cut)).astype(int)
+    exp = {}
+    for et, g in pdf.groupby("event_type"):
+        n1 = int(g["h1"].sum())
+        n2 = int(len(g) - n1)
+        per_bin = g.groupby("bin")["h1"].agg(["sum", "count"])
+        devs = {
+            int(b): abs(int(r["sum"]) * n2 - int(r["count"] - r["sum"]) * n1)
+            for b, r in per_bin.iterrows()
+        }
+        m = max(devs.values())
+        worst = min(b for b, d in devs.items() if d == m)
+        exp[et] = (round(sum(devs.values()) / (2.0 * n1 * n2), 6), worst)
+
+    def snapshot():
+        return {
+            r["event_type"]: (r["tvd"], r["worst_bin"])
+            for r in read_drift_tvd(spark, rollup).collect()
+        }
+
+    assert snapshot() == exp
+    # idempotent restart + fresh-checkpoint replay must not double state
+    maintain_drift_histograms(
+        spark, str(src), rollup, str(tmp_path / "ckpt"), cutoff=cut
+    )
+    assert snapshot() == exp
+    maintain_drift_histograms(
+        spark, str(src), rollup, str(tmp_path / "ck2"), cutoff=cut
+    )
+    assert snapshot() == exp
