@@ -312,6 +312,7 @@ _BNLJ_JUSTIFIED = {
     "q194_bm25_scores",  # 1-row (N, avg_len) stats broadcast
     "q195_rrf_hybrid",  # bounded query-set broadcast on the vector leg
     "q196_retrieval_ndcg",  # bounded eval-set broadcast (q50 family)
+    "q207_benford_audit",  # 1-row digit-total broadcast over the 9-row expectation
 }
 
 
