@@ -226,6 +226,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q203_moment_shape_stats", "q204_k_anonymity_audit",
     "q205_distribution_drift", "q206_gini_concentration",
     "q207_benford_audit", "q208_ewma_smoothing",
+    "q209_quantile_normalize", "q210_nb_token_likelihoods",
+    "q211_chi2_feature_selection",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",
@@ -299,5 +301,6 @@ def _ensure_loaded() -> None:
     from gmail_etl_spark.plans import sampling_queries, temporal_queries  # noqa: F401
     from gmail_etl_spark.plans import warehouse_queries  # noqa: F401
     from gmail_etl_spark.plans import stats_queries  # noqa: F401
+    from gmail_etl_spark.plans import feature_queries  # noqa: F401
 
     _LOADED = True

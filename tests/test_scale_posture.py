@@ -313,6 +313,8 @@ _BNLJ_JUSTIFIED = {
     "q195_rrf_hybrid",  # bounded query-set broadcast on the vector leg
     "q196_retrieval_ndcg",  # bounded eval-set broadcast (q50 family)
     "q207_benford_audit",  # 1-row digit-total broadcast over the 9-row expectation
+    "q210_nb_token_likelihoods",  # 1-row vocabulary-size broadcast
+    "q211_chi2_feature_selection",  # 1-row corpus-doc-count broadcast
 }
 
 
