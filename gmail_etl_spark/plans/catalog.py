@@ -227,7 +227,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q205_distribution_drift", "q206_gini_concentration",
     "q207_benford_audit", "q208_ewma_smoothing",
     "q209_quantile_normalize", "q210_nb_token_likelihoods",
-    "q211_chi2_feature_selection",
+    "q211_chi2_feature_selection", "q212_ks_drift_test",
+    "q213_mann_whitney_u", "q214_churn_hazard",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",

@@ -706,3 +706,345 @@ def q208_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("level_cents"),
     ).orderBy("event_type", "day_idx")
+
+
+# ---------------------------------------------------------------------------
+# q212 — two-sample Kolmogorov–Smirnov drift test (exact ECDF arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q212_ks_drift_test",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS h1
+        FROM events
+    ),
+    grain AS (
+        SELECT event_type, cents, SUM(h1) AS a, SUM(1 - h1) AS b
+        FROM tagged GROUP BY event_type, cents
+    ),
+    cum AS (
+        SELECT event_type, cents,
+               SUM(a) OVER w AS ca, SUM(b) OVER w AS cb,
+               SUM(a) OVER (PARTITION BY event_type) AS n1,
+               SUM(b) OVER (PARTITION BY event_type) AS n2
+        FROM grain
+        WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    dev AS (
+        SELECT event_type, cents, abs(ca * n2 - cb * n1) AS d_scaled, n1, n2
+        FROM cum
+    )
+    SELECT event_type,
+           ROUND(CAST(MAX(m) AS DOUBLE)
+                 / (CAST(ANY_VALUE(n1) AS DOUBLE) * ANY_VALUE(n2)), 6) AS ks_d,
+           MIN(CASE WHEN d_scaled = m THEN cents END) AS at_cents
+    FROM (SELECT *, MAX(d_scaled) OVER (PARTITION BY event_type) AS m FROM dev)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey="X3,2.5-window",
+)
+def q212_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the first- and
+    second-half-of-month value distributions per event type — the
+    binning-free companion to q205's TVD: D = max|F₁(v) − F₂(v)| over
+    ECDF step points, with the argmax value reported.  Aggregating to
+    value grain FIRST makes each cumulative count an exact ECDF step
+    (no mid-tie evaluation), and cross-multiplying |c₁n₂ − c₂n₁| keeps
+    every compared quantity an exact integer — the division by n₁n₂
+    happens once, after the integer argmax.  Shape: one shuffle to
+    (type, value) grain with map-side combine, one per-type window over
+    the distinct-value table (run-length compressed, ~56k rows max per
+    type regardless of corpus size — cents bound the grain), then a
+    5-row fold."""
+    e = load_table(spark, sf_dir, "events")
+    h1 = (F.col("ts") < F.lit("2024-01-15").cast("timestamp")).cast("int")
+    grain = (
+        e.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            h1.alias("h1"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.sum("h1").alias("a"), F.sum(1 - F.col("h1")).alias("b"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("cents")
+    wa = Window.partitionBy("event_type")
+    cum = grain.select(
+        "event_type",
+        "cents",
+        F.sum("a").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("ca"),
+        F.sum("b").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cb"),
+        F.sum("a").over(wa).alias("n1"),
+        F.sum("b").over(wa).alias("n2"),
+    )
+    dev = cum.select(
+        "event_type",
+        "cents",
+        F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")).alias(
+            "d_scaled"
+        ),
+        "n1",
+        "n2",
+    ).withColumn("m", F.max("d_scaled").over(wa))
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.round(
+                F.max("m").cast("double")
+                / (F.any_value("n1").cast("double") * F.any_value("n2")),
+                6,
+            ).alias("ks_d"),
+            F.min(
+                F.when(F.col("d_scaled") == F.col("m"), F.col("cents"))
+            ).alias("at_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q213 — Mann–Whitney U (one-vs-rest per event type, tie-corrected z)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q213_mann_whitney_u",
+    oracle="""
+    WITH vals AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    grain AS (
+        SELECT cents, event_type, COUNT(*) AS cnt
+        FROM vals GROUP BY cents, event_type
+    ),
+    vtot AS (
+        SELECT cents, CAST(SUM(cnt) AS BIGINT) AS t,
+               CAST(SUM(SUM(cnt)) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT) AS c_before
+        FROM grain GROUP BY cents
+    ),
+    g_tot AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS n,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+        FROM vtot
+    ),
+    rsum AS (
+        SELECT g.event_type,
+               CAST(SUM(g.cnt) AS BIGINT) AS n1,
+               CAST(SUM(g.cnt * (2 * COALESCE(v.c_before, 0) + v.t + 1))
+                    AS BIGINT) AS r1_x2
+        FROM grain g JOIN vtot v ON g.cents = v.cents
+        GROUP BY g.event_type
+    )
+    SELECT r.event_type, r.n1, (gl.n - r.n1) AS n2,
+           ROUND((r.r1_x2 - r.n1 * (r.n1 + 1)) / 2.0, 1) AS u1,
+           ROUND((r.r1_x2 - r.n1 * (r.n1 + 1) - r.n1 * (gl.n - r.n1))
+                 * sqrt(CAST(3.0 AS DOUBLE) * gl.n * (gl.n - 1))
+                 / sqrt(CAST(r.n1 * (gl.n - r.n1) AS DOUBLE)
+                        * ((gl.n + 1) * gl.n * (gl.n - 1) - gl.tie_term)),
+                 4) AS z_score
+    FROM rsum r CROSS JOIN g_tot gl
+    ORDER BY r.event_type
+    """,
+    survey="X3,2.5-agg",
+)
+def q213_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank test, one-vs-rest per event type: does this
+    type's value distribution stochastically dominate the rest?  Tied
+    ranks are handled exactly by DOUBLING: a value run of size t
+    starting after c pooled observations has average rank (2c+t+1)/2,
+    so 2·R₁ = Σ cnt·(2c+t+1) stays an exact integer, as do 2·U₁ and the
+    tie-corrected variance numerator n₁n₂((n+1)n(n−1) − Σ(t³−t)).  The
+    z-score is assembled from two exact-integer square roots (IEEE
+    sqrt is correctly rounded) and one division — engine-stable at 4dp;
+    U₁ itself is reported at its native half-integer resolution.
+    Shape: one shuffle to (value, type) grain, a global run-length
+    window over distinct values (≤56k rows — the cents domain, not the
+    corpus), broadcastable scalars, a per-type fold."""
+    e = load_table(spark, sf_dir, "events")
+    vals = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    grain = vals.groupBy("cents", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.orderBy("cents")
+    vtot = (
+        grain.groupBy("cents")
+        .agg(F.sum("cnt").cast("long").alias("t"))
+        .select(
+            "cents",
+            "t",
+            F.coalesce(
+                F.sum("t").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("c_before"),
+        )
+    )
+    glob = vtot.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    rsum = (
+        grain.join(vtot, "cents")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n1"),
+            F.sum(
+                F.col("cnt") * (2 * F.col("c_before") + F.col("t") + 1)
+            )
+            .cast("long")
+            .alias("r1_x2"),
+        )
+    )
+    n, n1, r1_x2, tie = (
+        F.col("n"),
+        F.col("n1"),
+        F.col("r1_x2"),
+        F.col("tie_term"),
+    )
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    var_num = (n1 * (n - n1)).cast("double") * (
+        (n + 1) * n * (n - 1) - tie
+    )
+    return (
+        rsum.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "n1",
+            (n - n1).alias("n2"),
+            F.round(u1_x2 / 2.0, 1).alias("u1"),
+            F.round(
+                (u1_x2 - n1 * (n - n1))
+                * F.sqrt(F.lit(3.0) * n * (n - 1))
+                / F.sqrt(var_num),
+                4,
+            ).alias("z_score"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214 — discrete churn hazard per week (survival analysis, count-exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q214_churn_hazard",
+    oracle="""
+    WITH user_span AS (
+        SELECT user_id,
+               MIN(CAST(floor(epoch(ts) / 604800) AS BIGINT)) AS first_week,
+               MAX(CAST(floor(epoch(ts) / 604800) AS BIGINT)) AS last_week
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(last_week) AS max_week FROM user_span),
+    starts AS (
+        SELECT first_week AS week, COUNT(*) AS s FROM user_span GROUP BY first_week
+    ),
+    ends AS (
+        SELECT last_week AS week, COUNT(*) AS e FROM user_span GROUP BY last_week
+    ),
+    weeks AS (
+        SELECT DISTINCT week FROM (SELECT week FROM starts
+                                   UNION ALL SELECT week FROM ends)
+    ),
+    merged AS (
+        SELECT w.week, COALESCE(s.s, 0) AS s, COALESCE(e.e, 0) AS e
+        FROM weeks w
+        LEFT JOIN starts s ON s.week = w.week
+        LEFT JOIN ends e ON e.week = w.week
+    ),
+    risk AS (
+        SELECT week,
+               CAST(SUM(s) OVER (ORDER BY week ROWS UNBOUNDED PRECEDING)
+                    - COALESCE(SUM(e) OVER (ORDER BY week
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS at_risk,
+               CAST(e AS BIGINT) AS ended
+        FROM merged
+    )
+    SELECT r.week, r.at_risk, r.ended,
+           (r.week = h.max_week) AS censored,
+           ROUND(CASE WHEN r.week = h.max_week THEN 0.0
+                      ELSE r.ended / CAST(r.at_risk AS DOUBLE) END, 6) AS hazard
+    FROM risk r CROSS JOIN horizon h
+    ORDER BY r.week
+    """,
+    survey="X5,2.5-window",
+)
+def q214_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival analysis of user churn: per epoch-week,
+    the number of users at risk (active span covers the week), the
+    number whose LAST activity falls in it, and the hazard rate
+    ended/at_risk — with the final week flagged censored (still-active
+    users are not churners) and its hazard pinned to 0.  The risk set
+    is reconstructed from per-user (first, last) spans via cumulative
+    starts minus prior ends — two integer prefix sums over the week
+    grain, never a user×week cross join — so every count is exact and
+    the hazard is one division.  Shape: one per-user span aggregation
+    (the only corpus-sized shuffle), then week-grain arithmetic on a
+    handful of rows; the classic KM/life-table input assembled
+    Spark-first."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    span = e.select("user_id", week.alias("week")).groupBy("user_id").agg(
+        F.min("week").alias("first_week"), F.max("week").alias("last_week")
+    )
+    starts = span.groupBy(F.col("first_week").alias("week")).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    ends = span.groupBy(F.col("last_week").alias("week")).agg(
+        F.count(F.lit(1)).alias("e")
+    )
+    merged = (
+        starts.join(ends, "week", "full_outer")
+        .select(
+            "week",
+            F.coalesce("s", F.lit(0)).alias("s"),
+            F.coalesce("e", F.lit(0)).alias("e"),
+        )
+    )
+    wv = Window.orderBy("week")
+    risk = merged.select(
+        "week",
+        (
+            F.sum("s").over(wv.rowsBetween(Window.unboundedPreceding, 0))
+            - F.coalesce(
+                F.sum("e").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("at_risk"),
+        F.col("e").cast("long").alias("ended"),
+    )
+    horizon = span.agg(F.max("last_week").alias("max_week"))
+    return (
+        risk.crossJoin(F.broadcast(horizon))
+        .select(
+            "week",
+            "at_risk",
+            "ended",
+            (F.col("week") == F.col("max_week")).alias("censored"),
+            F.round(
+                F.when(F.col("week") == F.col("max_week"), F.lit(0.0)).otherwise(
+                    F.col("ended") / F.col("at_risk").cast("double")
+                ),
+                6,
+            ).alias("hazard"),
+        )
+        .orderBy("week")
+    )

@@ -315,6 +315,8 @@ _BNLJ_JUSTIFIED = {
     "q207_benford_audit",  # 1-row digit-total broadcast over the 9-row expectation
     "q210_nb_token_likelihoods",  # 1-row vocabulary-size broadcast
     "q211_chi2_feature_selection",  # 1-row corpus-doc-count broadcast
+    "q213_mann_whitney_u",  # 1-row pooled-total/tie-term broadcast
+    "q214_churn_hazard",  # 1-row censoring-horizon broadcast
 }
 
 
