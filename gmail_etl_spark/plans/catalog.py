@@ -229,6 +229,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q209_quantile_normalize", "q210_nb_token_likelihoods",
     "q211_chi2_feature_selection", "q212_ks_drift_test",
     "q213_mann_whitney_u", "q214_churn_hazard",
+    "q215_recursive_reachability", "q216_window_distribution_suite",
+    "q217_unpivot_round_trip", "q218_roc_auc",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",

@@ -281,3 +281,238 @@ def q211_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", F.col("chi2").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — window distribution functions (percent_rank / cume_dist / ntile)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q216_window_distribution_suite",
+    oracle="""
+    WITH cents AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    ),
+    windowed AS (
+        SELECT c_custkey, c_mktsegment, bal_cents,
+               ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY bal_cents), 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY bal_cents), 6) AS cume,
+               CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                                   ORDER BY bal_cents, c_custkey) AS BIGINT)
+                   AS quartile
+        FROM cents
+    )
+    SELECT c_custkey, c_mktsegment, bal_cents, pct_rank, cume, quartile
+    FROM windowed
+    WHERE c_custkey < 300
+    ORDER BY c_custkey
+    """,
+    survey="2.5-window",
+)
+def q216_window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard distribution window functions in one query:
+    PERCENT_RANK and CUME_DIST over integer account-balance cents (both
+    are ratios of exact integer ranks — (r−1)/(n−1) and peers≤/n — so
+    6dp rounding is engine-stable) and NTILE(4) under a (value, key)
+    TOTAL order, because ntile assigns by row position and an
+    under-specified order would tie-break differently per engine.
+    Ranks are computed over the full segment partitions; the custkey
+    slice bounds output afterward.  One window shuffle per segment —
+    the same sort serves all three functions."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    wv = Window.partitionBy("c_mktsegment").orderBy("bal_cents")
+    wt = Window.partitionBy("c_mktsegment").orderBy("bal_cents", "c_custkey")
+    return (
+        cents.select(
+            "c_custkey",
+            "c_mktsegment",
+            "bal_cents",
+            F.round(F.percent_rank().over(wv), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(wv), 6).alias("cume"),
+            F.ntile(4).over(wt).cast("long").alias("quartile"),
+        )
+        .filter(F.col("c_custkey") < 300)
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217 — pivot → unpivot round trip (wide/long reshaping)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q217_unpivot_round_trip",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY day_idx, event_type
+    ),
+    wide AS (
+        SELECT day_idx,
+               COALESCE(SUM(CASE WHEN event_type = 'click' THEN n END), 0) AS click,
+               COALESCE(SUM(CASE WHEN event_type = 'error' THEN n END), 0) AS error,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN n END), 0) AS purchase,
+               COALESCE(SUM(CASE WHEN event_type = 'signup' THEN n END), 0) AS signup,
+               COALESCE(SUM(CASE WHEN event_type = 'view' THEN n END), 0) AS view
+        FROM daily GROUP BY day_idx
+    )
+    SELECT day_idx, event_type, CAST(n AS BIGINT) AS n
+    FROM (
+        SELECT day_idx, 'click' AS event_type, click AS n FROM wide
+        UNION ALL SELECT day_idx, 'error', error FROM wide
+        UNION ALL SELECT day_idx, 'purchase', purchase FROM wide
+        UNION ALL SELECT day_idx, 'signup', signup FROM wide
+        UNION ALL SELECT day_idx, 'view', view FROM wide
+    )
+    WHERE n > 0
+    ORDER BY day_idx, event_type
+    """,
+    survey="2.5-agg,P1",
+)
+def q217_unpivot_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide/long reshaping both ways: pivot the daily type counts into
+    five columns, then `DataFrame.unpivot` (the SQL-standard melt,
+    Spark 3.4+) back to long form — the round trip is self-certifying
+    because the n > 0 filter drops exactly the zero-fill cells pivot
+    fabricated, so the output must equal the original grouped counts.
+    The pivot uses an EXPLICIT value list (the five types), which is the
+    scale-correct form: an unlisted pivot triggers a distinct-value
+    collect on the driver.  Counts are exact integers throughout.
+    Shape: one (day, type) partial-agg shuffle, a day-grain pivot
+    (30 rows), a width-5 unpivot — reshaping happens at aggregate
+    grain, never on raw events."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    daily = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wide = (
+        daily.groupBy("day_idx")
+        .pivot("event_type", types)
+        .sum("n")
+        .na.fill(0, types)
+    )
+    return (
+        wide.unpivot("day_idx", types, "event_type", "n")
+        .filter(F.col("n") > 0)
+        .select("day_idx", "event_type", F.col("n").cast("long").alias("n"))
+        .orderBy("day_idx", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218 — ROC AUC from rank statistics (exact ties, no curve sweep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q218_roc_auc",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+               CAST(round(
+                   1000000.0 / (1.0 + exp(-(-1.0
+                       + 0.8 * ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+                       - 2.5 * (len(list_filter(string_split(text, ' '),
+                                     t -> t = 'a' OR t = 'the'))
+                                / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                       + 1.5 * (len(list_distinct(string_split(text, ' ')))
+                                / CAST(len(string_split(text, ' ')) AS DOUBLE)))))
+                   ) AS BIGINT) AS score_u
+        FROM documents
+    ),
+    grain AS (
+        SELECT score_u, SUM(label) AS pos, SUM(1 - label) AS neg
+        FROM scored GROUP BY score_u
+    ),
+    cum AS (
+        SELECT score_u, pos, neg,
+               CAST(COALESCE(SUM(pos + neg) OVER (ORDER BY score_u
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS c_before,
+               CAST(pos + neg AS BIGINT) AS t
+        FROM grain
+    ),
+    agg AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               CAST(SUM(pos * (2 * c_before + t + 1)) AS BIGINT) AS rpos_x2
+        FROM cum
+    )
+    SELECT n_pos, n_neg,
+           ROUND((rpos_x2 - n_pos * (n_pos + 1))
+                 / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM agg
+    """,
+    survey="X3,2.5-window",
+)
+def q218_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the q125 quality score predicting English documents,
+    WITHOUT sweeping thresholds: AUC equals the Mann–Whitney statistic
+    (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻) over score ranks, which the q213 doubled-
+    tie-rank trick computes from exact integers once scores are snapped
+    to a 1e-6 grid (the same 6dp resolution the score is reported at —
+    ties on the grid get the exact average rank, the mid-point ROC
+    convention).  The sigmoid/log floats appear only INSIDE the
+    per-row score, recomputed bit-identically by both engines from the
+    same literals; everything downstream is integer.  Shape: one
+    (score, label) run-length shuffle, a global prefix-sum window over
+    distinct scores, a 1-row fold — the standard distributed-AUC
+    recipe, no per-pair comparison anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ntd = F.size(toks).cast("double")
+    stop_ratio = F.size(F.filter(toks, lambda t: (t == "a") | (t == "the"))) / ntd
+    uniq_ratio = F.size(F.array_distinct(toks)) / ntd
+    z = F.lit(-1.0) + 0.8 * F.log(ntd) - 2.5 * stop_ratio + 1.5 * uniq_ratio
+    score_u = F.round(F.lit(1000000.0) / (1.0 + F.exp(-z))).cast("long")
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        score_u.alias("score_u"),
+    )
+    grain = scored.groupBy("score_u").agg(
+        F.sum("label").alias("pos"), F.sum(1 - F.col("label")).alias("neg")
+    )
+    wv = Window.orderBy("score_u")
+    cum = grain.select(
+        "pos",
+        F.coalesce(
+            F.sum(F.col("pos") + F.col("neg")).over(
+                wv.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("c_before"),
+        (F.col("pos") + F.col("neg")).cast("long").alias("t"),
+        "neg",
+    )
+    agg = cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("c_before") + F.col("t") + 1))
+        .cast("long")
+        .alias("rpos_x2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("rpos_x2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
