@@ -563,3 +563,81 @@ def read_drift_tvd(spark: SparkSession, rollup_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# ST5/J2 — streaming upsert: latest-per-key snapshot maintained across batches
+# ---------------------------------------------------------------------------
+
+
+def maintain_latest_snapshot(
+    spark: SparkSession,
+    events_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming MERGE: maintain the per-user latest (ts, value) snapshot
+    across micro-batches — the incremental form of the q200 upsert and
+    the stateful generalization of the reference's insert-only ledger
+    (J2).  Unlike the additive rollup, upsert state merges by MAX over
+    the (ts, event_id) order; max is idempotent AND commutative, so the
+    snapshot is correct under any batching and unchanged by replays —
+    the batch_id guard here only saves work, it is not load-bearing for
+    correctness (the additive rollup NEEDS it; this job would survive
+    without it).
+
+    Each batch reduces to one row per touched key (argmax via struct
+    max), then merges with the persisted snapshot by the same struct
+    max — the tie-break and ordering logic exists in exactly one
+    expression.  State is keys × one row; at 100 TB the merge rewrite
+    is bounded by the snapshot size, not the stream, and the same
+    versioned-dir/_CURRENT publish keeps readers consistent mid-swap."""
+    events = read_events_stream(spark, events_dir)
+
+    def pick_latest(df: DataFrame) -> DataFrame:
+        # argmax by (ts, event_id): struct max orders lexicographically;
+        # operates on cents so persisted state re-merges without a
+        # dollars round trip
+        return (
+            df.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value_cents")).alias("s"))
+            .select(
+                "user_id",
+                F.col("s.ts").alias("ts"),
+                F.col("s.event_id").alias("event_id"),
+                F.col("s.value_cents").alias("value_cents"),
+            )
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        cur_dir, last_merged = _resolve_rollup_version(spark_l, rollup_dir)
+        if batch_id <= last_merged:
+            return
+        inc = pick_latest(
+            batch_df.select(
+                "user_id",
+                "ts",
+                "event_id",
+                F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+            )
+        )
+        if cur_dir:
+            prev = spark_l.read.parquet(cur_dir)
+            merged = pick_latest(prev.unionByName(inc))
+        else:
+            merged = inc
+        _publish_rollup_version(spark_l, rollup_dir, merged, batch_id)
+
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_latest_snapshot(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """The current per-user snapshot (user_id, ts, event_id, value_cents)."""
+    return read_daily_rollup(spark, rollup_dir).orderBy("user_id")

@@ -505,3 +505,48 @@ def test_drift_histograms_match_batch(spark, tmp_path):
         spark, str(src), rollup, str(tmp_path / "ck2"), cutoff=cut
     )
     assert snapshot() == exp
+
+
+def test_latest_snapshot_upsert_matches_batch(spark, tmp_path):
+    """Streaming upsert (4 micro-batches) must equal the one-shot
+    latest-per-user reduction, and stay fixed under checkpoint restarts
+    AND fresh-checkpoint replays — max-merge is idempotent, so replay
+    safety holds even beyond the batch_id guard."""
+    import pandas as pd
+
+    from gmail_etl_spark.streaming.jobs import (
+        maintain_latest_snapshot,
+        read_latest_snapshot,
+    )
+    from tests.conftest import SF_DIR
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = pd.read_parquet(f"{SF_DIR}/events.parquet").head(400)
+    for i in range(4):
+        base.iloc[i * 100 : (i + 1) * 100].to_parquet(src / f"{i}.parquet")
+
+    rollup = str(tmp_path / "snap")
+    maintain_latest_snapshot(spark, str(src), rollup, str(tmp_path / "ckpt"))
+
+    pdf = base.copy()
+    pdf["value_cents"] = (pdf["value"] * 100).round().astype("int64")
+    idx = (
+        pdf.sort_values(["ts", "event_id"]).groupby("user_id").tail(1)
+    )
+    exp = {
+        int(r.user_id): (pd.Timestamp(r.ts), int(r.event_id), int(r.value_cents))
+        for r in idx.itertuples()
+    }
+
+    def snapshot():
+        return {
+            r["user_id"]: (pd.Timestamp(r["ts"]), r["event_id"], r["value_cents"])
+            for r in read_latest_snapshot(spark, rollup).collect()
+        }
+
+    assert snapshot() == exp
+    maintain_latest_snapshot(spark, str(src), rollup, str(tmp_path / "ckpt"))
+    assert snapshot() == exp
+    maintain_latest_snapshot(spark, str(src), rollup, str(tmp_path / "ck2"))
+    assert snapshot() == exp
