@@ -231,6 +231,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q213_mann_whitney_u", "q214_churn_hazard",
     "q215_recursive_reachability", "q216_window_distribution_suite",
     "q217_unpivot_round_trip", "q218_roc_auc",
+    "q219_session_funnel", "q220_pareto_frontier",
+    "q221_daily_anomaly_flags",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",

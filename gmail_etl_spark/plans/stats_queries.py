@@ -1048,3 +1048,159 @@ def q214_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — Pareto frontier (2-D skyline via strict integer range frames)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q220_pareto_frontier",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, cents, n_orders
+    FROM (
+        SELECT custkey, cents, n_orders,
+               MAX(n_orders) OVER (ORDER BY cents DESC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS max_n_higher_spend,
+               MAX(cents) OVER (ORDER BY n_orders DESC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS max_c_higher_n
+        FROM spend
+    )
+    WHERE (max_n_higher_spend IS NULL OR max_n_higher_spend < n_orders)
+      AND (max_c_higher_n IS NULL OR max_c_higher_n < cents)
+    ORDER BY cents DESC
+    """,
+    survey="2.5-window",
+)
+def q220_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: customers not Pareto-dominated on (total spend,
+    order count) — dominated means someone strictly better on one axis
+    and at least as good on the other.  Both dominance tests reduce to
+    range-frame window maxima over exact integers: max(n_orders) among
+    STRICTLY higher spend is `ORDER BY cents DESC RANGE ... 1 PRECEDING`
+    (the integer range frame excludes the current value's peers, giving
+    strictness for free), and symmetrically for the other axis; a point
+    survives iff both maxima are below its own coordinates.  No
+    self-join, no O(n²) dominance pairs — two sorts of the customer
+    aggregate.  All comparisons are integer; no float surface at all.
+    The classic multi-criteria 'best customers / best configs' readout,
+    and the 2-D special case of the general skyline."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w_spend = (
+        Window.orderBy(F.col("cents").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_orders = (
+        Window.orderBy(F.col("n_orders").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    dom = spend.select(
+        "custkey",
+        "cents",
+        "n_orders",
+        F.max("n_orders").over(w_spend).alias("max_n_higher_spend"),
+        F.max("cents").over(w_orders).alias("max_c_higher_n"),
+    )
+    return (
+        dom.filter(
+            (
+                F.col("max_n_higher_spend").isNull()
+                | (F.col("max_n_higher_spend") < F.col("n_orders"))
+            )
+            & (
+                F.col("max_c_higher_n").isNull()
+                | (F.col("max_c_higher_n") < F.col("cents"))
+            )
+        )
+        .select("custkey", "cents", "n_orders")
+        .orderBy(F.col("cents").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221 — anomaly flags via a fully-integer z-score comparison
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q221_daily_anomaly_flags",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               COUNT(*) AS y
+        FROM events
+        GROUP BY event_type, day_idx
+    ),
+    stats AS (
+        SELECT event_type, day_idx, y,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(y) OVER w AS BIGINT) AS s,
+               CAST(SUM(y * y) OVER w AS BIGINT) AS ss
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_type, day_idx, CAST(y AS BIGINT) AS n_events,
+           ROUND((n * y - s) / sqrt(CAST(n * ss - s * s AS DOUBLE)), 4)
+               AS z_score
+    FROM stats
+    WHERE n > 1
+      AND (n * y - s) * (n * y - s) > 4 * (n * ss - s * s)
+    ORDER BY event_type, day_idx
+    """,
+    survey="X5,2.5-agg",
+)
+def q221_daily_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume anomalies per event type: days whose count deviates
+    more than 2σ from the type's mean — with the THRESHOLD TEST done in
+    exact integer arithmetic.  z = (y−μ)/σ clears to
+    z² > 4  ⇔  (ny − S)²·n > 4(n·SS − S²)·n (population σ), so the flag
+    decision — the part where a ulp could flip a row in or out of the
+    result — never touches a float; the reported z-score itself is one
+    integer-fed sqrt + division, rounded 4dp for display.  Shape:
+    daily-grain partial agg, one per-type window for the three
+    sufficient statistics, a filtered projection — anomaly detection as
+    a 1.5-shuffle query at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wa = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "day_idx",
+        "y",
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+        F.sum("y").over(wa).cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(wa).cast("long").alias("ss"),
+    )
+    n, s, ss, y = F.col("n"), F.col("s"), F.col("ss"), F.col("y")
+    dev = n * y - s
+    var_n2 = n * ss - s * s
+    return (
+        stats.filter((n > 1) & (dev * dev > 4 * var_n2))
+        .select(
+            "event_type",
+            "day_idx",
+            y.cast("long").alias("n_events"),
+            F.round(dev / F.sqrt(var_n2.cast("double")), 4).alias("z_score"),
+        )
+        .orderBy("event_type", "day_idx")
+    )

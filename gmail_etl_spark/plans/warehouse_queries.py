@@ -409,3 +409,131 @@ def q215_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.cache()
     edges.createOrReplaceTempView("edges")
     return spark.sql(_Q215_CLOSURE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q219 — funnel within sessions (ordered steps must share one session)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q219_session_funnel",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                            event_id) > INTERVAL 5 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                     event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    ),
+    s1 AS (
+        SELECT user_id, session_no, MIN(ts) AS t1 FROM sess
+        WHERE event_type = 'view' GROUP BY user_id, session_no
+    ),
+    s2 AS (
+        SELECT e.user_id, e.session_no, MIN(e.ts) AS t2
+        FROM sess e JOIN s1 ON e.user_id = s1.user_id
+                   AND e.session_no = s1.session_no
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id, e.session_no
+    ),
+    s3 AS (
+        SELECT e.user_id, e.session_no, MIN(e.ts) AS t3
+        FROM sess e JOIN s2 ON e.user_id = s2.user_id
+                   AND e.session_no = s2.session_no
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id, e.session_no
+    ),
+    agg AS (
+        SELECT (SELECT COUNT(*) FROM s1) AS u1,
+               (SELECT COUNT(*) FROM s2) AS u2,
+               (SELECT COUNT(*) FROM s3) AS u3
+    )
+    SELECT step, step_name, sessions,
+           ROUND(sessions / CAST(base AS DOUBLE), 6) AS conv_from_first
+    FROM (
+        SELECT 1 AS step, 'view' AS step_name, u1 AS sessions, u1 AS base FROM agg
+        UNION ALL SELECT 2, 'click', u2, u1 FROM agg
+        UNION ALL SELECT 3, 'purchase', u3, u1 FROM agg
+    )
+    ORDER BY step
+    """,
+    survey="X5,2.5-window",
+)
+def q219_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strict form of q197: funnel steps must occur in order WITHIN
+    one 5-minute-gap session — the difference between 'eventually
+    purchased' and 'purchased in the same visit'.  Sessionization is the
+    q189 lag/cumsum assignment (µs-exact gap compare); each funnel stage
+    is then a per-(user, session) MIN aggregate joined to the previous
+    stage's surviving sessions, shrinking monotonically.  Counts divide
+    as exact integers.  Shape: ONE window shuffle on user_id serves the
+    sessionization; the three stage aggregates reuse the same
+    (user, session) grain, so at scale this is one corpus shuffle plus
+    session-grain folds."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact gap compare (the q189/q166 lesson: never truncate epochs
+    # before differencing)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wo)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(wo).isNull() | (gap > 300_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    ).select("user_id", "session_no", "ts", "event_type")
+    keys = ["user_id", "session_no"]
+    s1 = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        sess.filter(F.col("event_type") == "click")
+        .join(s1, keys)
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(s2, keys)
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t3"))
+    )
+    funnel = s1.join(s2, keys, "left").join(s3, keys, "left")
+    agg = funnel.agg(
+        F.count("t1").alias("u1"),
+        F.count("t2").alias("u2"),
+        F.count("t3").alias("u3"),
+    )
+    return (
+        agg.select(
+            F.expr(
+                "stack(3, 1, 'view', u1, u1, 2, 'click', u2, u1,"
+                " 3, 'purchase', u3, u1) AS (step, step_name, sessions, base)"
+            )
+        )
+        .select(
+            "step",
+            "step_name",
+            "sessions",
+            F.round(F.col("sessions") / F.col("base"), 6).alias(
+                "conv_from_first"
+            ),
+        )
+        .orderBy("step")
+    )
