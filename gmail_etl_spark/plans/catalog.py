@@ -232,7 +232,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q215_recursive_reachability", "q216_window_distribution_suite",
     "q217_unpivot_round_trip", "q218_roc_auc",
     "q219_session_funnel", "q220_pareto_frontier",
-    "q221_daily_anomaly_flags",
+    "q221_daily_anomaly_flags", "q222_sampled_sum_estimate",
+    "q223_exact_order_statistics",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",

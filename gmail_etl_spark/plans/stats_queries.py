@@ -1204,3 +1204,159 @@ def q221_daily_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 — AQP: deterministic hash-sample estimate with self-evaluation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q222_sampled_sum_estimate",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               ((l_orderkey * 2654435761 + l_linenumber * 40503) % 64 = 0)
+                   AS in_sample
+        FROM lineitem
+    ),
+    agg AS (
+        SELECT l_returnflag,
+               CAST(SUM(cents) AS BIGINT) AS exact_cents,
+               CAST(COUNT(*) AS BIGINT) AS exact_rows,
+               CAST(SUM(CASE WHEN in_sample THEN cents ELSE 0 END) AS BIGINT)
+                   AS sample_cents,
+               CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+                   AS sample_rows
+        FROM base GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, exact_rows, sample_rows,
+           64 * sample_cents AS est_cents, exact_cents,
+           ROUND((64 * sample_cents - exact_cents) * 1000000.0 / exact_cents,
+                 1) AS err_ppm
+    FROM agg
+    ORDER BY l_returnflag
+    """,
+    survey="2.5-agg,X6",
+)
+def q222_sampled_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing with a DETERMINISTIC sampling frame:
+    a 1-in-64 multiplicative-hash sample of lineitem (Knuth constant on
+    the integer key — portable to any engine, no RNG, no xxhash) scales
+    up to a Horvitz–Thompson estimate of per-flag revenue, reported
+    NEXT TO the exact answer with the error in ppm — the query evaluates
+    its own approximation, which is how a 100 TB deployment decides
+    whether the 64× cheaper scan is good enough.  All quantities are
+    exact integers (the estimate is 64×an integer; the only float is
+    the final error ratio).  The sample predicate is a pure projection —
+    at scale it rides the parquet scan, and the same frame (same key,
+    same constant) reproduces across runs, engines, and snapshots —
+    the property 'TABLESAMPLE' cannot give you."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (
+            (
+                F.col("l_orderkey") * F.lit(2654435761)
+                + F.col("l_linenumber") * F.lit(40503)
+            )
+            % 64
+            == 0
+        ).alias("in_sample"),
+    )
+    agg = base.groupBy("l_returnflag").agg(
+        F.sum("cents").cast("long").alias("exact_cents"),
+        F.count(F.lit(1)).cast("long").alias("exact_rows"),
+        F.sum(F.when(F.col("in_sample"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sample_cents"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+        .cast("long")
+        .alias("sample_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_rows",
+        "sample_rows",
+        (64 * F.col("sample_cents")).alias("est_cents"),
+        "exact_cents",
+        F.round(
+            (64 * F.col("sample_cents") - F.col("exact_cents"))
+            * 1000000.0
+            / F.col("exact_cents"),
+            1,
+        ).alias("err_ppm"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q223 — exact order statistics from the run-length value grain
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q223_exact_order_statistics",
+    oracle="""
+    WITH grain AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+               COUNT(*) AS cnt
+        FROM events GROUP BY event_type, cents
+    ),
+    cum AS (
+        SELECT event_type, cents,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM grain
+    )
+    SELECT event_type,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_events,
+           MIN(CASE WHEN cum_cnt * 2 >= n THEN cents END) AS median_cents,
+           MIN(CASE WHEN cum_cnt * 10 >= 9 * n THEN cents END) AS p90_cents,
+           MIN(CASE WHEN cum_cnt * 100 >= 99 * n THEN cents END) AS p99_cents
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey="2.5-agg,X6",
+)
+def q223_exact_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles without interpolation: the lower order statistic
+    at rank ⌈qn⌉, read off the cumulative run-length table with an
+    integer rank test (cum·k ≥ q·k·n — no division, no float, no
+    engine-specific interpolation convention, the ulp problem q68 had
+    to round around simply doesn't exist).  The value grain bounds the
+    window input at the domain size (≤56k cents rows per type) however
+    large the corpus; this run-length trick is the exact-percentile
+    companion to the KLL sketch rollup (q176): KLL for mergeable
+    approximate state, this for exact answers when the value domain is
+    bounded.  Shape: one (type, value) partial-agg shuffle with map-side
+    combine, a per-type prefix window, a 5-row fold."""
+    e = load_table(spark, sf_dir, "events")
+    grain = e.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wo = Window.partitionBy("event_type").orderBy("cents")
+    wa = Window.partitionBy("event_type")
+    cum = grain.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_cnt"
+        ),
+        F.sum("cnt").over(wa).alias("n"),
+    )
+    n, cc = F.col("n"), F.col("cum_cnt")
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.any_value("n").cast("long").alias("n_events"),
+            F.min(F.when(cc * 2 >= n, F.col("cents"))).alias("median_cents"),
+            F.min(F.when(cc * 10 >= 9 * n, F.col("cents"))).alias("p90_cents"),
+            F.min(F.when(cc * 100 >= 99 * n, F.col("cents"))).alias("p99_cents"),
+        )
+        .orderBy("event_type")
+    )
