@@ -401,3 +401,34 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     expected_buckets = {r["bucket"] for r in dim.select("bucket").collect()}
     got = joined.select("bucket").distinct()
     assert {r["bucket"] for r in got.collect()} == expected_buckets
+
+
+def test_session_batch_plan_shapes(spark):
+    """Pins for the warehouse/statistics batch's plan claims: single
+    scan + zero joins where the docstrings promise it, and the SCD2
+    build's window reuse (one user_id exchange serves lag, row_number
+    and lead — Catalyst shares the partitioning, adding only sorts)."""
+    from gmail_etl_spark.plans.catalog import CATALOG
+
+    def tree(name):
+        # the plan tree only — "formatted" repeats node names in the
+        # per-node detail section below it
+        return _plan(CATALOG[name].builder(spark, SF_DIR)).split("\n\n(")[0]
+
+    # Pareto skyline: two range-frame windows, no O(n²) dominance join
+    p = tree("q220_pareto_frontier")
+    assert "Join" not in p and p.count("Scan parquet") == 1, p
+
+    # AQP estimate: sample AND exact ride ONE scan (no second read)
+    p = tree("q222_sampled_sum_estimate")
+    assert "Join" not in p and p.count("Scan parquet") == 1, p
+
+    # exact order statistics: run-length grain, no join
+    p = tree("q223_exact_order_statistics")
+    assert "Join" not in p and p.count("Scan parquet") == 1, p
+
+    # SCD2: both windows share ONE user_id hash exchange (the second
+    # Exchange in the tree is the presentation sort's range partitioning)
+    p_full = _plan(CATALOG["q199_scd2_state_history"].builder(spark, SF_DIR))
+    assert "Join" not in p_full, p_full
+    assert p_full.count("hashpartitioning(user_id") == 1, p_full
