@@ -1360,3 +1360,198 @@ def q223_exact_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q224 — walk-forward forecast evaluation (expanding-window OLS, exact MAE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q224_walk_forward_forecast",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events
+        GROUP BY event_type, day_idx
+    ),
+    anchored AS (
+        SELECT event_type, y,
+               CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS x
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+    ),
+    expanding AS (
+        SELECT event_type, x, y,
+               CAST(COUNT(*) OVER wp AS BIGINT) AS n,
+               CAST(SUM(x) OVER wp AS BIGINT) AS sx,
+               CAST(SUM(y) OVER wp AS BIGINT) AS sy,
+               CAST(SUM(x * y) OVER wp AS BIGINT) AS sxy,
+               CAST(SUM(x * x) OVER wp AS BIGINT) AS sxx
+        FROM anchored
+        WINDOW wp AS (PARTITION BY event_type ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    forecast AS (
+        SELECT event_type, x, y,
+               CAST(round(
+                   (sy * sxx - sx * sxy
+                    + x * (n * sxy - sx * sy))
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+                   AS forecast_cents
+        FROM expanding
+        WHERE n >= 5 AND n * sxx - sx * sx > 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           ROUND(SUM(abs(forecast_cents - y)) / CAST(COUNT(*) AS DOUBLE)
+                 / 100.0, 2) AS mae_dollars
+    FROM forecast
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey="X5,2.5-window",
+)
+def q224_walk_forward_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (leak-free) forecast evaluation of the q187 OLS
+    drift model: for every day t, fit intercept+slope on days < t ONLY
+    (the `1 PRECEDING` expanding frame is the no-lookahead guarantee)
+    and score the prediction against the actual.  The per-row fit needs
+    no loop: all five OLS sufficient statistics are expanding-window
+    prefix sums of exact integers, and the forecast
+    (S_y·S_xx − S_x·S_xy + x(nS_xy − S_xS_y))/(nS_xx − S_x²) is one
+    division — ROUNDED TO INTEGER CENTS before the error, so the MAE
+    numerator Σ|forecast − y| is an order-free integer sum and the
+    reported MAE is a single division.  Shape: daily partial-agg
+    shuffle, one per-type window sort shared by the row-number and all
+    five prefix sums, a per-type fold — backtesting an entire model
+    family in 1.5 shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("day_idx")
+    anchored = daily.select(
+        "event_type", "y", (F.row_number().over(wo) - 1).cast("long").alias("x")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    expanding = anchored.select(
+        "event_type",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.sum("x").over(wp).cast("long").alias("sx"),
+        F.sum("y").over(wp).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wp).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wp).cast("long").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx")
+    )
+    det = n * sxx - sx * sx
+    fc = F.round(
+        (sy * sxx - sx * sxy + F.col("x") * (n * sxy - sx * sy))
+        / det.cast("double")
+    ).cast("long")
+    forecast = expanding.filter((n >= 5) & (det > 0)).select(
+        "event_type", "y", fc.alias("forecast_cents")
+    )
+    return (
+        forecast.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+            F.round(
+                F.sum(F.abs(F.col("forecast_cents") - F.col("y")))
+                / F.count(F.lit(1)).cast("double")
+                / 100.0,
+                2,
+            ).alias("mae_dollars"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q225 — rolling Bollinger bands with integer-exact breakout flags
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q225_bollinger_breakouts",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events
+        GROUP BY event_type, day_idx
+    ),
+    rolling AS (
+        SELECT event_type, day_idx, y,
+               CAST(COUNT(*) OVER wr AS BIGINT) AS n,
+               CAST(SUM(y) OVER wr AS BIGINT) AS s,
+               CAST(SUM(y * y) OVER wr AS BIGINT) AS ss
+        FROM daily
+        WINDOW wr AS (PARTITION BY event_type ORDER BY day_idx
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day_idx, CAST(y AS BIGINT) AS cents,
+           ROUND(s / CAST(n AS DOUBLE) / 100.0, 2) AS band_mid_dollars,
+           CASE WHEN n * y - s > 0 THEN 'high' ELSE 'low' END AS side
+    FROM rolling
+    WHERE n >= 5
+      AND (n * y - s) * (n * y - s) > 4 * (n * ss - s * s)
+    ORDER BY event_type, day_idx
+    """,
+    survey="X5,2.5-window",
+)
+def q225_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakouts on a trailing window: days whose total
+    leaves the ±2σ band of the PRIOR 7 days (the `1 PRECEDING` frame
+    end keeps the tested day out of its own baseline).  Like q221 the
+    band test clears denominators — (ny − S)² > 4(n·SS − S²) over the
+    ROLLING sufficient statistics — so breakout membership is an exact
+    integer decision per row; the reported band midpoint is one
+    division.  The rolling frame is the only difference from the
+    global-baseline detector: same three prefix-summable statistics,
+    windowed to ROWS 7 PRECEDING — the pattern extends to any
+    trailing-window model with polynomial sufficient statistics.
+    Shape: daily grain, one per-type window, filtered projection."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-7, -1)
+    )
+    rolling = daily.select(
+        "event_type",
+        "day_idx",
+        "y",
+        F.count(F.lit(1)).over(wr).cast("long").alias("n"),
+        F.sum("y").over(wr).cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(wr).cast("long").alias("ss"),
+    )
+    n, s, ss, y = F.col("n"), F.col("s"), F.col("ss"), F.col("y")
+    dev = n * y - s
+    return (
+        rolling.filter((n >= 5) & (dev * dev > 4 * (n * ss - s * s)))
+        .select(
+            "event_type",
+            "day_idx",
+            y.cast("long").alias("cents"),
+            F.round(s / n.cast("double") / 100.0, 2).alias("band_mid_dollars"),
+            F.when(dev > 0, F.lit("high")).otherwise(F.lit("low")).alias("side"),
+        )
+        .orderBy("event_type", "day_idx")
+    )
