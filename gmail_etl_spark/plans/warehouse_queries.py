@@ -537,3 +537,194 @@ def q219_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — spatial radius join via grid bucketing (cell join + exact refine)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q226_spatial_bucket_join",
+    oracle="""
+    WITH pts AS (
+        SELECT event_id AS pid,
+               (event_id * 2654435761) % 10000 AS x,
+               (event_id * 40503 + 12345) % 10000 AS y
+        FROM events
+        WHERE event_id < 3000
+    )
+    SELECT a.pid AS a_id, b.pid AS b_id,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+    FROM pts a JOIN pts b ON a.pid < b.pid
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2500
+    ORDER BY a_id, b_id
+    """,
+    survey="2.5-join,X6",
+)
+def q226_spatial_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed radius join: find all point pairs within distance 50
+    on a synthetic integer grid (coordinates derived from event ids by
+    multiplicative hashing — deterministic and engine-portable).  The
+    Spark plan is the standard scale shape: bucket each point into a
+    50×50 grid cell, EXPLODE each point into its 3×3 neighboring cells,
+    equi-join on the cell key, then refine with the exact integer
+    distance test — cell size ≥ radius guarantees every qualifying pair
+    shares at least one of the 9 cells, and dedup on the pair key
+    removes multi-cell hits.  The oracle is the naive O(n²) join the
+    bucketed algorithm must EQUAL — completeness of the cover is what
+    the hash match certifies.  At 100 TB the cell join shuffles each
+    point 9×, versus the quadratic blowup of the naive form; skewed
+    cells follow the LSH hot-bucket playbook (salt or cap).  Distances
+    stay squared integers — no sqrt, no float, no trig."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    pts = e.select(
+        F.col("event_id").alias("pid"),
+        ((F.col("event_id") * 2654435761) % 10000).alias("x"),
+        ((F.col("event_id") * 40503 + 12345) % 10000).alias("y"),
+    )
+    cell = 50
+    with_cells = pts.select(
+        "pid",
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.floor(F.col("x") / cell) + dx).alias("cx"),
+                        (F.floor(F.col("y") / cell) + dy).alias("cy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("c"),
+    ).select("pid", "x", "y", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    # join points to candidate points whose HOME cell is one of a's 9
+    home = pts.select(
+        F.col("pid").alias("b_pid"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.floor(F.col("x") / cell).alias("cx"),
+        F.floor(F.col("y") / cell).alias("cy"),
+    )
+    dist_sq = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    return (
+        with_cells.join(home, ["cx", "cy"])
+        .filter(F.col("pid") < F.col("b_pid"))
+        .filter(dist_sq <= 2500)
+        .select(
+            F.col("pid").alias("a_id"),
+            F.col("b_pid").alias("b_id"),
+            dist_sq.alias("dist_sq"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q227 — time-to-convert distribution (exact order statistics on µs gaps)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q227_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_buy
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    gaps AS (
+        SELECT p.user_id,
+               epoch_us(p.t_buy) - epoch_us(v.t_view) AS gap_us
+        FROM p JOIN v ON p.user_id = v.user_id
+    ),
+    grain AS (
+        SELECT gap_us, COUNT(*) AS cnt FROM gaps GROUP BY gap_us
+    ),
+    cum AS (
+        SELECT gap_us,
+               SUM(cnt) OVER (ORDER BY gap_us ROWS UNBOUNDED PRECEDING)
+                   AS cum_cnt,
+               SUM(cnt) OVER () AS n
+        FROM grain
+    )
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_converted,
+           CAST(floor(MIN(CASE WHEN cum_cnt * 4 >= n THEN gap_us END)
+                      / 60000000) AS BIGINT) AS p25_minutes,
+           CAST(floor(MIN(CASE WHEN cum_cnt * 2 >= n THEN gap_us END)
+                      / 60000000) AS BIGINT) AS median_minutes,
+           CAST(floor(MIN(CASE WHEN cum_cnt * 4 >= 3 * n THEN gap_us END)
+                      / 60000000) AS BIGINT) AS p75_minutes
+    FROM cum
+    """,
+    survey="X5,2.5-agg",
+)
+def q227_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: µs-exact gaps between each user's
+    first view and first subsequent purchase, summarized as exact
+    quartile order statistics via the q223 run-length recipe — integer
+    rank tests on the cumulative gap table, then a floor to whole
+    minutes, so neither percentile interpolation nor epoch truncation
+    (the q166 trap) can split the engines.  Shape: two user-grain MIN
+    aggregates (the funnel chaining), a gap projection, and the
+    value-grain prefix window — conversion-latency analytics in two
+    corpus shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    gaps = p.join(v, "user_id").select(
+        (F.unix_micros("t_buy") - F.unix_micros("t_view")).alias("gap_us")
+    )
+    grain = gaps.groupBy("gap_us").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = Window.orderBy("gap_us")
+    cum = grain.select(
+        "gap_us",
+        F.sum("cnt").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_cnt"
+        ),
+        F.sum("cnt").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    n, cc = F.col("n"), F.col("cum_cnt")
+    return cum.agg(
+        F.any_value("n").cast("long").alias("n_converted"),
+        F.floor(
+            F.min(F.when(cc * 4 >= n, F.col("gap_us"))) / 60000000
+        )
+        .cast("long")
+        .alias("p25_minutes"),
+        F.floor(
+            F.min(F.when(cc * 2 >= n, F.col("gap_us"))) / 60000000
+        )
+        .cast("long")
+        .alias("median_minutes"),
+        F.floor(
+            F.min(F.when(cc * 4 >= 3 * n, F.col("gap_us"))) / 60000000
+        )
+        .cast("long")
+        .alias("p75_minutes"),
+    )
