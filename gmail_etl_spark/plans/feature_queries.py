@@ -516,3 +516,184 @@ def q218_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — activity bitmasks: per-user day masks, exact longest-streak algebra
+# ---------------------------------------------------------------------------
+
+#: Shared tail (runs verbatim on both engines over an `events_days`
+#: relation): bit_or-packed activity masks, then the classic
+#: longest-run-of-ones reduction m &= m << 1 unrolled 30 times as a
+#: chained-CTE ladder.  Each step is its own CTE level so every iterate
+#: is a NAMED attribute — lateral column aliases would be inlined by
+#: Spark's analyzer and the doubly-self-referencing step expression
+#: would blow up exponentially (measured: analysis hangs at ~30 steps).
+_Q228_LADDER = "\n".join(
+    f"    s{k + 1} AS (SELECT user_id, active_days, m & (m << 1) AS m,"
+    f" streak + (CASE WHEN m & (m << 1) <> 0 THEN 1 ELSE 0 END) AS streak"
+    f" FROM s{k}),"
+    for k in range(30)
+)
+_Q228_TAIL_SQL = f"""
+    WITH masks AS (
+        SELECT user_id,
+               bit_or(CAST(1 AS BIGINT) << CAST(day_offset AS INT)) AS mask
+        FROM events_days
+        WHERE day_offset BETWEEN 0 AND 62
+        GROUP BY user_id
+    ),
+    s0 AS (
+        SELECT user_id, bit_count(mask) AS active_days, mask AS m,
+               (CASE WHEN mask <> 0 THEN 1 ELSE 0 END) AS streak
+        FROM masks
+    ),
+{_Q228_LADDER}
+    final AS (SELECT user_id, active_days, streak FROM s30)
+    SELECT CAST(streak AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(active_days) AS BIGINT) AS min_active_days,
+           CAST(MAX(active_days) AS BIGINT) AS max_active_days
+    FROM final
+    GROUP BY streak
+    ORDER BY longest_streak
+"""
+
+_Q228_ORACLE = (
+    """
+    WITH events_days AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT)
+               - (SELECT MIN(CAST(floor(epoch(ts) / 86400) AS BIGINT))
+                  FROM events) AS day_offset
+        FROM events
+    )"""
+    + _Q228_TAIL_SQL.replace("WITH masks AS", ", masks AS", 1)
+)
+
+
+@query("q228_activity_bitmask_streaks", oracle=_Q228_ORACLE, survey="2.5-agg,X3")
+def q228_activity_bitmask_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap analytics: each user's month of activity packed into ONE
+    64-bit integer (bit_or of 1 << day_offset — the roaring-bitmap idea
+    at word granularity), then the longest active streak computed by
+    pure bit algebra: repeating m &= m << 1 shortens every run of ones
+    by one, so the count of non-zero iterates IS the longest run.  The
+    30-step unroll binds each iterate to a lateral column alias (linear
+    plan size; a naive inlining would be exponential), and the SAME
+    generated SQL tail runs verbatim on both engines — only the
+    day_offset prologue is engine-specific.  Bitmasks turn per-user
+    presence questions (streaks, active-day counts, churn gaps) into
+    integer ops on ONE ROW PER USER: at 100 TB the corpus reduces to a
+    user-grain bitmask table in one shuffle, and every downstream
+    readout is shuffle-free.  One word covers 63 days; longer horizons
+    shard the mask into an array of words per quarter.  All integers,
+    no float surface."""
+    e = load_table(spark, sf_dir, "events")
+    day_idx = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    day0 = e.agg(F.min(day_idx).alias("day0"))
+    e.select(
+        "user_id", day_idx.alias("day_idx")
+    ).crossJoin(F.broadcast(day0)).select(
+        "user_id", (F.col("day_idx") - F.col("day0")).alias("day_offset")
+    ).createOrReplaceTempView("events_days")
+    return spark.sql(_Q228_TAIL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q229 — capped running balance: the legitimate grouped-map Python case
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q229_capped_running_balance",
+    oracle="""
+    WITH RECURSIVE deltas AS (
+        SELECT user_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT) AS rn,
+               CASE WHEN event_type IN ('purchase', 'signup')
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+        FROM events
+    ),
+    walk(user_id, rn, bal, clamps) AS (
+        SELECT user_id, rn,
+               GREATEST(CAST(0 AS BIGINT),
+                        LEAST(CAST(100000 AS BIGINT), delta)) AS bal,
+               CASE WHEN delta < 0 OR delta > 100000 THEN 1 ELSE 0 END AS clamps
+        FROM deltas WHERE rn = 1
+        UNION ALL
+        SELECT d.user_id, d.rn,
+               GREATEST(CAST(0 AS BIGINT),
+                        LEAST(CAST(100000 AS BIGINT), w.bal + d.delta)),
+               w.clamps + CASE WHEN w.bal + d.delta < 0
+                               OR w.bal + d.delta > 100000
+                               THEN 1 ELSE 0 END
+        FROM walk w JOIN deltas d
+          ON d.user_id = w.user_id AND d.rn = w.rn + 1
+    ),
+    last AS (
+        SELECT user_id, bal, clamps,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS r
+        FROM walk
+    )
+    SELECT user_id, CAST(bal AS BIGINT) AS final_balance_cents,
+           CAST(clamps AS BIGINT) AS n_clamped
+    FROM last WHERE r = 1
+    ORDER BY user_id
+    """,
+    survey="U1,2.5-window",
+)
+def q229_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A clamped running balance (credits for purchase/signup, debits
+    otherwise, held in [0, 1000.00]) — deliberately chosen because the
+    clamp makes the recurrence NON-LINEAR: unlike the EWMA (q208) or
+    the expanding OLS (q224), no weighted-prefix-sum rewrite exists, so
+    this is the case where dropping to an Arrow-batched grouped-map
+    kernel (`applyInPandas`) is the CORRECT engineering call, not a
+    shortcut.  The kernel is a per-user sequential integer fold over
+    (ts, event_id) order — state is one user's events, horizontally
+    partitioned by the groupBy, never the corpus.  The oracle walks the
+    same recurrence as a DuckDB recursive CTE, so the hash match proves
+    the Python kernel's semantics step-for-step.  Everything stays
+    integer cents; output is one row per user."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    deltas = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"),
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(-F.round(F.col("value") * 100).cast("long"))
+        .alias("delta"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, clamps = 0, 0
+        for d in pdf["delta"].astype("int64"):
+            raw = bal + int(d)
+            if raw < 0 or raw > 100_000:
+                clamps += 1
+            bal = max(0, min(100_000, raw))
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "final_balance_cents": [bal],
+                "n_clamped": [clamps],
+            }
+        )
+
+    return (
+        deltas.groupBy("user_id")
+        .applyInPandas(
+            fold,
+            "user_id bigint, final_balance_cents bigint, n_clamped bigint",
+        )
+        .orderBy("user_id")
+    )
