@@ -697,3 +697,150 @@ def q229_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 — decision-stump training with exact integer misclassification
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q230_best_stump_threshold",
+    oracle="""
+    WITH labeled AS (
+        SELECT n_chars,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    grain AS (
+        SELECT n_chars, SUM(pos) AS p, SUM(1 - pos) AS q
+        FROM labeled GROUP BY n_chars
+    ),
+    cum AS (
+        SELECT n_chars,
+               SUM(p) OVER w AS cp, SUM(q) OVER w AS cq,
+               SUM(p) OVER () AS tp, SUM(q) OVER () AS tq
+        FROM grain
+        WINDOW w AS (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+    ),
+    scored AS (
+        SELECT n_chars AS threshold,
+               CAST(LEAST(cp + (tq - cq), cq + (tp - cp)) AS BIGINT) AS errors,
+               CAST(tp + tq AS BIGINT) AS n
+        FROM cum
+    ),
+    best AS (
+        SELECT threshold, errors, n,
+               ROW_NUMBER() OVER (ORDER BY errors, threshold) AS r
+        FROM scored
+    )
+    SELECT threshold, errors, n,
+           ROUND(errors / CAST(n AS DOUBLE), 6) AS error_rate
+    FROM best WHERE r = 1
+    """,
+    survey="X3,2.5-window",
+)
+def q230_best_stump_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training as a window query: the split
+    `n_chars <= t` minimizing misclassification for predicting English
+    documents, over EVERY candidate threshold at once.  Run-length
+    prefix sums give each threshold's left/right class counts, and the
+    stump may orient either way, so its error is
+    min(cp + (tq − cq), cq + (tp − cp)) — all exact integers, argmin
+    under an (errors, threshold) total order, no impurity ratio to go
+    non-deterministic on.  Misclassification (not Gini) is chosen
+    precisely because it keeps model SELECTION inside integer
+    arithmetic; the error rate is display-only.  Shape: one value-grain
+    shuffle, one prefix window over distinct n_chars (domain-bounded),
+    a 1-row argmin — the 'train a model per feature per split' pattern
+    that scales to wide feature matrices by adding a feature key to the
+    partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    grain = labeled.groupBy("n_chars").agg(
+        F.sum("pos").alias("p"), F.sum(1 - F.col("pos")).alias("q")
+    )
+    wo = Window.orderBy("n_chars")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grain.select(
+        "n_chars",
+        F.sum("p").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cp"),
+        F.sum("q").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cq"),
+        F.sum("p").over(wall).alias("tp"),
+        F.sum("q").over(wall).alias("tq"),
+    )
+    scored = cum.select(
+        F.col("n_chars").alias("threshold"),
+        F.least(
+            F.col("cp") + (F.col("tq") - F.col("cq")),
+            F.col("cq") + (F.col("tp") - F.col("cp")),
+        )
+        .cast("long")
+        .alias("errors"),
+        (F.col("tp") + F.col("tq")).cast("long").alias("n"),
+    )
+    wr = Window.orderBy("errors", "threshold")
+    return (
+        scored.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            "threshold",
+            "errors",
+            "n",
+            F.round(F.col("errors") / F.col("n").cast("double"), 6).alias(
+                "error_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q231 — deterministic LISTAGG (sorted group concatenation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q231_sorted_group_concat",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(token, ',' ORDER BY token) AS token_csv
+    FROM tok
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    survey="2.5-agg,F4",
+)
+def q231_sorted_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG with a DETERMINISTIC order: the per-language distinct
+    token vocabulary concatenated in sorted order.  Spark's
+    collect_list is partition-order-dependent, so the stable form is
+    array_sort BEFORE array_join — mirroring SQL's
+    `string_agg(... ORDER BY ...)`; without the sort this query would
+    be flaky on any multi-partition run, which is exactly why the
+    catalog pins the sorted idiom.  The aggregate state is the distinct
+    per-group vocabulary (bounded by the token domain, not the corpus).
+    One distinct shuffle + one group fold."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.array_join(F.array_sort(F.collect_list("token")), ",").alias(
+                "token_csv"
+            ),
+        )
+        .orderBy("lang")
+    )
