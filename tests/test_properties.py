@@ -176,3 +176,134 @@ def test_audio_fingerprint_gain_invariant(samples):
     louder = audio_fingerprint(encode_wav(8000, [s * 2 for s in samples]))
     assert base == louder
     assert base is not None and 0 <= base < 2**32
+
+
+# ---------------------------------------------------------------------------
+# session-batch algorithm references: the oracles prove ENGINE parity
+# (or share text), these prove the ALGORITHMS against naive Python
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """q220's range-frame skyline must equal the O(n²) dominance scan."""
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+
+    _ensure_loaded()
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r["custkey"], r["cents"], r["n_orders"])
+        for r in CATALOG["q220_pareto_frontier"].builder(spark, SF_DIR).collect()
+    }
+    import duckdb
+
+    pts = duckdb.sql(
+        f"""SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+            AS BIGINT), COUNT(*) FROM '{SF_DIR}/orders.parquet' GROUP BY 1"""
+    ).fetchall()
+    expected = set()
+    for k, c, n in pts:
+        dominated = any(
+            (c2 >= c and n2 >= n and (c2 > c or n2 > n))
+            for _, c2, n2 in pts
+        )
+        if not dominated:
+            expected.add((k, c, n))
+    assert got == expected
+
+
+def test_bitmask_streak_matches_python_loop(spark):
+    """q228's m&=m<<1 streak algebra must equal a literal run scan."""
+    from collections import Counter
+
+    import duckdb
+
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    got = {
+        r["longest_streak"]: r["n_users"]
+        for r in CATALOG["q228_activity_bitmask_streaks"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    rows = duckdb.sql(
+        f"""SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT)
+            - (SELECT MIN(CAST(floor(epoch(ts)/86400) AS BIGINT))
+               FROM '{SF_DIR}/events.parquet') AS o
+            FROM '{SF_DIR}/events.parquet'"""
+    ).fetchall()
+    days: dict[int, set[int]] = {}
+    for u, o in rows:
+        if 0 <= o <= 62:
+            days.setdefault(u, set()).add(o)
+    hist: Counter[int] = Counter()
+    for dset in days.values():
+        best = run = 0
+        for d in range(0, 63):
+            run = run + 1 if d in dset else 0
+            best = max(best, run)
+        hist[best] += 1
+    assert got == dict(hist)
+
+
+def test_ewma_matches_sequential_reference(spark):
+    """q208's integer-prefix-sum EWMA must match the per-step float
+    recurrence level = (y + prev) / 2 to within rounding."""
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    rows = (
+        CATALOG["q208_ewma_smoothing"].builder(spark, SF_DIR).collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, series in by_type.items():
+        series.sort(key=lambda r: r["day_idx"])
+        level = None
+        for r in series:
+            level = (
+                float(r["cents"])
+                if level is None
+                else (r["cents"] + level) / 2.0
+            )
+            assert abs(r["level_cents"] - level) < 1e-3, (et, r)
+
+
+def test_mann_whitney_matches_naive_ranks(spark):
+    """q213's doubled-tie-rank U must equal average-rank U computed the
+    textbook way in Python."""
+    import duckdb
+
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    got = {
+        r["event_type"]: (r["n1"], r["u1"])
+        for r in CATALOG["q213_mann_whitney_u"].builder(spark, SF_DIR).collect()
+    }
+    vals = duckdb.sql(
+        f"""SELECT event_type, CAST(round(value*100) AS BIGINT)
+            FROM '{SF_DIR}/events.parquet'"""
+    ).fetchall()
+    pooled = sorted(v for _, v in vals)
+    # average rank per value (1-based)
+    from collections import defaultdict
+
+    first: dict[int, int] = {}
+    count: dict[int, int] = defaultdict(int)
+    for i, v in enumerate(pooled, 1):
+        first.setdefault(v, i)
+        count[v] += 1
+    avg_rank = {v: first[v] + (count[v] - 1) / 2.0 for v in first}
+    for et in {t for t, _ in vals}:
+        mine = [v for t, v in vals if t == et]
+        r1 = sum(avg_rank[v] for v in mine)
+        u1 = r1 - len(mine) * (len(mine) + 1) / 2.0
+        n1_got, u1_got = got[et]
+        assert n1_got == len(mine)
+        assert abs(u1_got - u1) < 0.51, (et, u1_got, u1)
