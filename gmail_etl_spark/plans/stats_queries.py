@@ -1555,3 +1555,136 @@ def q225_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q232 — weighted order statistics (weighted median / p90 by quantity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q232_weighted_median",
+    oracle="""
+    WITH grain AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem
+        GROUP BY l_returnflag, cents
+    ),
+    cum AS (
+        SELECT l_returnflag, cents,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM grain
+    )
+    SELECT l_returnflag,
+           CAST(ANY_VALUE(tw) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN cw * 2 >= tw THEN cents END) AS wmedian_cents,
+           MIN(CASE WHEN cw * 10 >= 9 * tw THEN cents END) AS wp90_cents
+    FROM cum
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    survey="2.5-agg,2.5-window",
+)
+def q232_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED order statistics: the quantity-weighted median and p90
+    of line prices per return flag — 'the price at which half the UNITS
+    (not half the line items) ship below'.  Same run-length recipe as
+    q223 with the count replaced by an integer weight sum, and the same
+    exactness argument: cumulative weights are exact integers, the rank
+    test cw·k ≥ q·k·tw never divides, and no interpolation convention
+    exists to disagree on.  Weighted quantiles are the curation
+    workhorse (token-weighted doc-length cuts, size-weighted shard
+    caps); this is the engine-exact form.  Shape: one (flag, value)
+    partial-agg shuffle, per-flag prefix window over the value grain,
+    4-row fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grain = li.groupBy(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    wo = Window.partitionBy("l_returnflag").orderBy("cents")
+    wa = Window.partitionBy("l_returnflag")
+    cum = grain.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(wa).alias("tw"),
+    )
+    cw, tw = F.col("cw"), F.col("tw")
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.any_value("tw").cast("long").alias("total_weight"),
+            F.min(F.when(cw * 2 >= tw, F.col("cents"))).alias("wmedian_cents"),
+            F.min(F.when(cw * 10 >= 9 * tw, F.col("cents"))).alias("wp90_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q233 — dedup savings report (the operational readout of D1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q233_dedup_savings",
+    oracle="""
+    WITH per_text AS (
+        SELECT source, text, COUNT(*) AS copies,
+               ANY_VALUE(n_chars) AS chars
+        FROM documents
+        GROUP BY source, text
+    )
+    SELECT source,
+           CAST(SUM(copies) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS distinct_docs,
+           CAST(SUM(copies) - COUNT(*) AS BIGINT) AS removable_docs,
+           CAST(SUM((copies - 1) * chars) AS BIGINT) AS bytes_saved,
+           ROUND(SUM((copies - 1) * chars)
+                 / CAST(SUM(copies * chars) AS DOUBLE), 6) AS savings_ratio
+    FROM per_text
+    GROUP BY source
+    ORDER BY source
+    """,
+    survey="D1,2.5-agg",
+)
+def q233_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capacity-planning readout of exact dedup (D1): per source,
+    how many documents and bytes would within-source exact dedup
+    reclaim.  Grouping by content directly (the oracle) equals grouping
+    by its hash (the Spark side, which never shuffles the text — the
+    sha2 projection is the q40 posture); copies−1 of each text's bytes
+    are reclaimable.  All counts and byte totals are exact integers;
+    the savings ratio is one division.  This is the report a 100 TB
+    curation run uses to decide whether dedup pays for its shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    per_text = d.groupBy(
+        "source", F.sha2(F.col("text"), 256).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.any_value("n_chars").alias("chars"),
+    )
+    return (
+        per_text.groupBy("source")
+        .agg(
+            F.sum("copies").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("distinct_docs"),
+            (F.sum("copies") - F.count(F.lit(1))).cast("long").alias(
+                "removable_docs"
+            ),
+            F.sum((F.col("copies") - 1) * F.col("chars"))
+            .cast("long")
+            .alias("bytes_saved"),
+            F.round(
+                F.sum((F.col("copies") - 1) * F.col("chars"))
+                / F.sum(F.col("copies") * F.col("chars")).cast("double"),
+                6,
+            ).alias("savings_ratio"),
+        )
+        .orderBy("source")
+    )
