@@ -238,7 +238,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q227_time_to_convert", "q228_activity_bitmask_streaks",
     "q229_capped_running_balance", "q230_best_stump_threshold",
     "q231_sorted_group_concat", "q232_weighted_median",
-    "q233_dedup_savings",
+    "q233_dedup_savings", "q234_activity_heatmap",
+    "q235_negative_edge_samples", "q236_calibration_bins",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",

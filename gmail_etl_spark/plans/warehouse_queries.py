@@ -728,3 +728,181 @@ def q227_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p75_minutes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 — hour-of-day × day-of-week activity heatmap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q234_activity_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY dow, hod
+    ORDER BY dow, hod
+    """,
+    survey="2.5-agg,F8",
+)
+def q234_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical ops heatmap: event and unique-user counts per
+    (day-of-week, hour-of-day) cell.  The only subtlety is calendar
+    parity: Spark's dayofweek and DuckDB's dayofweek use different
+    numbering (Sunday=1 vs Sunday=0), so the Spark side subtracts one
+    — both engines then emit Sunday=0..Saturday=6 under the session's
+    pinned UTC.  168-cell output, one partial-agg shuffle with map-side
+    combine plus a distinct-count; exact integers throughout."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q235 — deterministic negative sampling for link prediction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q235_negative_edge_samples",
+    oracle="""
+    WITH pos AS (
+        SELECT DISTINCT LEAST(a.user_id, b.user_id) AS u,
+               GREATEST(a.user_id, b.user_id) AS v
+        FROM events a JOIN events b
+          ON a.event_id = b.event_id - 1 AND a.user_id <> b.user_id
+    ),
+    cand AS (
+        SELECT (s * 48271) % 150 AS u, ((s * 16807) + 7) % 150 AS v
+        FROM (SELECT unnest(range(1, 2001)) AS s)
+    ),
+    neg AS (
+        SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+        FROM cand WHERE u <> v
+    )
+    SELECT n.u, n.v
+    FROM neg n
+    LEFT JOIN pos p ON n.u = p.u AND n.v = p.v
+    WHERE p.u IS NULL
+    ORDER BY n.u, n.v
+    """,
+    survey="J1,X1",
+)
+def q235_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for link-prediction training data: candidate
+    user pairs drawn by a DETERMINISTIC congruential stream (reproducible
+    across engines and runs — no RNG), minus the positive edges (users
+    adjacent in the event-id sequence), via the ledger anti-join (J1)
+    on the canonicalized pair key.  The reference's 'skip what the
+    ledger already has' pattern IS negative sampling's rejection step;
+    at 100 TB the positive set is the broadcast/bloom side and
+    candidates stream map-side.  All arithmetic is integer; pair
+    canonicalization (LEAST/GREATEST) makes the anti-join key unique."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.select(F.col("event_id").alias("eid"), F.col("user_id").alias("ua"))
+    b = e.select((F.col("event_id") - 1).alias("eid"), F.col("user_id").alias("ub"))
+    pos = (
+        a.join(b, "eid")
+        .filter(F.col("ua") != F.col("ub"))
+        .select(
+            F.least("ua", "ub").alias("u"), F.greatest("ua", "ub").alias("v")
+        )
+        .distinct()
+    )
+    cand = spark.range(1, 2001).select(
+        ((F.col("id") * 48271) % 150).alias("u"),
+        (((F.col("id") * 16807) + 7) % 150).alias("v"),
+    )
+    neg = (
+        cand.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    return (
+        neg.join(pos, ["u", "v"], "left_anti")
+        .orderBy("u", "v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q236 — classifier calibration bins (reliability diagram)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q236_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               CAST(round(
+                   1000000.0 / (1.0 + exp(-(-1.0
+                       + 0.8 * ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+                       - 2.5 * (len(list_filter(string_split(text, ' '),
+                                     t -> t = 'a' OR t = 'the'))
+                                / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                       + 1.5 * (len(list_distinct(string_split(text, ' ')))
+                                / CAST(len(string_split(text, ' ')) AS DOUBLE)))))
+                   ) AS BIGINT) AS score_u
+        FROM documents
+    )
+    SELECT CAST(least(floor(score_u / 100000.0), 9) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(pos) AS BIGINT) AS n_positive,
+           ROUND(SUM(pos) / CAST(COUNT(*) AS DOUBLE), 6) AS observed_rate,
+           ROUND((least(floor(score_u / 100000.0), 9) + 0.5) / 10.0, 2)
+               AS bin_midpoint
+    FROM scored
+    GROUP BY bin, bin_midpoint
+    ORDER BY bin
+    """,
+    survey="X3,2.5-agg",
+)
+def q236_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the q125 quality score against the
+    English label: ten equal-width probability bins with observed
+    positive rates — the calibration readout that complements q218's
+    AUC (AUC measures ranking, this measures whether 0.8 MEANS 80%).
+    Scores snap to the same 1e-6 integer grid as q218 before binning,
+    so bin membership is an integer decision; rates are exact-count
+    divisions.  One narrow scan + a 10-group fold."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ntd = F.size(toks).cast("double")
+    stop_ratio = F.size(F.filter(toks, lambda t: (t == "a") | (t == "the"))) / ntd
+    uniq_ratio = F.size(F.array_distinct(toks)) / ntd
+    z = F.lit(-1.0) + 0.8 * F.log(ntd) - 2.5 * stop_ratio + 1.5 * uniq_ratio
+    score_u = F.round(F.lit(1000000.0) / (1.0 + F.exp(-z))).cast("long")
+    bin_ = F.least(F.floor(F.col("score_u") / 100000.0), F.lit(9)).cast("long")
+    return (
+        d.select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+            score_u.alias("score_u"),
+        )
+        .groupBy(
+            bin_.alias("bin"),
+            F.round((bin_ + 0.5) / 10.0, 2).alias("bin_midpoint"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pos").cast("long").alias("n_positive"),
+            F.round(
+                F.sum("pos") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("observed_rate"),
+        )
+        .select(
+            "bin", "n_docs", "n_positive", "observed_rate", "bin_midpoint"
+        )
+        .orderBy("bin")
+    )
