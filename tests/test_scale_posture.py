@@ -317,6 +317,7 @@ _BNLJ_JUSTIFIED = {
     "q211_chi2_feature_selection",  # 1-row corpus-doc-count broadcast
     "q213_mann_whitney_u",  # 1-row pooled-total/tie-term broadcast
     "q214_churn_hazard",  # 1-row censoring-horizon broadcast
+    "q228_activity_bitmask_streaks",  # 1-row day-zero anchor broadcast
 }
 
 
