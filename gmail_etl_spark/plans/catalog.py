@@ -240,6 +240,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q231_sorted_group_concat", "q232_weighted_median",
     "q233_dedup_savings", "q234_activity_heatmap",
     "q235_negative_edge_samples", "q236_calibration_bins",
+    "q237_point_in_time_lookup", "q238_activity_islands",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",

@@ -906,3 +906,137 @@ def q236_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q237 — point-in-time lookup over the SCD2 history (time travel)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q237_point_in_time_lookup",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+        WHERE user_id < 20
+    ),
+    changes AS (
+        SELECT user_id, ts, event_type FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    versioned AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        FROM changes
+    )
+    SELECT user_id, state, valid_from
+    FROM versioned
+    WHERE valid_from <= TIMESTAMP '2024-01-15'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15')
+    ORDER BY user_id
+    """,
+    survey="2.5-window,X5",
+)
+def q237_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the q199 dimension: each user's state AS OF a
+    timestamp, read off the SCD2 validity intervals with the half-open
+    [valid_from, valid_to) containment test — the lookup that makes the
+    type-2 build worth its window shuffle (training-data snapshots 'as
+    the world was' at cut time).  At scale this is a filter, not a
+    join: the interval table is already user-grain, and a partitioned
+    layout on valid_from would prune to one time slice.  Exactly one
+    row per user active at the cut (intervals partition each user's
+    timeline); timestamps pass through raw."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "ts", "event_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    versioned = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    cut = F.lit("2024-01-15").cast("timestamp")
+    return (
+        versioned.filter(
+            (F.col("valid_from") <= cut)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > cut))
+        )
+        .select("user_id", "state", "valid_from")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q238 — gaps and islands: contiguous activity runs as interval rows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q238_activity_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx
+        FROM events
+        WHERE user_id < 25
+    ),
+    grouped AS (
+        SELECT user_id, day_idx,
+               day_idx - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                                 ORDER BY day_idx) AS BIGINT)
+                   AS island_key
+        FROM days
+    )
+    SELECT user_id,
+           MIN(day_idx) AS island_start,
+           MAX(day_idx) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS island_days
+    FROM grouped
+    GROUP BY user_id, island_key
+    ORDER BY user_id, island_start
+    """,
+    survey="2.5-window",
+)
+def q238_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's contiguous runs of active days as
+    (start, end, length) interval rows, via the classic
+    `day − row_number()` trick — consecutive days share a constant
+    difference, so the difference IS the island key and one groupBy
+    materializes every island with no self-join, no recursion, no
+    per-row state.  The interval-row complement to q228's bitmask
+    scalar (islands enumerate the runs; the bitmask reduces them):
+    bounded-domain problems get bit algebra, unbounded timelines get
+    this.  Shape: distinct to day grain, one per-user window, one fold;
+    the user slice bounds oracle output only."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    days = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    grouped = days.withColumn(
+        "island_key",
+        F.col("day_idx") - F.row_number().over(w).cast("long"),
+    )
+    return (
+        grouped.groupBy("user_id", "island_key")
+        .agg(
+            F.min("day_idx").alias("island_start"),
+            F.max("day_idx").alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("island_days"),
+        )
+        .drop("island_key")
+        .orderBy("user_id", "island_start")
+    )
