@@ -641,3 +641,88 @@ def maintain_latest_snapshot(
 def read_latest_snapshot(spark: SparkSession, rollup_dir: str) -> DataFrame:
     """The current per-user snapshot (user_id, ts, event_id, value_cents)."""
     return read_daily_rollup(spark, rollup_dir).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# X5/sketches — streaming Misra-Gries heavy-hitter summary maintenance
+# ---------------------------------------------------------------------------
+
+
+def maintain_heavy_hitter_summary(
+    spark: SparkSession,
+    events_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    k: int = 50,
+) -> None:
+    """Streaming Misra–Gries: maintain a capacity-``k`` heavy-hitter
+    summary of ``user_id`` across micro-batches.  MG summaries are
+    MERGEABLE (Agarwal et al., PODS 2012): add counters item-wise, then
+    compact by subtracting the (k+1)-th largest counter and dropping
+    non-positives — the union of any batch partition keeps the classic
+    guarantee, so after the whole stream every user with global count
+    > N/(k+1) is present, and each stored counter undercounts its true
+    count by at most N/(k+1).
+
+    The merge runs entirely in DataFrame ops on the BOUNDED state: the
+    batch's exact per-user counts union the persisted ≤k rows, fold by
+    user, and the compaction cut is a window rank over ≤k+batch-users
+    rows.  Unlike the max-merge snapshot, this state is NOT
+    replay-idempotent (counters add), so the versioned-dir batch_id
+    guard is load-bearing, exactly as for the additive rollup.  State
+    leaving any executor is ≤k rows regardless of stream volume — the
+    100 TB heavy-hitter monitor with constant memory."""
+    events = read_events_stream(spark, events_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        cur_dir, last_merged = _resolve_rollup_version(spark_l, rollup_dir)
+        if batch_id <= last_merged:
+            return
+        inc = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        if cur_dir:
+            prev = spark_l.read.parquet(cur_dir)
+            summed = (
+                prev.unionByName(inc)
+                .groupBy("user_id")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        else:
+            summed = inc
+        from pyspark.sql import Window as W
+
+        ranked = summed.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.col("cnt").desc(), "user_id"))
+        )
+        # mergeable-summaries compaction: subtract the (k+1)-th largest
+        # counter (0 when the summary fits), keep positives
+        cut = ranked.filter(F.col("rk") == k + 1).select(
+            F.col("cnt").alias("cut")
+        )
+        merged = (
+            ranked.crossJoin(F.broadcast(cut.unionByName(
+                ranked.sparkSession.createDataFrame([(0,)], "cut bigint")
+            ).agg(F.max("cut").alias("cut"))))
+            .select(
+                "user_id", (F.col("cnt") - F.col("cut")).alias("cnt")
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        _publish_rollup_version(spark_l, rollup_dir, merged, batch_id)
+
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_heavy_hitter_summary(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Current MG summary: (user_id, cnt lower-bound counter)."""
+    return read_daily_rollup(spark, rollup_dir).orderBy(
+        F.col("cnt").desc(), "user_id"
+    )

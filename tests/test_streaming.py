@@ -550,3 +550,66 @@ def test_latest_snapshot_upsert_matches_batch(spark, tmp_path):
     assert snapshot() == exp
     maintain_latest_snapshot(spark, str(src), rollup, str(tmp_path / "ck2"))
     assert snapshot() == exp
+
+
+def test_heavy_hitter_summary_guarantee_across_batches(spark, tmp_path):
+    """Streaming Misra-Gries state after 4 micro-batches must keep the
+    classic guarantees vs the exact counts: every user with global
+    count > N/(k+1) present, counters never overcount, undercount
+    bounded by N/(k+1); and the batch_id guard must reject replays
+    (counter state is additive, not idempotent)."""
+    import pandas as pd
+
+    from gmail_etl_spark.streaming.jobs import (
+        maintain_heavy_hitter_summary,
+        read_heavy_hitter_summary,
+    )
+    from tests.conftest import SF_DIR
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = pd.read_parquet(f"{SF_DIR}/events.parquet").head(400)
+    # plant one unmistakable heavy hitter spread over all batches
+    heavy = pd.concat([base.head(25)] * 4).reset_index(drop=True)
+    heavy["user_id"] = 9999
+    heavy["event_id"] = 1_000_000 + heavy.index
+    full = pd.concat([base, heavy]).reset_index(drop=True)
+    for i in range(4):
+        full.iloc[i * 125 : (i + 1) * 125].to_parquet(src / f"{i}.parquet")
+
+    k = 50
+    rollup = str(tmp_path / "mg")
+    maintain_heavy_hitter_summary(
+        spark, str(src), rollup, str(tmp_path / "ckpt"), k=k
+    )
+
+    true_counts = full.groupby("user_id")["event_id"].count().to_dict()
+    n_total = len(full)
+    bound = n_total / (k + 1)
+
+    def state():
+        return {
+            r["user_id"]: r["cnt"]
+            for r in read_heavy_hitter_summary(spark, rollup).collect()
+        }
+
+    got = state()
+    assert len(got) <= k
+    for uid, true in true_counts.items():
+        if true > bound:
+            assert uid in got, (uid, true, bound)
+    for uid, stored in got.items():
+        true = true_counts[uid]
+        assert stored <= true, (uid, stored, true)
+        assert true - stored <= bound, (uid, stored, true, bound)
+    assert 9999 in got
+    # replay safety: same checkpoint (no-op) and a fresh checkpoint
+    # (batch ids restart) must both leave the summary unchanged
+    maintain_heavy_hitter_summary(
+        spark, str(src), rollup, str(tmp_path / "ckpt"), k=k
+    )
+    assert state() == got
+    maintain_heavy_hitter_summary(
+        spark, str(src), rollup, str(tmp_path / "ck2"), k=k
+    )
+    assert state() == got
