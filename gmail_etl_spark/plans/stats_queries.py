@@ -1688,3 +1688,207 @@ def q233_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — CUPED variance reduction (exact sufficient statistics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q239_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS pre,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS post
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pre) AS BIGINT) AS sx,
+               CAST(SUM(post) AS BIGINT) AS sy,
+               CAST(SUM(pre * post) AS BIGINT) AS sxy,
+               CAST(SUM(pre * pre) AS BIGINT) AS sxx
+        FROM per_user
+    ),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+               CAST(SUM(post) AS BIGINT) AS sy_arm,
+               CAST(SUM(pre) AS BIGINT) AS sx_arm
+        FROM per_user GROUP BY arm
+    )
+    SELECT a.arm, a.n_arm,
+           ROUND(a.sy_arm / CAST(a.n_arm AS DOUBLE) / 100.0, 4)
+               AS mean_post_dollars,
+           ROUND((a.sy_arm
+                  - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                     / (g.n * g.sxx - g.sx * g.sx))
+                    * (a.sx_arm - a.n_arm * (g.sx / CAST(g.n AS DOUBLE))))
+                 / CAST(a.n_arm AS DOUBLE) / 100.0, 4)
+               AS mean_cuped_dollars
+    FROM arms a CROSS JOIN g
+    ORDER BY a.arm
+    """,
+    survey="X5,2.5-agg",
+)
+def q239_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment-using-pre-experiment-data): adjust
+    each arm's post-period mean by θ·(pre − μ_pre) with
+    θ = cov(pre, post)/var(pre), the industry-standard variance
+    reduction for A/B readouts — here over deterministic arms
+    (user_id % 2, a seedless A/A split, so the adjusted means should
+    nearly coincide).  Every sufficient statistic (n, Σx, Σy, Σxy, Σx²,
+    and the per-arm sums) is an exact integer; θ and the adjustment are
+    a handful of scalar float ops on those exact inputs, so 4dp
+    rounding is engine-stable — the same discipline as the OLS drift
+    model, because CUPED IS a regression adjustment.  Shape: one
+    per-user shuffle, two tiny folds, a broadcast scalar join."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0))
+        .cast("long")
+        .alias("pre"),
+        F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0))
+        .cast("long")
+        .alias("post"),
+    ).withColumn("arm", (F.col("user_id") % 2).cast("long"))
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre").cast("long").alias("sx"),
+        F.sum("post").cast("long").alias("sy"),
+        F.sum(F.col("pre") * F.col("post")).cast("long").alias("sxy"),
+        F.sum(F.col("pre") * F.col("pre")).cast("long").alias("sxx"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_arm"),
+        F.sum("post").cast("long").alias("sy_arm"),
+        F.sum("pre").cast("long").alias("sx_arm"),
+    )
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    mu_pre = F.col("sx") / F.col("n").cast("double")
+    return (
+        arms.crossJoin(F.broadcast(g))
+        .select(
+            "arm",
+            "n_arm",
+            F.round(
+                F.col("sy_arm") / F.col("n_arm").cast("double") / 100.0, 4
+            ).alias("mean_post_dollars"),
+            F.round(
+                (
+                    F.col("sy_arm")
+                    - theta * (F.col("sx_arm") - F.col("n_arm") * mu_pre)
+                )
+                / F.col("n_arm").cast("double")
+                / 100.0,
+                4,
+            ).alias("mean_cuped_dollars"),
+        )
+        .orderBy("arm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q240 — quantile treatment effect (exact per-arm order statistics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q240_quantile_treatment_effect",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY user_id
+    ),
+    grain AS (
+        SELECT arm, cents, COUNT(*) AS cnt FROM per_user GROUP BY arm, cents
+    ),
+    cum AS (
+        SELECT arm, cents,
+               SUM(cnt) OVER (PARTITION BY arm ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cc,
+               SUM(cnt) OVER (PARTITION BY arm) AS n
+        FROM grain
+    ),
+    qs AS (
+        SELECT arm,
+               MIN(CASE WHEN cc * 4 >= n THEN cents END) AS p25,
+               MIN(CASE WHEN cc * 2 >= n THEN cents END) AS p50,
+               MIN(CASE WHEN cc * 4 >= 3 * n THEN cents END) AS p75
+        FROM cum GROUP BY arm
+    )
+    SELECT q AS quantile,
+           MAX(CASE WHEN arm = 1 THEN v END)
+           - MAX(CASE WHEN arm = 0 THEN v END) AS effect_cents
+    FROM (
+        SELECT arm, 'p25' AS q, p25 AS v FROM qs
+        UNION ALL SELECT arm, 'p50', p50 FROM qs
+        UNION ALL SELECT arm, 'p75', p75 FROM qs
+    )
+    GROUP BY q
+    ORDER BY quantile
+    """,
+    survey="X5,2.5-agg",
+)
+def q240_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the arm-1-minus-arm-0 difference at
+    p25/p50/p75 of per-user spend — what an experiment readout uses
+    when the mean hides distributional shifts (heavy spenders moving
+    differently from the median user).  Per-arm quantiles are EXACT
+    lower order statistics from the run-length recipe, so the effect at
+    each quantile is a difference of two exact integers — a fully
+    deterministic distributional readout, no bootstrap, no
+    interpolation.  Shape: per-user fold, per-arm value-grain prefix
+    window, 3-row pivot."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).withColumn("arm", (F.col("user_id") % 2).cast("long"))
+    grain = per_user.groupBy("arm", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wo = Window.partitionBy("arm").orderBy("cents")
+    wa = Window.partitionBy("arm")
+    cum = grain.select(
+        "arm",
+        "cents",
+        F.sum("cnt").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cc"
+        ),
+        F.sum("cnt").over(wa).alias("n"),
+    )
+    cc, n = F.col("cc"), F.col("n")
+    qs = cum.groupBy("arm").agg(
+        F.min(F.when(cc * 4 >= n, F.col("cents"))).alias("p25"),
+        F.min(F.when(cc * 2 >= n, F.col("cents"))).alias("p50"),
+        F.min(F.when(cc * 4 >= 3 * n, F.col("cents"))).alias("p75"),
+    )
+    long = qs.select(
+        "arm",
+        F.expr(
+            "stack(3, 'p25', p25, 'p50', p50, 'p75', p75) AS (quantile, v)"
+        ),
+    ).select("arm", "quantile", "v")
+    return (
+        long.groupBy("quantile")
+        .agg(
+            (
+                F.max(F.when(F.col("arm") == 1, F.col("v")))
+                - F.max(F.when(F.col("arm") == 0, F.col("v")))
+            ).alias("effect_cents")
+        )
+        .orderBy("quantile")
+    )
