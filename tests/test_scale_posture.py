@@ -318,6 +318,7 @@ _BNLJ_JUSTIFIED = {
     "q213_mann_whitney_u",  # 1-row pooled-total/tie-term broadcast
     "q214_churn_hazard",  # 1-row censoring-horizon broadcast
     "q228_activity_bitmask_streaks",  # 1-row day-zero anchor broadcast
+    "q239_cuped_adjustment",  # 1-row global sufficient-statistics broadcast
 }
 
 
