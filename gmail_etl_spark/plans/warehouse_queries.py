@@ -1040,3 +1040,154 @@ def q238_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("island_key")
         .orderBy("user_id", "island_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q241 — data-contract validation with quarantine reasons
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q241_validation_quarantine",
+    oracle="""
+    WITH checked AS (
+        SELECT event_id,
+               concat_ws(',',
+                   CASE WHEN value < 0 OR value > 1000 THEN 'value_range' END,
+                   CASE WHEN event_type NOT IN
+                        ('view','click','purchase','signup','error')
+                        THEN 'unknown_type' END,
+                   CASE WHEN ts < TIMESTAMP '2024-01-01'
+                        OR ts >= TIMESTAMP '2024-02-01'
+                        THEN 'ts_out_of_window' END,
+                   CASE WHEN json_valid(props) = false OR props IS NULL
+                        THEN 'bad_props_json' END,
+                   CASE WHEN user_id IS NULL OR user_id < 0
+                        THEN 'bad_user' END) AS reasons
+        FROM events
+    )
+    SELECT CASE WHEN reasons = '' THEN 'PASS' ELSE reasons END AS verdict,
+           COUNT(*) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id
+    FROM checked
+    GROUP BY verdict
+    ORDER BY verdict
+    """,
+    survey="P3,X3",
+)
+def q241_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract enforcement at ingest: five row-level rules (value
+    range, type vocabulary, timestamp window, JSON validity, key
+    sanity) evaluated in ONE pass, with failing rows grouped by their
+    full reason combination — the quarantine report that routes bad
+    rows to a dead-letter table instead of silently dropping them (the
+    skip-bad-blob S4 policy, promoted to row granularity with
+    attribution).  Rule evaluation is a pure projection fused into the
+    scan; the reason string is built with the same concat_ws/CASE text
+    on both engines; counts are exact.  On the clean fixture every row
+    lands in PASS — which is itself the assertion a contract check
+    exists to make."""
+    e = load_table(spark, sf_dir, "events")
+    reasons = F.concat_ws(
+        ",",
+        F.when((F.col("value") < 0) | (F.col("value") > 1000), "value_range"),
+        F.when(
+            ~F.col("event_type").isin(
+                "view", "click", "purchase", "signup", "error"
+            ),
+            "unknown_type",
+        ),
+        F.when(
+            (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp")),
+            "ts_out_of_window",
+        ),
+        F.when(
+            F.col("props").isNull()
+            | F.get_json_object("props", "$").isNull(),
+            "bad_props_json",
+        ),
+        F.when(F.col("user_id").isNull() | (F.col("user_id") < 0), "bad_user"),
+    )
+    return (
+        e.select("event_id", reasons.alias("reasons"))
+        .select(
+            F.when(F.col("reasons") == "", "PASS")
+            .otherwise(F.col("reasons"))
+            .alias("verdict"),
+            "event_id",
+        )
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").cast("long").alias("first_event_id"),
+        )
+        .orderBy("verdict")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q242 — time-bounded conversion (purchase within 24h of first view)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q242_bounded_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT v.user_id,
+               MAX(CASE WHEN e.event_type = 'purchase' AND e.ts > v.t_view
+                        AND epoch_us(e.ts) - epoch_us(v.t_view) <= 86400000000
+                        THEN 1 ELSE 0 END) AS converted
+        FROM v JOIN events e ON e.user_id = v.user_id
+        GROUP BY v.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers,
+           CAST(SUM(converted) AS BIGINT) AS n_converted_24h,
+           ROUND(SUM(converted) / CAST(COUNT(*) AS DOUBLE), 6) AS cvr_24h
+    FROM conv
+    """,
+    survey="X5,2.5-agg",
+)
+def q242_bounded_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window conversion: a viewer counts as converted only
+    if a purchase lands within 24 HOURS of their first view — the
+    bounded form every marketing/attribution readout actually uses
+    (unbounded funnels overcount).  The window test is a µs-exact
+    integer comparison (the q166/q189 epoch discipline); the readout is
+    two exact counts and one division.  Shape: per-user MIN, one join
+    back on user_id, a per-user MAX flag, a 1-row fold."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    conv = (
+        v.join(e, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (
+                        F.unix_micros("ts") - F.unix_micros("t_view")
+                        <= 86400000000
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_viewers"),
+        F.sum("converted").cast("long").alias("n_converted_24h"),
+        F.round(
+            F.sum("converted") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("cvr_24h"),
+    )
