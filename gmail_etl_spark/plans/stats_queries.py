@@ -1892,3 +1892,163 @@ def q240_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("quantile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q243 — A/B power analysis (minimum detectable effect from exact moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q243_power_analysis",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS ss
+        FROM per_user
+    )
+    SELECT n AS n_users,
+           ROUND(s / CAST(n AS DOUBLE) / 100.0, 2) AS mean_dollars,
+           ROUND(CAST(2.801585 AS DOUBLE)
+                 * sqrt(2.0 * (CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1))))
+                 / sqrt(CAST(n AS DOUBLE) / 2.0) / 100.0, 4)
+               AS mde_dollars,
+           ROUND(CAST(2.801585 AS DOUBLE)
+                 * sqrt(2.0 * (CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1))))
+                 / sqrt(CAST(n AS DOUBLE) / 2.0)
+                 / (s / CAST(n AS DOUBLE)), 6) AS mde_relative
+    FROM m
+    """,
+    survey="X5,2.5-agg",
+)
+def q243_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing from the data itself: the minimum detectable
+    effect of a 50/50 split at alpha=5% (two-sided) / power=80%, i.e.
+    MDE = (z_{0.975}+z_{0.8})·sqrt(2s²/ (n/2)) with the sample variance
+    s² from exact integer moments — the pre-registration number every
+    A/B test needs BEFORE q167/q239 read anything out.  The z constants
+    are 6dp literals shared by both engines (the same trick as q207's
+    Benford table); every other input is an exact integer, so the few
+    scalar float ops (two sqrts, divisions) are deterministic.  Shape:
+    per-user fold then a 1-row reduction — the whole analysis is one
+    aggregation pass."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    # single shared 6dp literal: z_{0.975}+z_{0.8}; summing two double
+    # literals here vs DuckDB's exact-decimal addition could differ 1ulp
+    zsum = F.lit(2.801585)
+    sample_var = (n * ss - s * s).cast("double") / (n * (n - 1))
+    mde_cents = zsum * F.sqrt(2.0 * sample_var) / F.sqrt(n.cast("double") / 2.0)
+    return m.select(
+        n.alias("n_users"),
+        F.round(s / n.cast("double") / 100.0, 2).alias("mean_dollars"),
+        F.round(mde_cents / 100.0, 4).alias("mde_dollars"),
+        F.round(mde_cents / (s / n.cast("double")), 6).alias("mde_relative"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q244 — Simpson's paradox check (exact-sign correlation comparison)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q244_simpson_check",
+    oracle="""
+    WITH pairs AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ),
+    seg_stats AS (
+        SELECT seg, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy
+        FROM pairs GROUP BY seg
+    ),
+    pooled AS (
+        SELECT CAST(SUM(n) AS HUGEINT) AS n, CAST(SUM(sx) AS HUGEINT) AS sx,
+               CAST(SUM(sy) AS HUGEINT) AS sy, CAST(SUM(sxy) AS HUGEINT) AS sxy
+        FROM seg_stats
+    )
+    SELECT s.seg,
+           CAST(s.n AS BIGINT) AS n_pairs,
+           CAST(sign(s.n * s.sxy - s.sx * s.sy) AS BIGINT) AS seg_corr_sign,
+           CAST(sign(p.n * p.sxy - p.sx * p.sy) AS BIGINT) AS pooled_corr_sign,
+           (sign(s.n * s.sxy - s.sx * s.sy)
+            <> sign(p.n * p.sxy - p.sx * p.sy)) AS sign_reversed
+    FROM seg_stats s CROSS JOIN pooled p
+    ORDER BY s.seg
+    """,
+    survey="2.5-agg,X3",
+)
+def q244_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: does the account-balance ↔ order-value
+    association reverse sign inside any market segment relative to the
+    pooled population?  Correlation SIGN equals the sign of the exact
+    integer covariance numerator n·Σxy − Σx·Σy, so the reversal flag —
+    the entire point of the audit — is decided in integer arithmetic
+    (HUGEINT/DECIMAL(38): the cross products reach ~10³⁰ at sf1), never
+    by a rounded correlation coefficient.  The aggregation-bias smoke
+    test every segmented metric readout should ship with.  Shape: one
+    join + segment fold, pooled stats reduced FROM the segment stats
+    (no second scan), 5-row output."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    pairs = c.join(o, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    seg_stats = pairs.groupBy("seg").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+    )
+    pooled = seg_stats.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+    )
+    s_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    p_num = F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")
+    return (
+        seg_stats.crossJoin(
+            F.broadcast(
+                pooled.select(
+                    F.col("n").alias("pn"),
+                    F.col("sx").alias("psx"),
+                    F.col("sy").alias("psy"),
+                    F.col("sxy").alias("psxy"),
+                )
+            )
+        )
+        .select(
+            "seg",
+            F.col("n").cast("long").alias("n_pairs"),
+            F.signum(s_num).cast("long").alias("seg_corr_sign"),
+            F.signum(p_num).cast("long").alias("pooled_corr_sign"),
+            (F.signum(s_num) != F.signum(p_num)).alias("sign_reversed"),
+        )
+        .orderBy("seg")
+    )
