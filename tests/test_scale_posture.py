@@ -319,6 +319,7 @@ _BNLJ_JUSTIFIED = {
     "q214_churn_hazard",  # 1-row censoring-horizon broadcast
     "q228_activity_bitmask_streaks",  # 1-row day-zero anchor broadcast
     "q239_cuped_adjustment",  # 1-row global sufficient-statistics broadcast
+    "q244_simpson_check",  # 1-row pooled-statistics broadcast
 }
 
 
