@@ -102,3 +102,72 @@ try:  # pyspark >= 4.0, and the TWS wire protocol needs protobuf at
 
 except ImportError:  # pragma: no cover - pyspark 3.x fallback
     running_user_totals_tws = None
+
+
+# ---------------------------------------------------------------------------
+# state-DEPENDENT per-event decisions (beyond the running accumulator)
+# ---------------------------------------------------------------------------
+
+SPIKE_OUTPUT_SCHEMA = "user_id bigint, event_id bigint, value_cents bigint, running_mean_cents bigint"
+SPIKE_STATE_SCHEMA = "n bigint, total bigint"
+
+
+def _detect_spikes(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    """Emit events whose value exceeds 3× the user's running mean AT THE
+    TIME OF THE EVENT — the decision consumes state mid-stream, so
+    output depends on event order, not just totals (what separates a
+    stateful operator from an aggregate).  Rows are processed in
+    (ts, event_id) order within each batch; integer cents keep the
+    state exact and replay-stable."""
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0)
+    out_event, out_val, out_mean = [], [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, cents in zip(
+            pdf["event_id"].astype("int64"), pdf["value_cents"].astype("int64")
+        ):
+            if n >= 3 and cents * n > 3 * total:
+                out_event.append(int(eid))
+                out_val.append(int(cents))
+                out_mean.append(total // n)
+            n += 1
+            total += int(cents)
+    state.update((n, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(out_event),
+            "event_id": out_event,
+            "value_cents": out_val,
+            "running_mean_cents": out_mean,
+        }
+    )
+
+
+def detect_value_spikes(events: DataFrame) -> DataFrame:
+    """Per-user spike alerts: value > 3× the running mean so far.
+
+    The comparison cents·n > 3·total is exact integer arithmetic, and
+    the running (n, total) state carries across micro-batches through
+    the state store — with in-order delivery (availableNow over ordered
+    files) the alert stream is identical to a sequential scan of the
+    whole log, which the test asserts literally.  State per user is two
+    integers; keys partition horizontally, the 100 TB contract for
+    custom stateful operators."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _detect_spikes,
+        outputStructType=SPIKE_OUTPUT_SCHEMA,
+        stateStructType=SPIKE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -170,3 +170,56 @@ def test_gmail_streaming_datasource_incremental(spark, tmp_path):
     assert streamed == batch_ids and len(streamed) > 0
     assert len(batches) >= 3  # capped slices across restarts
     assert sum(batches) == len(streamed)  # exactly-once across restarts
+
+
+def test_spike_detector_matches_sequential_scan(spark, tmp_path):
+    """The stateful spike detector's alerts across 4 in-order
+    micro-batches must equal a sequential Python scan of the whole log
+    — per-event decisions consume the running state, so this is the
+    order-dependence contract an aggregate cannot express."""
+    import pandas as pd
+
+    from gmail_etl_spark.streaming.stateful import detect_value_spikes
+    from tests.conftest import SF_DIR
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = (
+        pd.read_parquet(f"{SF_DIR}/events.parquet")
+        .sort_values(["ts", "event_id"])
+        .head(400)
+        .reset_index(drop=True)
+    )
+    for i in range(4):
+        base.iloc[i * 100 : (i + 1) * 100].to_parquet(src / f"{i}.parquet")
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src))
+    out = detect_value_spikes(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("spikes")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["event_id"]): (r["value_cents"], r["running_mean_cents"])
+        for r in spark.sql("select * from spikes").collect()
+    }
+
+    exp = {}
+    state: dict[int, tuple[int, int]] = {}
+    pdf = base.copy()
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+        n, total = state.get(r.user_id, (0, 0))
+        if n >= 3 and r.cents * n > 3 * total:
+            exp[(r.user_id, r.event_id)] = (int(r.cents), total // n)
+        state[r.user_id] = (n + 1, total + int(r.cents))
+
+    assert got == exp and len(exp) > 0
