@@ -844,3 +844,59 @@ def q231_sorted_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q245 — Levenshtein linkage (native edit distance, blocked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q245_levenshtein_linkage",
+    oracle="""
+    WITH names AS (
+        SELECT DISTINCT p_name FROM part
+    ),
+    blocked AS (
+        SELECT n1.p_name AS a, n2.p_name AS b
+        FROM names n1 JOIN names n2
+          ON string_split(n1.p_name, ' ')[-1] = string_split(n2.p_name, ' ')[-1]
+         AND n1.p_name < n2.p_name
+    )
+    SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS edit_distance
+    FROM blocked
+    WHERE levenshtein(a, b) <= 3
+    ORDER BY a, b
+    """,
+    survey="F1-F5,D2",
+)
+def q245_levenshtein_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance record linkage on the part vocabulary: distinct
+    names blocked by their final token (the noun), then native
+    Levenshtein ≤ 3 within each block — both engines ship the SAME
+    dynamic-programming edit distance as a builtin, so this pins their
+    agreement directly (the complement of q188, where the metric itself
+    had to be implemented and proven).  Blocking is the point at scale:
+    the equi-join on the blocking key turns the quadratic all-pairs
+    problem into per-block cliques, exactly the LSH-bucket argument
+    with a semantic key instead of a hash.  Distances are small
+    integers; no float surface."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    noun = F.element_at(F.split("p_name", " "), -1)
+    n1 = names.select(F.col("p_name").alias("a"), noun.alias("k"))
+    n2 = names.select(
+        F.col("p_name").alias("b"),
+        F.element_at(F.split("p_name", " "), -1).alias("k"),
+    )
+    return (
+        n1.join(n2, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.levenshtein("a", "b").cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 3)
+        .orderBy("a", "b")
+    )
