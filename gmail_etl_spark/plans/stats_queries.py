@@ -2052,3 +2052,98 @@ def q244_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 — distribution-free confidence interval for the median
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q246_median_confidence_interval",
+    oracle="""
+    WITH grain AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+               COUNT(*) AS cnt
+        FROM events GROUP BY event_type, cents
+    ),
+    cum AS (
+        SELECT event_type, cents,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cc,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM grain
+    ),
+    ranks AS (
+        SELECT event_type, cents, cc, n,
+               CAST(floor(n / 2.0 - 0.979982 * sqrt(CAST(n AS DOUBLE)))
+                    AS BIGINT) AS lo_rank,
+               CAST(ceil(n / 2.0 + 1.0 + 0.979982 * sqrt(CAST(n AS DOUBLE)))
+                    AS BIGINT) AS hi_rank
+        FROM cum
+    )
+    SELECT event_type,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_events,
+           MIN(CASE WHEN cc * 2 >= n THEN cents END) AS median_cents,
+           MIN(CASE WHEN cc >= lo_rank THEN cents END) AS ci_lo_cents,
+           MIN(CASE WHEN cc >= hi_rank THEN cents END) AS ci_hi_cents
+    FROM ranks
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey="2.5-agg,X6",
+)
+def q246_median_confidence_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median: the
+    order-statistics bracket [x₍ₗ₎, x₍ᵤ₎] with
+    l = ⌊n/2 − z·√n/2·…⌋ from the binomial normal approximation
+    (0.979982 = z₀.₉₇₅/2 as a shared 6dp literal) — uncertainty-aware
+    medians without bootstrap resampling, which a deterministic oracle
+    could never reproduce.  The rank bounds are floats computed from
+    exact n and a shared literal, floored/ceiled to integer ranks; the
+    bracket values are then exact order statistics off the q223
+    run-length table.  Same 1.5-shuffle shape as every order-statistic
+    query here."""
+    e = load_table(spark, sf_dir, "events")
+    grain = e.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wo = Window.partitionBy("event_type").orderBy("cents")
+    wa = Window.partitionBy("event_type")
+    cum = grain.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cc"
+        ),
+        F.sum("cnt").over(wa).alias("n"),
+    )
+    n, cc = F.col("n"), F.col("cc")
+    z_half = F.lit(0.979982)
+    lo_rank = F.floor(n / 2.0 - z_half * F.sqrt(n.cast("double"))).cast("long")
+    hi_rank = F.ceil(n / 2.0 + 1.0 + z_half * F.sqrt(n.cast("double"))).cast(
+        "long"
+    )
+    ranks = cum.select(
+        "event_type",
+        "cents",
+        "cc",
+        "n",
+        lo_rank.alias("lo_rank"),
+        hi_rank.alias("hi_rank"),
+    )
+    return (
+        ranks.groupBy("event_type")
+        .agg(
+            F.any_value("n").cast("long").alias("n_events"),
+            F.min(F.when(cc * 2 >= n, F.col("cents"))).alias("median_cents"),
+            F.min(F.when(cc >= F.col("lo_rank"), F.col("cents"))).alias(
+                "ci_lo_cents"
+            ),
+            F.min(F.when(cc >= F.col("hi_rank"), F.col("cents"))).alias(
+                "ci_hi_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
