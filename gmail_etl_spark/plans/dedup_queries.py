@@ -1349,3 +1349,62 @@ def q181_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("p").alias("side"), F.col("p").alias("node_id"), "degree")
     )
     return deg_s.unionByName(deg_p).orderBy("side", "node_id")
+
+
+# ---------------------------------------------------------------------------
+# q247 — near-dup threshold sensitivity (pair counts per Jaccard band)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q247_threshold_sensitivity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+        FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT CAST(n_common AS DOUBLE)
+               / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) AS j
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+    )
+    SELECT CAST(least(floor(j * 10), 9) AS BIGINT) AS band,
+           COUNT(*) AS n_pairs
+    FROM scored
+    GROUP BY band
+    ORDER BY band
+    """,
+    survey="D2",
+)
+def q247_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning in one pass: exact token-Jaccard for every
+    intersecting pair in the slice, bucketed into 0.1-wide bands — the
+    histogram an operator reads to pick the near-dup cut (q43 runs at
+    ONE threshold; this shows what every other threshold would have
+    done).  The similarity is the identical integer-fed division on
+    both engines, so band assignment (floor of identical doubles) can
+    never straddle engines.  At corpus scale the same readout runs over
+    LSH candidates instead of the exact pair set — the bands above the
+    LSH floor are unbiased, which is exactly the region the cut lives
+    in.  Shape: the doc-frequency-capped inverted-index pair path, one
+    10-row fold."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = jaccard_pairs(d, "doc_id", "text", threshold=0.0)
+    return (
+        pairs.select(
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+            .cast("long")
+            .alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("band")
+    )
