@@ -2147,3 +2147,71 @@ def q246_median_confidence_interval(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q248 — Wilson score intervals for per-type daily error rates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q248_wilson_error_rates",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errs
+        FROM events GROUP BY day_idx
+    )
+    SELECT day_idx, n, errs,
+           ROUND(errs / CAST(n AS DOUBLE), 6) AS rate,
+           ROUND((errs + CAST(1.920829 AS DOUBLE)
+                  - CAST(1.959964 AS DOUBLE)
+                    * sqrt((errs * CAST(n - errs AS DOUBLE)) / n
+                           + CAST(0.960207 AS DOUBLE)))
+                 / (n + CAST(3.841459 AS DOUBLE)), 6) AS wilson_lo,
+           ROUND((errs + CAST(1.920829 AS DOUBLE)
+                  + CAST(1.959964 AS DOUBLE)
+                    * sqrt((errs * CAST(n - errs AS DOUBLE)) / n
+                           + CAST(0.960207 AS DOUBLE)))
+                 / (n + CAST(3.841459 AS DOUBLE)), 6) AS wilson_hi
+    FROM daily
+    ORDER BY day_idx
+    """,
+    survey="X5,2.5-agg",
+)
+def q248_wilson_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-rate monitoring with Wilson score intervals — the
+    binomial-proportion companion to q246's median brackets, and the
+    interval that behaves correctly at small n and extreme rates where
+    the naive ±z√(pq/n) fails.  The standard form
+    (p̂ + z²/2n ± z√(p̂q̂/n + z²/4n²))/(1 + z²/n) is cleared to integer
+    numerators: every z-derived constant (z, z²/2, z²/4, z²) is its OWN
+    shared 6dp literal — never an arithmetic combination of another
+    literal, per the q243 lesson — so both engines evaluate identical
+    scalar expressions over exact counts.  Shape: one daily conditional
+    count with map-side combine; 30 rows out."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    n, errs = F.col("n"), F.col("errs")
+    z = F.lit(1.959964)
+    z2_half = F.lit(1.920829)
+    z2_quarter = F.lit(0.960207)
+    z2 = F.lit(3.841459)
+    root = F.sqrt((errs * (n - errs).cast("double")) / n + z2_quarter)
+    return daily.select(
+        "day_idx",
+        "n",
+        "errs",
+        F.round(errs / n.cast("double"), 6).alias("rate"),
+        F.round((errs + z2_half - z * root) / (n + z2), 6).alias("wilson_lo"),
+        F.round((errs + z2_half + z * root) / (n + z2), 6).alias("wilson_hi"),
+    ).orderBy("day_idx")
