@@ -1166,3 +1166,71 @@ def test_q191_cube_merge_equals_direct_sketches(spark):
     # sanity: true distinct within 2% at lgK=12
     truth = e.select("user_id").distinct().count()
     assert abs(int(tot.approx_users.iloc[0]) - truth) <= max(2, 0.02 * truth)
+
+
+def test_persisted_ivf_index_roundtrip(spark, tmp_path):
+    """save_ivf_index → query_ivf_index: results must equal the same
+    nprobe IVF search computed directly (train + assign + rank in one
+    job), and the probe scan must prune partitions (PartitionFilters on
+    cluster), proving the layout IS the index."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from gmail_etl_spark.operators.similarity import (
+        cosine,
+        query_ivf_index,
+        save_ivf_index,
+        train_kmeans,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    save_ivf_index(spark, emb, path, k_cells=8, iters=3)
+
+    queries = emb.filter(F.col("vec_id") < 6)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in query_ivf_index(spark, path, queries, k=3, nprobe=2).collect()
+    }
+
+    # direct computation with the same trained quantizer
+    assignments, centroids = train_kmeans(emb, k=8, iters=3)
+    base = emb.join(assignments, emb["vec_id"] == assignments["id"]).select(
+        emb["vec_id"], emb["embedding"].cast("array<double>").alias("v"),
+        assignments["cluster"],
+    )
+
+    def dist2(vec, c):
+        return F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, d: acc + d)
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"))
+    probes = q.select(
+        "query_id", "q_vec",
+        F.explode(F.slice(F.array_sort(F.array(*[
+            F.struct(F.round(dist2(F.col("q_vec"), c), 9).alias("d"),
+                     F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)])), 1, 2)["cell"].alias("cells")
+        ).alias("cluster"))
+    joined = probes.join(base, "cluster").filter(
+        F.col("query_id") != F.col("vec_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    exp_df = (joined.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                            F.round(cosine(F.col("q_vec"), F.col("v")), 6).alias("sim"))
+              .withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 3))
+    exp = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+           for r in exp_df.collect()}
+    assert got == exp and len(got) == 18
+
+    # partition pruning fires on the probe scan
+    probe_set = [0, 1]
+    scan = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cluster").isin(probe_set))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:200]
