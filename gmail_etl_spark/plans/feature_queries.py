@@ -1,12 +1,17 @@
-"""Feature-engineering catalog entries: quantile normalization,
-count-based Naive Bayes likelihoods, and chi-square feature selection.
+"""Feature-engineering and model-evaluation catalog entries: quantile
+normalization, Naive Bayes likelihoods, chi-square selection, window
+distribution functions, pivot/unpivot reshaping, rank-identity ROC AUC,
+activity-bitmask streak algebra, the clamped-balance grouped-map kernel,
+decision-stump training, deterministic LISTAGG, and blocked Levenshtein
+linkage.
 
 The model-training adjacencies of the curation pipeline: once documents
-and events are deduplicated and filtered, these produce the features and
-per-class statistics a downstream trainer consumes.  Everything follows
-the exact-integer discipline — counts and contingency products stay
-integers (DECIMAL(38,0)/HUGEINT where fourth-order products outgrow
-int64) with ONE final division mirrored in the oracle.
+and events are deduplicated and filtered, these produce the features,
+per-class statistics, and evaluation readouts a downstream trainer
+consumes.  Everything follows the exact-integer discipline — counts and
+contingency products stay integers (DECIMAL(38,0)/HUGEINT where
+fourth-order products outgrow int64) with ONE final division mirrored
+in the oracle.
 """
 
 from __future__ import annotations

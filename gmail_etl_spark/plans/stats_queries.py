@@ -1,6 +1,10 @@
 """Statistical-analytics catalog entries: autocorrelation, CUSUM
-changepoint detection, exact-moment shape statistics, and a
-k-anonymity governance audit.
+changepoints, exact-moment shape statistics, k-anonymity, TVD/KS drift,
+Gini, Benford, EWMA-as-prefix-sum, rank tests (Mann-Whitney), survival
+hazards, AQP estimates, exact (weighted) order statistics and CIs,
+forecasting backtests, Bollinger breakouts, Pareto skylines, and the
+experimentation suite (CUPED, quantile treatment effects, power/MDE,
+Wilson intervals, Simpson reversal audit).
 
 Each query keeps every aggregate an EXACT integer (counts, cents,
 products of both) until one final scalar expression, so the only float

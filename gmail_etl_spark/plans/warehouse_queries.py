@@ -1,6 +1,9 @@
-"""Warehouse-operations catalog entries: funnel conversion, cohort
-retention, SCD type-2 history, and MERGE-style upserts over the
-``events`` table.
+"""Warehouse-operations catalog entries: funnels (plain, session-
+scoped, attribution-window-bounded), cohort retention, SCD type-2
+history with point-in-time lookup, MERGE-style upserts, recursive-CTE
+reachability, spatial bucket joins, gaps-and-islands, activity heatmaps,
+conversion latencies, negative edge sampling, calibration bins, and
+data-contract quarantine — over the ``events`` table.
 
 These are the classic product-analytics / dimensional-modeling shapes a
 user of the reference pipeline would eventually reach for once messages
