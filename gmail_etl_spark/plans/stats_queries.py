@@ -2219,3 +2219,53 @@ def q248_wilson_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((errs + z2_half - z * root) / (n + z2), 6).alias("wilson_lo"),
         F.round((errs + z2_half + z * root) / (n + z2), 6).alias("wilson_hi"),
     ).orderBy("day_idx")
+
+
+# ---------------------------------------------------------------------------
+# q249 — Herfindahl concentration and effective source count
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q249_source_concentration",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, source, COUNT(*) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * c) AS BIGINT) AS sq
+        FROM counts GROUP BY lang
+    )
+    SELECT lang, n AS n_docs,
+           ROUND(sq / (CAST(n AS DOUBLE) * n), 6) AS hhi,
+           ROUND((CAST(n AS DOUBLE) * n) / sq, 4) AS effective_sources
+    FROM tot
+    ORDER BY lang
+    """,
+    survey="X3,2.5-agg",
+)
+def q249_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-diversity audit: the Herfindahl index of source shares
+    within each language (HHI = Σsᵢ² = Σcᵢ²/n², one division of exact
+    integers) and its inverse — the EFFECTIVE number of sources, the
+    single number that says 'this slice is really only ~3 sources deep'
+    even when 20 are nominally present.  The Gini (q206) measures
+    inequality; HHI measures concentration mass — a corpus mixer wants
+    both before trusting q107's sampling weights.  All counts exact;
+    two divisions of identical integers.  One (lang, source) partial-
+    agg shuffle, per-lang fold."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    n, sq = F.col("n"), F.col("sq")
+    return tot.select(
+        "lang",
+        n.alias("n_docs"),
+        F.round(sq / (n.cast("double") * n), 6).alias("hhi"),
+        F.round((n.cast("double") * n) / sq, 4).alias("effective_sources"),
+    ).orderBy("lang")
