@@ -2269,3 +2269,131 @@ def q249_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sq / (n.cast("double") * n), 6).alias("hhi"),
         F.round((n.cast("double") * n) / sq, 4).alias("effective_sources"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# q250 — group-sequential monitoring (O'Brien-Fleming bounds by week)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q250_sequential_monitoring",
+    oracle="""
+    WITH weekly AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week_idx,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    anchored AS (
+        SELECT arm, week_idx - (SELECT MIN(week_idx) FROM weekly) AS look,
+               cents
+        FROM weekly
+    ),
+    cum AS (
+        SELECT look, arm,
+               CAST(SUM(COUNT(*)) OVER w AS BIGINT) AS n,
+               CAST(SUM(SUM(cents)) OVER w AS BIGINT) AS s,
+               CAST(SUM(SUM(cents * cents)) OVER w AS BIGINT) AS ss
+        FROM anchored
+        GROUP BY look, arm
+        WINDOW w AS (PARTITION BY arm ORDER BY look ROWS UNBOUNDED PRECEDING)
+    ),
+    wide AS (
+        SELECT look,
+               MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+               MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+               MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+        FROM cum GROUP BY look
+    ),
+    scored AS (
+        SELECT look, n0, n1,
+               (s1 / CAST(n1 AS DOUBLE) - s0 / CAST(n0 AS DOUBLE))
+               / sqrt((CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / (n1 * (n1 - 1)))
+                      / n1
+                      + (CAST(n0 * ss0 - s0 * s0 AS DOUBLE) / (n0 * (n0 - 1)))
+                        / n0) AS z,
+               CASE look WHEN 0 THEN CAST(4.562 AS DOUBLE)
+                         WHEN 1 THEN CAST(3.226 AS DOUBLE)
+                         WHEN 2 THEN CAST(2.634 AS DOUBLE)
+                         WHEN 3 THEN CAST(2.281 AS DOUBLE)
+                         ELSE CAST(2.040 AS DOUBLE) END AS obf_bound
+        FROM wide
+    )
+    SELECT look, n0, n1, ROUND(z, 4) AS z, obf_bound,
+           (abs(z) > obf_bound) AS crossed
+    FROM scored
+    ORDER BY look
+    """,
+    survey="X5,2.5-window",
+)
+def q250_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring: the cumulative two-sample z at
+    each weekly look against O'Brien–Fleming spending bounds (3dp
+    literals for 5 looks at overall α=5%) — the peeking-safe readout
+    that q167's single z-test is NOT.  Cumulative (n, Σx, Σx²) per arm
+    are exact integer prefix sums over the weekly grain; the z and the
+    boundary compare are identical scalar float expressions on both
+    engines, so the crossed flag cannot straddle them.  Shape: weekly
+    per-arm partial aggregates (map-side), two tiny windows, a 5-row
+    pivot — continuous monitoring priced at one aggregation pass."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.select(
+        (F.col("user_id") % 2).cast("long").alias("arm"),
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week_idx"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    week0 = weekly.agg(F.min("week_idx").alias("w0"))
+    anchored = weekly.crossJoin(F.broadcast(week0)).select(
+        "arm", (F.col("week_idx") - F.col("w0")).alias("look"), "cents"
+    )
+    per = anchored.groupBy("look", "arm").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("cents").alias("sm"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sq"),
+    )
+    wc = Window.partitionBy("arm").orderBy("look").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "look",
+        "arm",
+        F.sum("cnt").over(wc).cast("long").alias("n"),
+        F.sum("sm").over(wc).cast("long").alias("s"),
+        F.sum("sq").over(wc).cast("long").alias("ss"),
+    )
+    wide = cum.groupBy("look").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("arm") == 0, F.col("ss"))).alias("ss0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == 1, F.col("ss"))).alias("ss1"),
+    )
+    n0, s0, ss0 = F.col("n0"), F.col("s0"), F.col("ss0")
+    n1, s1, ss1 = F.col("n1"), F.col("s1"), F.col("ss1")
+    z = (s1 / n1.cast("double") - s0 / n0.cast("double")) / F.sqrt(
+        ((n1 * ss1 - s1 * s1).cast("double") / (n1 * (n1 - 1))) / n1
+        + ((n0 * ss0 - s0 * s0).cast("double") / (n0 * (n0 - 1))) / n0
+    )
+    bound = (
+        F.when(F.col("look") == 0, F.lit(4.562))
+        .when(F.col("look") == 1, F.lit(3.226))
+        .when(F.col("look") == 2, F.lit(2.634))
+        .when(F.col("look") == 3, F.lit(2.281))
+        .otherwise(F.lit(2.040))
+    )
+    return (
+        wide.select(
+            "look",
+            "n0",
+            "n1",
+            F.round(z, 4).alias("z"),
+            bound.alias("obf_bound"),
+            (F.abs(z) > bound).alias("crossed"),
+        )
+        .orderBy("look")
+    )

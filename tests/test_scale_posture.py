@@ -320,6 +320,7 @@ _BNLJ_JUSTIFIED = {
     "q228_activity_bitmask_streaks",  # 1-row day-zero anchor broadcast
     "q239_cuped_adjustment",  # 1-row global sufficient-statistics broadcast
     "q244_simpson_check",  # 1-row pooled-statistics broadcast
+    "q250_sequential_monitoring",  # 1-row week-zero anchor broadcast
 }
 
 
