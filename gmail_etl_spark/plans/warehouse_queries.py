@@ -1194,3 +1194,183 @@ def q242_bounded_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted") / F.count(F.lit(1)).cast("double"), 6
         ).alias("cvr_24h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 — RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q251_rfm_segmentation",
+    oracle="""
+    WITH horizon AS (SELECT MAX(ts) AS t_max FROM events),
+    rfm AS (
+        SELECT e.user_id,
+               CAST(epoch_us((SELECT t_max FROM horizon)) - epoch_us(MAX(e.ts))
+                    AS BIGINT) AS recency_us,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM events e GROUP BY e.user_id
+    ),
+    scored AS (
+        SELECT user_id,
+               NTILE(5) OVER (ORDER BY recency_us DESC, user_id) AS r,
+               NTILE(5) OVER (ORDER BY frequency, user_id) AS f,
+               NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS m
+        FROM rfm
+    )
+    SELECT concat(CAST(r AS VARCHAR), CAST(f AS VARCHAR), CAST(m AS VARCHAR))
+               AS segment,
+           COUNT(*) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS first_user_id
+    FROM scored
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    survey="2.5-window,X5",
+)
+def q251_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic lifecycle-marketing cut: per-user
+    Recency (µs since last event, against the corpus horizon),
+    Frequency (event count) and Monetary (integer cents), each scored
+    into quintiles with NTILE under a (metric, user_id) TOTAL order
+    (ntile assigns by row position — q216's determinism lesson — and
+    recency sorts DESC so quintile 5 is most-recent, matching f/m where
+    5 is best).  Output is the segment histogram: '555' champions down
+    to '111' lost.  All three metrics are exact integers; no float
+    anywhere.  One per-user fold, three 150-row windows, one segment
+    fold."""
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max("ts").alias("t_max"))
+    rfm = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("t_last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            (F.unix_micros("t_max") - F.unix_micros("t_last")).alias(
+                "recency_us"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = rfm.select(
+        "user_id",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_us").desc(), "user_id"))
+        .alias("r"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "user_id"))
+        .alias("m"),
+    )
+    return (
+        scored.select(
+            F.concat(
+                F.col("r").cast("string"),
+                F.col("f").cast("string"),
+                F.col("m").cast("string"),
+            ).alias("segment"),
+            "user_id",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").cast("long").alias("first_user_id"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q252 — burstiness / bot-likeness from inter-event gap moments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q252_burstiness_audit",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id))
+                   AS gap_us
+        FROM events
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(COUNT(gap_us) AS BIGINT) AS n,
+               CAST(SUM(gap_us) AS BIGINT) AS s,
+               SUM(CAST(gap_us AS HUGEINT) * gap_us) AS ss
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(gap_us) >= 20
+    )
+    SELECT user_id, n AS n_gaps,
+           ROUND((sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                       / (n * CAST(n - 1 AS DOUBLE)))
+                  - s / CAST(n AS DOUBLE))
+                 / (sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                         / (n * CAST(n - 1 AS DOUBLE)))
+                    + s / CAST(n AS DOUBLE)), 6) AS burstiness
+    FROM m
+    WHERE user_id < 30
+    ORDER BY user_id
+    """,
+    survey="X5,2.5-window",
+)
+def q252_burstiness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-quality audit for training-data curation: the Goh–
+    Barabási burstiness B = (σ−μ)/(σ+μ) of each user's inter-event
+    gaps — B near −1 flags metronomic, bot-like regularity whose
+    content a curation pipeline usually excludes; near 0 is Poisson,
+    positive is bursty-human.  Gap sums are exact integers (µs-exact
+    lag differences, HUGEINT/DECIMAL(38) for the squared sums), and σ
+    and μ enter one identical scalar expression per row — same float
+    discipline as q203's moment statistics.  Shape: one per-user
+    window for the lags, a per-user fold; the user slice bounds
+    output."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    dec = "decimal(38,0)"
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("gap_us").cast("long").alias("s"),
+            F.sum(F.col("gap_us").cast(dec) * F.col("gap_us").cast(dec)).alias(
+                "ss"
+            ),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    sd = F.sqrt(
+        (n.cast(dec) * ss - s.cast(dec) * s).cast("double")
+        / (n * (n - 1).cast("double"))
+    )
+    mean = s / n.cast("double")
+    return (
+        m.filter(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            n.alias("n_gaps"),
+            F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+        )
+        .orderBy("user_id")
+    )
