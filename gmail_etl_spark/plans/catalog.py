@@ -247,6 +247,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q245_levenshtein_linkage", "q246_median_confidence_interval",
     "q247_threshold_sensitivity", "q248_wilson_error_rates",
     "q249_source_concentration", "q250_sequential_monitoring",
+    "q251_rfm_segmentation", "q252_burstiness_audit",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",
