@@ -321,6 +321,7 @@ _BNLJ_JUSTIFIED = {
     "q239_cuped_adjustment",  # 1-row global sufficient-statistics broadcast
     "q244_simpson_check",  # 1-row pooled-statistics broadcast
     "q250_sequential_monitoring",  # 1-row week-zero anchor broadcast
+    "q251_rfm_segmentation",  # 1-row corpus-horizon anchor broadcast
 }
 
 
