@@ -248,6 +248,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q247_threshold_sensitivity", "q248_wilson_error_rates",
     "q249_source_concentration", "q250_sequential_monitoring",
     "q251_rfm_segmentation", "q252_burstiness_audit",
+    "q253_dow_adjusted_anomalies", "q254_peak_concurrency",
     # -- (4) stale: last driver-verified in round 1 --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",

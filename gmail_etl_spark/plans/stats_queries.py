@@ -2397,3 +2397,151 @@ def q250_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("look")
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — seasonally-adjusted anomalies (day-of-week baselines)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q253_dow_adjusted_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               CAST(floor(epoch(ts) / 86400) % 7 AS BIGINT) AS dow,
+               COUNT(*) AS y
+        FROM events
+        GROUP BY event_type, day_idx, dow
+    ),
+    base AS (
+        SELECT event_type, day_idx, dow, y,
+               CAST(COUNT(*) OVER wd AS BIGINT) AS n_dow,
+               CAST(SUM(y) OVER wd AS BIGINT) AS s_dow
+        FROM daily
+        WINDOW wd AS (PARTITION BY event_type, dow)
+    )
+    SELECT event_type, day_idx, CAST(y AS BIGINT) AS n_events,
+           ROUND(s_dow / CAST(n_dow AS DOUBLE), 2) AS dow_baseline
+    FROM base
+    WHERE n_dow > 1
+      AND (n_dow * y - s_dow) * (n_dow * y - s_dow) * 25
+          > 4 * s_dow * s_dow
+    ORDER BY event_type, day_idx
+    """,
+    survey="X5,2.5-window",
+)
+def q253_dow_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flags: a day is anomalous only if it
+    deviates more than 40% from ITS OWN day-of-week baseline — the
+    adjustment that stops every Saturday from alarming against a
+    weekday mean (the q221 detector's known blind spot).  The test
+    |y − μ_dow|/μ_dow > 0.4 clears to the exact integer comparison
+    (n·y − S)²·25 > 4·S² (0.4 = 2/5 squared cross-multiplied), so
+    flag membership is ulp-proof; the baseline column is display-only.
+    Epoch-day mod 7 gives the weekday without timezone/calendar
+    functions, identical on both engines under pinned UTC.  Shape:
+    daily grain, one (type, dow) window, filtered projection."""
+    e = load_table(spark, sf_dir, "events")
+    day_idx = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = e.groupBy(
+        "event_type",
+        day_idx.alias("day_idx"),
+        (day_idx % 7).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wd = Window.partitionBy("event_type", "dow")
+    base = daily.select(
+        "event_type",
+        "day_idx",
+        "y",
+        F.count(F.lit(1)).over(wd).cast("long").alias("n_dow"),
+        F.sum("y").over(wd).cast("long").alias("s_dow"),
+    )
+    n_dow, s_dow, y = F.col("n_dow"), F.col("s_dow"), F.col("y")
+    dev = n_dow * y - s_dow
+    return (
+        base.filter((n_dow > 1) & (dev * dev * 25 > 4 * s_dow * s_dow))
+        .select(
+            "event_type",
+            "day_idx",
+            y.cast("long").alias("n_events"),
+            F.round(s_dow / n_dow.cast("double"), 2).alias("dow_baseline"),
+        )
+        .orderBy("event_type", "day_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q254 — peak concurrency (interval +1/−1 sweep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q254_peak_concurrency",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS start_us,
+               epoch_us(MAX(ts)) + 300000000 AS end_us
+        FROM events GROUP BY user_id
+    ),
+    points AS (
+        SELECT start_us AS t, 1 AS delta FROM spans
+        UNION ALL
+        SELECT end_us AS t, -1 AS delta FROM spans
+    ),
+    swept AS (
+        SELECT t,
+               CAST(SUM(SUM(delta)) OVER (ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
+        FROM points GROUP BY t
+    )
+    SELECT MAX(concurrency) AS peak_concurrency,
+           MIN(CASE WHEN concurrency = m THEN t END) AS peak_at_us,
+           CAST(COUNT(*) AS BIGINT) AS n_change_points
+    FROM (SELECT *, MAX(concurrency) OVER () AS m FROM swept)
+    """,
+    survey="X5,2.5-window",
+)
+def q254_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the classic +1/−1 boundary sweep: each
+    user's presence span ([first event, last event + 5 min]) emits a
+    start and an end point; grouping to distinct timestamps first and
+    summing deltas (ends tie with starts at the SAME µs resolve in one
+    group — the half-open convention), a running sum over time order
+    gives the concurrency profile, and its max/argmax answer 'how many
+    users were ever active at once, and when'.  Capacity planning as
+    two integer prefix sums — no interval self-join, no densification.
+    µs-exact epochs; all integers.  Shape: per-user span fold, a
+    2-rows-per-user boundary table, one global time-ordered window over
+    distinct change points."""
+    e = load_table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        (F.unix_micros(F.max("ts")) + 300000000).alias("end_us"),
+    )
+    points = spans.select(
+        F.col("start_us").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(F.col("end_us").alias("t"), F.lit(-1).alias("delta"))
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    swept = (
+        points.groupBy("t")
+        .agg(F.sum("delta").alias("d"))
+        .select("t", F.sum("d").over(wt).cast("long").alias("concurrency"))
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        swept.withColumn("m", F.max("concurrency").over(wall))
+        .agg(
+            F.max("concurrency").alias("peak_concurrency"),
+            F.min(
+                F.when(F.col("concurrency") == F.col("m"), F.col("t"))
+            ).alias("peak_at_us"),
+            F.count(F.lit(1)).cast("long").alias("n_change_points"),
+        )
+    )
