@@ -124,8 +124,18 @@ def _detect_spikes(
     (user_id,) = key
     n, total = state.get if state.exists else (0, 0)
     out_event, out_val, out_mean = [], [], []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # applyInPandasWithState delivers a group's batch rows as MULTIPLE
+    # Arrow chunks (split at arrow.maxRecordsPerBatch, default 10k) with
+    # no cross-chunk order guarantee, so materialize the whole batch and
+    # sort ONCE — sorting per chunk would silently change which events
+    # alert as soon as a group exceeds one chunk.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    pdf = (
+        pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        if chunks
+        else None
+    )
+    if pdf is not None:
         for eid, cents in zip(
             pdf["event_id"].astype("int64"), pdf["value_cents"].astype("int64")
         ):

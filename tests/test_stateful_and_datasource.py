@@ -223,3 +223,65 @@ def test_spike_detector_matches_sequential_scan(spark, tmp_path):
         state[r.user_id] = (n + 1, total + int(r.cents))
 
     assert got == exp and len(exp) > 0
+
+
+def test_spike_detector_multi_chunk_batch(spark, tmp_path):
+    """A group whose per-batch rows arrive as MANY Arrow chunks (forced
+    via arrow.maxRecordsPerBatch=16) must alert identically to the
+    sequential scan — regression for per-chunk sorting, which silently
+    reorders events once a group spans more than one chunk."""
+    import pandas as pd
+
+    from gmail_etl_spark.streaming.stateful import detect_value_spikes
+    from tests.conftest import SF_DIR
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = (
+        pd.read_parquet(f"{SF_DIR}/events.parquet")
+        .head(400)
+        .reset_index(drop=True)
+    )
+    # one user, one file => one micro-batch whose group spans ~25 chunks;
+    # reverse ts order on disk so chunk-local sorting gives a different
+    # alert set than a global sort
+    base["user_id"] = 1
+    base.sort_values("ts", ascending=False).to_parquet(src / "0.parquet")
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double, props string"
+        ).parquet(str(src))
+        out = detect_value_spikes(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("spikes_chunked")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["user_id"], r["event_id"]): (
+                r["value_cents"],
+                r["running_mean_cents"],
+            )
+            for r in spark.sql("select * from spikes_chunked").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    exp = {}
+    n, total = 0, 0
+    pdf = base.copy()
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+        if n >= 3 and r.cents * n > 3 * total:
+            exp[(1, r.event_id)] = (int(r.cents), total // n)
+        n, total = n + 1, total + int(r.cents)
+
+    assert got == exp and len(exp) > 0
