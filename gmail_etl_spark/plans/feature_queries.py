@@ -529,16 +529,25 @@ def q218_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Shared tail (runs verbatim on both engines over an `events_days`
 #: relation): bit_or-packed activity masks, then the classic
-#: longest-run-of-ones reduction m &= m << 1 unrolled 30 times as a
+#: longest-run-of-ones reduction m &= m << 1 unrolled 62 times (the
+#: mask window admits day_offset 0..62, i.e. runs up to 63 days, and
+#: step k can only be non-zero if a run of k+1 days exists) as a
 #: chained-CTE ladder.  Each step is its own CTE level so every iterate
 #: is a NAMED attribute — lateral column aliases would be inlined by
 #: Spark's analyzer and the doubly-self-referencing step expression
 #: would blow up exponentially (measured: analysis hangs at ~30 steps).
+#: The shift clears bits >= 62 first (AND with 2^62-1): DuckDB raises
+#: an overflow error on a signed left shift of a value with bit 62 set,
+#: so a bare `m << 1` would ERROR for any user active on all 63 days;
+#: the masked-off bits cannot contribute to `m & (m << 1)` anyway.
+_Q228_SHIFT = "((m & 4611686018427387903) << 1)"
 _Q228_LADDER = "\n".join(
-    f"    s{k + 1} AS (SELECT user_id, active_days, m & (m << 1) AS m,"
-    f" streak + (CASE WHEN m & (m << 1) <> 0 THEN 1 ELSE 0 END) AS streak"
+    f"    s{k + 1} AS (SELECT user_id, active_days,"
+    f" m & {_Q228_SHIFT} AS m,"
+    f" streak + (CASE WHEN m & {_Q228_SHIFT} <> 0 THEN 1 ELSE 0 END)"
+    f" AS streak"
     f" FROM s{k}),"
-    for k in range(30)
+    for k in range(62)
 )
 _Q228_TAIL_SQL = f"""
     WITH masks AS (
@@ -554,7 +563,7 @@ _Q228_TAIL_SQL = f"""
         FROM masks
     ),
 {_Q228_LADDER}
-    final AS (SELECT user_id, active_days, streak FROM s30)
+    final AS (SELECT user_id, active_days, streak FROM s62)
     SELECT CAST(streak AS BIGINT) AS longest_streak,
            CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(MIN(active_days) AS BIGINT) AS min_active_days,
@@ -584,7 +593,8 @@ def q228_activity_bitmask_streaks(spark: SparkSession, sf_dir: str) -> DataFrame
     at word granularity), then the longest active streak computed by
     pure bit algebra: repeating m &= m << 1 shortens every run of ones
     by one, so the count of non-zero iterates IS the longest run.  The
-    30-step unroll binds each iterate to a lateral column alias (linear
+    62-step unroll (one per possible extra day in the 63-day mask
+    window) binds each iterate to its own CTE level (linear
     plan size; a naive inlining would be exponential), and the SAME
     generated SQL tail runs verbatim on both engines — only the
     day_offset prologue is engine-specific.  Bitmasks turn per-user

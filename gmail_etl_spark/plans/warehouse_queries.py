@@ -206,16 +206,18 @@ def q198_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE user_id < 20
     ),
     changes AS (
-        SELECT user_id, ts, event_type
+        SELECT user_id, event_id, ts, event_type
         FROM ordered
         WHERE prev_type IS NULL OR prev_type <> event_type
     )
     SELECT user_id,
-           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT)
                AS version,
            event_type AS state,
            ts AS valid_from,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to
     FROM changes
     ORDER BY user_id, version
     """,
@@ -241,9 +243,11 @@ def q199_scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_type").isNull()
             | (F.col("prev_type") != F.col("event_type"))
         )
-        .select("user_id", "ts", "event_type")
+        .select("user_id", "event_id", "ts", "event_type")
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tie-break pins a TOTAL order — ts alone leaves version
+    # assignment engine-dependent whenever two change rows share a ts
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         changes.select(
             "user_id",
@@ -423,7 +427,7 @@ def q215_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q219_session_funnel",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, event_id, ts, event_type,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
                                             event_id) > INTERVAL 5 MINUTE
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
@@ -433,7 +437,8 @@ def q215_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts, event_type,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_no
         FROM flagged
     ),
@@ -920,19 +925,20 @@ def q236_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q237_point_in_time_lookup",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, event_id, ts, event_type,
                LAG(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_type
         FROM events
         WHERE user_id < 20
     ),
     changes AS (
-        SELECT user_id, ts, event_type FROM ordered
+        SELECT user_id, event_id, ts, event_type FROM ordered
         WHERE prev_type IS NULL OR prev_type <> event_type
     ),
     versioned AS (
         SELECT user_id, event_type AS state, ts AS valid_from,
-               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
         FROM changes
     )
     SELECT user_id, state, valid_from
@@ -961,9 +967,11 @@ def q237_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_type").isNull()
             | (F.col("prev_type") != F.col("event_type"))
         )
-        .select("user_id", "ts", "event_type")
+        .select("user_id", "event_id", "ts", "event_type")
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tie-break pins a TOTAL order — ts alone leaves version
+    # assignment engine-dependent whenever two change rows share a ts
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     versioned = changes.select(
         "user_id",
         F.col("event_type").alias("state"),
@@ -1063,7 +1071,8 @@ def q238_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN ts < TIMESTAMP '2024-01-01'
                         OR ts >= TIMESTAMP '2024-02-01'
                         THEN 'ts_out_of_window' END,
-                   CASE WHEN json_valid(props) = false OR props IS NULL
+                   CASE WHEN props IS NULL OR json_type(try_cast(props AS JSON))
+                        IS DISTINCT FROM 'OBJECT'
                         THEN 'bad_props_json' END,
                    CASE WHEN user_id IS NULL OR user_id < 0
                         THEN 'bad_user' END) AS reasons
@@ -1105,9 +1114,15 @@ def q241_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp")),
             "ts_out_of_window",
         ),
+        # "parses as a JSON object" on BOTH engines: from_json(map) is
+        # null for invalid JSON and for valid non-object literals
+        # ('null', '123', '[1]') alike, mirroring the oracle's
+        # json_type(try_cast(... AS JSON)) IS DISTINCT FROM 'OBJECT' —
+        # get_json_object('$') would quarantine the literal 'null' that
+        # a bare json_valid() oracle passes.
         F.when(
             F.col("props").isNull()
-            | F.get_json_object("props", "$").isNull(),
+            | F.from_json("props", "map<string,string>").isNull(),
             "bad_props_json",
         ),
         F.when(F.col("user_id").isNull() | (F.col("user_id") < 0), "bad_user"),

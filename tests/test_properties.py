@@ -307,3 +307,52 @@ def test_mann_whitney_matches_naive_ranks(spark):
         n1_got, u1_got = got[et]
         assert n1_got == len(mine)
         assert abs(u1_got - u1) < 0.51, (et, u1_got, u1)
+
+
+def test_bitmask_ladder_long_streaks(spark):
+    """The q228 ladder must count runs BEYOND 31 days — regression for
+    a 30-step unroll that saturated longest_streak at 31 while the mask
+    window admits 63-day runs.  Synthetic users with 40-, 63- and
+    broken-run masks, same shared SQL tail on both engines."""
+    import duckdb
+
+    from gmail_etl_spark.plans.feature_queries import _Q228_TAIL_SQL
+
+    cases = {
+        1: set(range(40)),                  # 40-day run
+        2: set(range(63)),                  # full-window 63-day run
+        3: set(range(10)) | set(range(20, 55)),  # best run 35
+        4: {0, 5, 62},                      # singletons
+    }
+    expected = {}
+    for u, dset in cases.items():
+        best = run = 0
+        for d in range(63):
+            run = run + 1 if d in dset else 0
+            best = max(best, run)
+        expected.setdefault(best, [0, 64, -1])
+        expected[best][0] += 1
+        expected[best][1] = min(expected[best][1], len(dset))
+        expected[best][2] = max(expected[best][2], len(dset))
+    exp_rows = sorted(
+        (k, v[0], v[1], v[2]) for k, v in expected.items()
+    )
+
+    values = ",".join(
+        f"({u}, {d})" for u, dset in cases.items() for d in dset
+    )
+    prologue = (
+        f"WITH events_days(user_id, day_offset) AS (VALUES {values})"
+    )
+    sql = prologue + _Q228_TAIL_SQL.replace("WITH masks AS", ", masks AS", 1)
+    duck = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+    spark_rows = [
+        (
+            r["longest_streak"],
+            r["n_users"],
+            r["min_active_days"],
+            r["max_active_days"],
+        )
+        for r in spark.sql(sql).collect()
+    ]
+    assert duck == exp_rows and spark_rows == exp_rows

@@ -437,3 +437,25 @@ def test_session_batch_plan_shapes(spark):
     p_full = _plan(CATALOG["q199_scd2_state_history"].builder(spark, SF_DIR))
     assert "Join" not in p_full, p_full
     assert p_full.count("hashpartitioning(user_id") == 1, p_full
+
+
+def test_readme_catalog_counts_match_registry():
+    """README's catalog counts are derived from the registry — the doc
+    can't drift from the code (round-3 advice: the counts went stale
+    mid-round)."""
+    import re
+
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+
+    _ensure_loaded()
+    total = len(CATALOG)
+    oracled = sum(1 for q in CATALOG.values() if q.oracle is not None)
+    readme = open("README.md").read()
+    m = re.search(
+        r"(\d+) named queries, (\d+) paired with\s+a DuckDB oracle", readme
+    )
+    assert m, "README catalog-count sentence missing"
+    assert (int(m.group(1)), int(m.group(2))) == (total, oracled), (
+        f"README says {m.group(1)}/{m.group(2)}, registry has "
+        f"{total}/{oracled}"
+    )
