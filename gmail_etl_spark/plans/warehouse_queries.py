@@ -401,19 +401,24 @@ def q215_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop bound (< 4) is the termination guard recursive closures need on
     cyclic graphs; MIN(hops) collapses the path multiset.
 
-    The edge table is materialized and CACHED on the Spark side before
-    the recursion: Spark's recursive execution re-evaluates the
-    recursive term each iteration, and with an inlined CTE that would
-    re-run the corpus-sized transition window per hop (measured 4×:
-    10 s → ~3 s at sf0.01).  Caching the types×types edge table makes
-    each iteration a join against ~20 cached rows — the recursion never
-    touches the corpus again, which is exactly the 100 TB posture.
+    The edge table is MATERIALIZED on the Spark side before the
+    recursion (localCheckpoint, the q47 discipline): Spark's recursive
+    execution re-evaluates the recursive term each iteration, and with
+    an inlined CTE that would re-run the corpus-sized transition window
+    per hop (measured 4×: 10 s → ~3 s at sf0.01).  Pinning the
+    types×types edge table makes each iteration a join against ~20
+    materialized rows — the recursion never touches the corpus again,
+    which is exactly the 100 TB posture.  localCheckpoint instead of
+    cache() because a catalog builder must not leak persistent state:
+    cached entries live in the CacheManager until an explicit
+    unpersist, so a 254-query sweep would accumulate one pinned table
+    per invocation, while checkpoint blocks are released by the
+    ContextCleaner when the DataFrame goes unreferenced.
     This is the SQL-standard face of the repo's iterative operators
     (q47 connected components, q156 PageRank, q181 k-core), for users
     who reach for WITH RECURSIVE first."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    edges = spark.sql(_Q215_EDGES_SQL)
-    edges.cache()
+    edges = spark.sql(_Q215_EDGES_SQL).localCheckpoint(eager=True)
     edges.createOrReplaceTempView("edges")
     return spark.sql(_Q215_CLOSURE_SQL)
 

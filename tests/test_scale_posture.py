@@ -459,3 +459,26 @@ def test_readme_catalog_counts_match_registry():
         f"README says {m.group(1)}/{m.group(2)}, registry has "
         f"{total}/{oracled}"
     )
+
+
+def test_catalog_builders_leave_no_cached_tables(spark):
+    """Catalog builders must not leak CacheManager state: a 254-query
+    sweep invokes every builder in one session, so a single cache()
+    without unpersist() accumulates a pinned table per call (round-3
+    verdict: q215 did exactly that).  Exercise the iterative/
+    materializing builders and assert the cache manager ends empty."""
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    spark.catalog.clearCache()
+    for name in (
+        "q215_recursive_reachability",
+        "q47_near_dup_clusters",
+        "q156_pagerank",
+        "q181_kcore_peel",
+    ):
+        CATALOG[name].builder(spark, SF_DIR).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "a catalog builder left tables in the CacheManager"
+    )
