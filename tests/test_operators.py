@@ -225,6 +225,51 @@ def test_connected_components_long_path_converges(spark):
     assert comp.count() == 64
 
 
+def test_connected_components_canonical_input_and_forest_stop(spark):
+    """canonical_input=True (the LSH-output contract: distinct u<v) must
+    produce identical labels to the default path, the star-forest
+    convergence probe must accept an already-star input without running
+    a round, and a star-forest input with a NON-min root must still be
+    rewired (forest shape alone isn't the fixpoint — root minimality
+    is, which canonical u<v encodes)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (10, 11), (12, 13), (13, 14)],
+        "u long, v long",
+    )
+    base = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, canonical_input=True).collect()
+    }
+    assert base == fast == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (12, 12), (13, 12), (14, 12),
+    }
+    # already a canonical star forest: accepted as-is (and correct)
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (7, 8)], "u long, v long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(star, canonical_input=True).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (8, 7)}
+    # shared leaf: u/v node sets are disjoint but node 9 has TWO roots
+    # — NOT a star forest; the probe must reject it and the rounds must
+    # merge 5,6,9 into one component (regression: a disjointness-only
+    # probe accepted this and emitted two labels for node 9)
+    shared = spark.createDataFrame([(5, 9), (6, 9)], "u long, v long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(shared, canonical_input=True).collect()
+    }
+    assert got == {(5, 5), (6, 5), (9, 5)}
+
+
 def test_near_dedup_keeps_canonical_and_singletons(spark):
     d = _docs(spark, 30).select("doc_id", "text")
     dup = d.filter(F.col("doc_id") < 10).select(
