@@ -9,7 +9,11 @@ equal but the driver's hash does not.  This tool reproduces the strict
 semantics so regressions are caught locally before a driver round.
 
 Usage:
-    python tools/sweep.py [--sf DIR] [query ...]
+    python tools/sweep.py [--sf DIR] [--json OUT] [query ...]
+
+``--json OUT`` additionally writes a per-query artifact
+(name → {status, rows, secs, hash}) so a whole-catalog local sweep is
+committable evidence, not just a terminal scroll.
 """
 
 from __future__ import annotations
@@ -65,6 +69,7 @@ def canon(df) -> tuple[list[str], str, int]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", default=None, help="write per-query results JSON")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -83,6 +88,7 @@ def main() -> int:
 
     names = args.queries or sorted(CATALOG)
     failed = []
+    results: dict[str, dict] = {}
     for name in names:
         cq = CATALOG[name]
         t0 = time.time()
@@ -90,20 +96,34 @@ def main() -> int:
             spdf = cq.builder(spark, args.sf).toPandas()
         except Exception as e:
             failed.append(name)
+            results[name] = {"status": "spark_error", "error": str(e)[:200]}
             print(f"FAIL {name}: spark error {e}")
             continue
         if cq.oracle is None:
+            results[name] = {
+                "status": "rows_only",
+                "spark_rows": len(spdf),
+                "secs": round(time.time() - t0, 2),
+            }
             print(f"ok   {name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             dkdf = con.execute(cq.oracle).df()
         except Exception as e:
             failed.append(name)
+            results[name] = {"status": "oracle_error", "error": str(e)[:200]}
             print(f"FAIL {name}: oracle error {e}")
             continue
         scols, shash, srows = canon(spdf)
         dcols, dhash, drows = canon(dkdf)
         ok = scols == dcols and shash == dhash and srows == drows
+        results[name] = {
+            "status": "match" if ok else "MISMATCH",
+            "spark_rows": srows,
+            "oracle_rows": drows,
+            "value_hash": shash if ok else f"{shash[:16]}!={dhash[:16]}",
+            "secs": round(time.time() - t0, 2),
+        }
         status = "ok  " if ok else "FAIL"
         detail = ""
         if not ok:
@@ -119,6 +139,16 @@ def main() -> int:
     print(f"\n{len(names) - len(failed)}/{len(names)} green")
     if failed:
         print("failed:", " ".join(failed))
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(
+                {"sf_dir": args.sf, "n_queries": len(names),
+                 "n_green": len(names) - len(failed), "queries": results},
+                f, indent=1, sort_keys=True,
+            )
+        print(f"wrote {args.json}")
     return 1 if failed else 0
 
 
