@@ -395,10 +395,14 @@ def connected_components(
             "large-star/small-star needs O(log n) rounds"
         )
     # converged edge set is a star per component: (leaf, root) with root
-    # the component min; the root itself gets its own-label row.
+    # the component min; the root itself gets its own-label row.  The
+    # certified star-forest shape makes a final union-level distinct
+    # redundant: each leaf appears on exactly one edge, roots are
+    # deduped below, and no node is both (probe invariants) — so the
+    # union is disjoint and duplicate-free by construction.
     leaves = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = e.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
-    return leaves.union(roots).distinct()
+    return leaves.union(roots)
 
 
 def near_dedup(
