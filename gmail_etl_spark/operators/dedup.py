@@ -413,9 +413,18 @@ def near_dedup(
     """End-to-end near-dedup: given candidate duplicate pairs (from
     ``minhash_lsh_pairs`` or ``jaccard_pairs``), cluster them with
     connected components and keep one canonical row per cluster (min id)
-    plus every unclustered row.  Returns ``df``'s schema filtered."""
+    plus every unclustered row.  Returns ``df``'s schema filtered.
+
+    Contract: ``pairs`` must be canonical — distinct with
+    ``a_id < b_id`` — which BOTH supported generators guarantee
+    (least/greatest + dropDuplicates in ``minhash_lsh_pairs``;
+    least/greatest + groupBy grain in ``jaccard_pairs``), so the
+    clustering skips one corpus-pairs-sized canonicalization shuffle.
+    Arbitrary hand-built pair sets should go through
+    ``connected_components`` directly instead."""
     comp = connected_components(
-        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")),
+        canonical_input=True,
     )
     return (
         df.join(comp, df[id_col] == comp["node"], "left")
