@@ -356,3 +356,73 @@ def test_bitmask_ladder_long_streaks(spark):
         for r in spark.sql(sql).collect()
     ]
     assert duck == exp_rows and spark_rows == exp_rows
+
+
+def test_recursive_reachability_matches_python_bfs(spark):
+    """q215's shared-SQL formulation pinned against an INDEPENDENT
+    Python implementation: both engines execute the same ANSI text, so
+    the oracle hash can't catch a formulation bug — this BFS can.
+    Recomputes the frequent-transition edge set (lead over (ts,
+    event_id), self-loops dropped, support > 5% of transitions) and
+    the ≤4-hop min-hop closure from the raw fixture rows."""
+    from collections import Counter, deque
+
+    import duckdb
+
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    got = {
+        (r["src"], r["dst"]): r["min_hops"]
+        for r in CATALOG["q215_recursive_reachability"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+            FROM '{SF_DIR}/events.parquet'
+            ORDER BY user_id, t, event_id"""
+    ).fetchall()
+    trans: Counter[tuple[str, str]] = Counter()
+    total = 0
+    prev_user = None
+    prev_type = None
+    for user, _, _, etype in rows:
+        if user == prev_user and prev_type is not None:
+            if prev_type != etype:
+                trans[(prev_type, etype)] += 1
+                total += 1
+        prev_user, prev_type = user, etype
+    edges = {e for e, c in trans.items() if c * 20 > total}
+
+    adj: dict[str, list[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    exp: dict[tuple[str, str], int] = {}
+    for s in adj:
+        # BFS to 4 hops; the closure also reports src->...->src return
+        # cycles (dist 0 is the seed, not a reported row), so the first
+        # re-arrival at s is recorded separately
+        dist = {s: 0}
+        back_to_s = None
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            hops = dist[u]
+            if hops >= 4:
+                continue
+            for v in adj.get(u, []):
+                if v == s and back_to_s is None:
+                    back_to_s = hops + 1
+                if v not in dist:
+                    dist[v] = hops + 1
+                    q.append(v)
+        for node, hops in dist.items():
+            if node != s:
+                exp[(s, node)] = hops
+        if back_to_s is not None:
+            exp[(s, s)] = back_to_s
+
+    assert got == exp and len(exp) > 0
