@@ -482,3 +482,39 @@ def test_catalog_builders_leave_no_cached_tables(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "a catalog builder left tables in the CacheManager"
     )
+
+
+def test_sweep_priority_covers_catalog_and_frontloads_backlog():
+    """The driver verifies queries in ``queries()`` iteration order
+    under a ~50-row budget, so the priority list IS the evidence
+    mechanism: it must name every catalog query exactly once, and every
+    query with no driver CORRECTNESS row yet must come before every
+    query that already has one (rounds 1-3 committed artifacts)."""
+    import json
+
+    from gmail_etl_spark.plans.catalog import (
+        CATALOG,
+        _SWEEP_PRIORITY,
+        _ensure_loaded,
+        _sweep_order,
+    )
+
+    _ensure_loaded()
+    assert len(_SWEEP_PRIORITY) == len(set(_SWEEP_PRIORITY)), "duplicate names"
+    unknown = [n for n in _SWEEP_PRIORITY if n not in CATALOG]
+    assert not unknown, f"priority names not in catalog: {unknown}"
+    order = _sweep_order()
+    assert sorted(order) == sorted(CATALOG), "sweep order must cover catalog"
+
+    tested: set[str] = set()
+    for r in (1, 2, 3):
+        tested |= set(json.load(open(f"CORRECTNESS_r0{r}.json")))
+    seen_tested = False
+    for name in order:
+        if name in tested:
+            seen_tested = True
+        else:
+            assert not seen_tested, (
+                f"never-driver-tested {name} ordered after an "
+                "already-tested query — backlog must be front-loaded"
+            )
