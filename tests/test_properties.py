@@ -426,3 +426,66 @@ def test_recursive_reachability_matches_python_bfs(spark):
             exp[(s, s)] = back_to_s
 
     assert got == exp and len(exp) > 0
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Seeded structural fuzz of the round-4 CC surgery (star-forest
+    probe, do-while, canonical fast path): random graphs of adversarial
+    shapes — sparse, dense, long chains, shared-leaf bipartites, stars,
+    self-loops/duplicates — labeled identically to a Python union-find,
+    through BOTH the default and the canonical_input entry (fed
+    canonicalized edges)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gmail_etl_spark.operators.dedup import connected_components
+
+    rng = random.Random(20260814)
+
+    def union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(members) for members in comp.values() for n in members}
+
+    shapes = []
+    for trial in range(4):
+        n = rng.randint(5, 60)
+        m = rng.randint(1, 3 * n)
+        shapes.append([(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)])
+    shapes.append([(i, i + 1) for i in range(40)])              # long chain
+    shapes.append([(0, i) for i in range(1, 30)])               # one star
+    shapes.append([(i, 100) for i in range(5)]
+                  + [(i, 200) for i in range(3, 8)])            # shared leaves
+    shapes.append([(1, 1), (2, 3), (3, 2), (2, 3)])             # loops + dups
+
+    for edges in shapes:
+        clean = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+        if not clean:
+            continue
+        nodes = {x for e in clean for x in e}
+        expected = union_find(clean, nodes)
+
+        df = spark.createDataFrame(list(edges), "u long, v long")
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        cdf = spark.createDataFrame(sorted(clean), "u long, v long")
+        got_fast = {
+            (r["node"], r["component"])
+            for r in connected_components(cdf, canonical_input=True).collect()
+        }
+        exp = set(expected.items())
+        assert got == exp and got_fast == exp, (edges, got, exp)
