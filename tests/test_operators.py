@@ -1279,3 +1279,26 @@ def test_persisted_ivf_index_roundtrip(spark, tmp_path):
         F.col("cluster").isin(probe_set))
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_minhash_verify_strategy_independence(spark):
+    """broadcast_verify is a physical-plan knob ONLY: the broadcast and
+    shuffle_hash verify paths must emit the identical pair set with
+    identical jaccard values — the machine-checked claim behind using
+    broadcast in the 100k-doc bench while corpus-scale callers keep the
+    default."""
+    d = _docs(spark, 120).select("doc_id", "text")
+    near = d.select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 2, 100000)).alias("text"),
+    )
+    corpus = d.unionByName(near)
+    out = {}
+    for bv in (False, True):
+        out[bv] = {
+            (r["a_id"], r["b_id"]): round(r["jaccard"], 9)
+            for r in minhash_lsh_pairs(
+                corpus, "doc_id", "text", threshold=0.3, broadcast_verify=bv
+            ).collect()
+        }
+    assert out[False] == out[True] and len(out[True]) > 0
