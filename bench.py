@@ -161,7 +161,10 @@ def main() -> None:
 
     _dedup_run()  # warm
     best = float("inf")
-    for _ in range(5):
+    # 7 repeats (vs 5 for the sub-second entries): this is the only
+    # multi-second entry, so a single co-tenant noise burst can shadow
+    # several repeats; the minimum over 7 is the steady-state estimator
+    for _ in range(7):
         t0 = time.perf_counter()
         _dedup_run()
         best = min(best, time.perf_counter() - t0)
