@@ -285,3 +285,63 @@ def test_spike_detector_multi_chunk_batch(spark, tmp_path):
         n, total = n + 1, total + int(r.cents)
 
     assert got == exp and len(exp) > 0
+
+
+def test_spike_detector_multi_user_multi_chunk(spark, tmp_path):
+    """Combined stress: many users per batch AND chunked Arrow delivery
+    (maxRecordsPerBatch=32) — group rows interleave across chunk
+    boundaries, so both the per-group concat and the cross-group state
+    isolation are exercised at once."""
+    import pandas as pd
+
+    from gmail_etl_spark.streaming.stateful import detect_value_spikes
+    from tests.conftest import SF_DIR
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = (
+        pd.read_parquet(f"{SF_DIR}/events.parquet")
+        .head(600)
+        .reset_index(drop=True)
+    )
+    base["user_id"] = base.index % 7  # 7 interleaved users
+    base.sort_values("value", ascending=False).to_parquet(src / "0.parquet")
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    try:
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double, props string"
+        ).parquet(str(src))
+        q = (
+            detect_value_spikes(stream)
+            .writeStream.format("memory")
+            .queryName("spikes_mu")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["user_id"], r["event_id"]): (
+                r["value_cents"],
+                r["running_mean_cents"],
+            )
+            for r in spark.sql("select * from spikes_mu").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    exp = {}
+    state: dict[int, tuple[int, int]] = {}
+    pdf = base.copy()
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+        n, total = state.get(r.user_id, (0, 0))
+        if n >= 3 and r.cents * n > 3 * total:
+            exp[(r.user_id, r.event_id)] = (int(r.cents), total // n)
+        state[r.user_id] = (n + 1, total + int(r.cents))
+
+    assert got == exp and len(exp) > 0
