@@ -151,66 +151,44 @@ def query(
 #: budget.  Policy: never-driver-tested entries first, then the rows the
 #: driver has not re-checked for the longest time — so evidence coverage
 #: grows every round and stale rows rotate back into the budget.
-#: Round-4 order (evidence round — catalog frozen at 254): (1) all 111
-#: queries with no driver CORRECTNESS row yet, in registration order,
-#: so the driver's ~50-row budget is spent entirely on the backlog;
-#: (2) rows last verified in round 1 (stalest); (3) round 2; (4) round
-#: 3 (freshest).  Generated from CORRECTNESS_r0{1,2,3}.json.
+#: Round-5 order (catalog frozen at 254): (1) the 61 queries with no
+#: driver CORRECTNESS row yet (q194+ tail, registration order) — the
+#: driver's ~50-row budget lands entirely here; (2) rows last verified
+#: in round 1 (stalest); (3) round 2; (4) round 3; (5) round 4
+#: (freshest).  Generated from CORRECTNESS_r0{1,2,3,4}.json by
+#: tools/gen_sweep_priority.py.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # -- (1) never driver-tested: the 111-query backlog (q134+ tail;
-    # includes the sketch suite q169/q176/q177/q183/q191 inside the
-    # 50-row budget window) --
-    "q134_bpe_merge_candidates", "q136_ivf_pq_topk",
-    "q137_domain_quality_rollup", "q140_profile_columns",
-    "q141_shard_assignment", "q145_feature_hashing",
-    "q146_compression_ratio", "q148_curation_funnel",
-    "q149_multimodal_assembly", "q150_matryoshka_truncate",
-    "q151_curriculum_deciles", "q152_token_budget_selection",
-    "q154_dup_graph_triangles", "q155_event_trigrams",
-    "q158_zorder_layout", "q159_weighted_sample", "q160_langid_confusion",
-    "q161_normalize_text", "q162_embedding_outliers",
-    "q163_dedup_keep_best", "q164_token_pmi", "q165_late_data_audit",
-    "q166_recency_decay_scores", "q167_ab_proportion_test",
-    "q168_cluster_size_histogram", "q169_hll_sketch_rollup",
-    "q170_daily_value_deltas", "q171_slo_percentile_bands",
-    "q172_erasure_impact", "q173_chat_template_render", "q174_corpus_diff",
-    "q175_novelty_curve", "q178_heavy_hitter_shingles",
-    "q179_join_key_skew_audit", "q180_incremental_agg_merge",
-    "q181_kcore_peel", "q182_gap_fill_locf", "q176_kll_quantile_rollup",
-    "q177_theta_source_overlap", "q183_cms_probe_counts",
-    "q184_bigram_lm_nll", "q185_ansi_sql_parity", "q186_udtf_chunk_spans",
-    "q187_daily_value_drift", "q188_jaro_winkler_linkage",
-    "q189_session_association_rules", "q190_pca_project",
-    "q191_hll_cube_users", "q192_hard_negatives", "q193_rule_ablation",
-    "q194_bm25_scores", "q195_rrf_hybrid", "q196_retrieval_ndcg",
-    "q197_funnel_conversion", "q198_cohort_retention",
-    "q199_scd2_state_history", "q200_merge_upsert",
+    # -- (1) never driver-tested: the 61-query tail --
+    "q194_bm25_scores", "q195_rrf_hybrid", "q247_threshold_sensitivity",
+    "q196_retrieval_ndcg", "q197_funnel_conversion",
+    "q198_cohort_retention", "q199_scd2_state_history",
+    "q200_merge_upsert", "q215_recursive_reachability",
+    "q219_session_funnel", "q226_spatial_bucket_join",
+    "q227_time_to_convert", "q234_activity_heatmap",
+    "q235_negative_edge_samples", "q236_calibration_bins",
+    "q237_point_in_time_lookup", "q238_activity_islands",
+    "q241_validation_quarantine", "q242_bounded_conversion",
+    "q251_rfm_segmentation", "q252_burstiness_audit",
     "q201_acf_daily_counts", "q202_cusum_changepoint",
     "q203_moment_shape_stats", "q204_k_anonymity_audit",
     "q205_distribution_drift", "q206_gini_concentration",
-    "q207_benford_audit", "q208_ewma_smoothing", "q209_quantile_normalize",
+    "q207_benford_audit", "q208_ewma_smoothing", "q212_ks_drift_test",
+    "q213_mann_whitney_u", "q214_churn_hazard", "q220_pareto_frontier",
+    "q221_daily_anomaly_flags", "q222_sampled_sum_estimate",
+    "q223_exact_order_statistics", "q224_walk_forward_forecast",
+    "q225_bollinger_breakouts", "q232_weighted_median",
+    "q233_dedup_savings", "q239_cuped_adjustment",
+    "q240_quantile_treatment_effect", "q243_power_analysis",
+    "q244_simpson_check", "q246_median_confidence_interval",
+    "q248_wilson_error_rates", "q249_source_concentration",
+    "q250_sequential_monitoring", "q253_dow_adjusted_anomalies",
+    "q254_peak_concurrency", "q209_quantile_normalize",
     "q210_nb_token_likelihoods", "q211_chi2_feature_selection",
-    "q212_ks_drift_test", "q213_mann_whitney_u", "q214_churn_hazard",
-    "q215_recursive_reachability", "q216_window_distribution_suite",
-    "q217_unpivot_round_trip", "q218_roc_auc", "q219_session_funnel",
-    "q220_pareto_frontier", "q221_daily_anomaly_flags",
-    "q222_sampled_sum_estimate", "q223_exact_order_statistics",
-    "q224_walk_forward_forecast", "q225_bollinger_breakouts",
-    "q226_spatial_bucket_join", "q227_time_to_convert",
-    "q228_activity_bitmask_streaks", "q229_capped_running_balance",
-    "q230_best_stump_threshold", "q231_sorted_group_concat",
-    "q232_weighted_median", "q233_dedup_savings", "q234_activity_heatmap",
-    "q235_negative_edge_samples", "q236_calibration_bins",
-    "q237_point_in_time_lookup", "q238_activity_islands",
-    "q239_cuped_adjustment", "q240_quantile_treatment_effect",
-    "q241_validation_quarantine", "q242_bounded_conversion",
-    "q243_power_analysis", "q244_simpson_check",
-    "q245_levenshtein_linkage", "q246_median_confidence_interval",
-    "q247_threshold_sensitivity", "q248_wilson_error_rates",
-    "q249_source_concentration", "q250_sequential_monitoring",
-    "q251_rfm_segmentation", "q252_burstiness_audit",
-    "q253_dow_adjusted_anomalies", "q254_peak_concurrency",
-    # -- (2) stale: last driver-verified in round 1 --
+    "q216_window_distribution_suite", "q217_unpivot_round_trip",
+    "q218_roc_auc", "q228_activity_bitmask_streaks",
+    "q229_capped_running_balance", "q230_best_stump_threshold",
+    "q231_sorted_group_concat", "q245_levenshtein_linkage",
+    # -- (2) last verified round 1 (stalest, 49) --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",
     "q06_order_size_histogram", "q07_top_orders_per_customer",
@@ -218,57 +196,84 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q10_distinct_flags", "q11_intersect_custkeys", "q12_except_custkeys",
     "q13_rollup_flags", "q14_conditional_agg", "q15_segment_stats",
     "q16_extract_batch", "q17_cube_status_priority", "q18_pivot_status",
-    "q19_quantity_percentiles", "q20_string_kernels", "q21_regex_sanitize",
-    "q22_base64_roundtrip", "q23_date_kernels", "q24_json_extract",
-    "q25_header_pivot", "q27_array_hof", "q28_regexp_extract",
+    "q19_quantity_percentiles", "q80_window_lag_lead",
+    "q81_window_range_frame", "q82_window_distribution",
+    "q83_approx_count_distinct", "q84_approx_percentile",
+    "q85_scalar_subquery", "q86_correlated_subquery",
+    "q89_full_outer_join", "q90_cross_join_grid", "q91_min_by_max_by",
     "q56_shipping_priority", "q57_forecast_revenue", "q58_returned_items",
-    "q76_large_orders", "q77_promo_revenue_share", "q78_window_navigation",
-    "q80_window_lag_lead", "q81_window_range_frame",
-    "q82_window_distribution", "q83_approx_count_distinct",
-    "q84_approx_percentile", "q85_scalar_subquery",
-    "q86_correlated_subquery", "q89_full_outer_join",
-    "q90_cross_join_grid", "q91_min_by_max_by", "q92_cohort_retention",
-    "q99_top_supplier", "q100_monthly_revenue_dense",
-    "q104_nation_revenue_share", "q108_small_qty_revenue",
-    "q109_dormant_customers",
-    # -- (3) last driver-verified in round 2 --
-    "q103_grouping_sets", "q40_dedup_exact", "q41_dedup_canonical_rows",
-    "q42_ledger_anti_join", "q43_jaccard_pairs", "q46_embedding_near_dup",
-    "q50_knn_exact", "q51_knn_ivf", "q52_label_centroids",
-    "q53_knn_vectorized", "q74_source_overlap", "q103_winnow_fingerprint",
-    "q104_winnow_near_dup_pairs", "q112_tfidf_cosine_pairs",
-    "q113_incremental_near_dup", "q47_near_dup_clusters", "q48_near_dedup",
-    "q31_token_stats", "q32_token_freq", "q33_quality_score",
-    "q34_fingerprint", "q35_langid_features", "q36_token_count_bpe",
-    "q37_rolling_hash", "q38_levenshtein", "q55_quality_filter_rules",
-    "q69_approx_top_tokens", "q71_chunk_documents", "q73_value_outliers",
-    "q93_tfidf_top_terms", "q98_repetition_score", "q102_token_edit_pairs",
-    "q105_unigram_lm_nll", "q60_tumbling_window", "q61_sliding_window",
-    "q62_session_window", "q63_first_event_per_key", "q64_asof_join",
-    "q65_range_join", "q66_time_rollup", "q67_event_funnel",
+    "q76_large_orders", "q78_window_navigation",
+    "q77_promo_revenue_share", "q92_cohort_retention", "q99_top_supplier",
+    "q100_monthly_revenue_dense", "q104_nation_revenue_share",
+    "q108_small_qty_revenue", "q109_dormant_customers",
+    "q20_string_kernels", "q21_regex_sanitize", "q22_base64_roundtrip",
+    "q23_date_kernels", "q24_json_extract", "q25_header_pivot",
+    "q27_array_hof", "q28_regexp_extract",
+    # -- (3) last verified round 2 (44) --
+    "q103_grouping_sets", "q31_token_stats", "q32_token_freq",
+    "q33_quality_score", "q34_fingerprint", "q35_langid_features",
+    "q36_token_count_bpe", "q37_rolling_hash", "q38_levenshtein",
+    "q93_tfidf_top_terms", "q55_quality_filter_rules",
+    "q69_approx_top_tokens", "q71_chunk_documents",
+    "q98_repetition_score", "q103_winnow_fingerprint",
+    "q102_token_edit_pairs", "q105_unigram_lm_nll",
+    "q112_tfidf_cosine_pairs", "q40_dedup_exact",
+    "q41_dedup_canonical_rows", "q42_ledger_anti_join",
+    "q43_jaccard_pairs", "q47_near_dup_clusters", "q48_near_dedup",
+    "q74_source_overlap", "q104_winnow_near_dup_pairs",
+    "q113_incremental_near_dup", "q50_knn_exact", "q51_knn_ivf",
+    "q53_knn_vectorized", "q46_embedding_near_dup", "q52_label_centroids",
+    "q60_tumbling_window", "q61_sliding_window", "q62_session_window",
+    "q63_first_event_per_key", "q67_event_funnel", "q73_value_outliers",
     "q111_event_transitions", "q26_multimodal_features",
-    "q29_frame_sample",
-    # -- (4) freshest: verified green in round 3 --
-    "q30_lang_stats", "q39_langid_classify", "q68_winsorized_stats",
-    "q97_contamination", "q101_encode_tokens", "q114_mad_outliers",
-    "q70_gmail_stage1", "q120_volume_shipping", "q121_market_share",
-    "q122_supplier_profit", "q123_part_supplier_counts", "q124_custdist",
-    "q125_quality_classifier", "q126_priority_linestatus",
-    "q127_disjunctive_revenue", "q128_dominant_suppliers",
-    "q129_waiting_suppliers", "q130_min_cost_supplier",
-    "q131_important_parts", "q115_audio_features", "q116_pii_redact",
-    "q117_url_domains", "q118_boilerplate_lines", "q119_int8_quantize",
-    "q79_arrow_histogram", "q87_grouped_agg_udaf",
-    "q88_grouped_map_sequence", "q94_hash_split", "q95_per_class_cap",
-    "q106_media_resize", "q107_source_mixing_weights", "q44_minhash_lsh",
-    "q45_simhash", "q54_hyperplane_lsh", "q72_pack_sequences",
-    "q75_kmeans_cells", "q96_stratified_sample", "q110_semantic_dedup",
-    "q132_pq_adc_topk", "q157_jaccard_prefix_join",
-    "q143_image_near_dup_pairs", "q142_image_dhash",
-    "q144_audio_fingerprint", "q156_pagerank", "q153_source_token_entropy",
-    "q138_salted_skew_join", "q147_two_phase_agg",
-    "q133_repeated_ngram_spans", "q139_remove_dup_spans",
-    "q135_jl_projection",
+    "q29_frame_sample", "q64_asof_join", "q65_range_join",
+    "q66_time_rollup",
+    # -- (4) last verified round 3 (50) --
+    "q120_volume_shipping", "q121_market_share", "q122_supplier_profit",
+    "q123_part_supplier_counts", "q124_custdist",
+    "q126_priority_linestatus", "q127_disjunctive_revenue",
+    "q128_dominant_suppliers", "q129_waiting_suppliers",
+    "q130_min_cost_supplier", "q131_important_parts",
+    "q87_grouped_agg_udaf", "q88_grouped_map_sequence", "q30_lang_stats",
+    "q39_langid_classify", "q101_encode_tokens", "q116_pii_redact",
+    "q117_url_domains", "q118_boilerplate_lines",
+    "q125_quality_classifier", "q153_source_token_entropy",
+    "q44_minhash_lsh", "q45_simhash", "q133_repeated_ngram_spans",
+    "q139_remove_dup_spans", "q156_pagerank", "q157_jaccard_prefix_join",
+    "q54_hyperplane_lsh", "q75_kmeans_cells", "q110_semantic_dedup",
+    "q119_int8_quantize", "q132_pq_adc_topk", "q135_jl_projection",
+    "q68_winsorized_stats", "q79_arrow_histogram", "q114_mad_outliers",
+    "q138_salted_skew_join", "q147_two_phase_agg", "q70_gmail_stage1",
+    "q106_media_resize", "q115_audio_features", "q142_image_dhash",
+    "q143_image_near_dup_pairs", "q144_audio_fingerprint",
+    "q94_hash_split", "q95_per_class_cap", "q96_stratified_sample",
+    "q97_contamination", "q72_pack_sequences",
+    "q107_source_mixing_weights",
+    # -- (5) last verified round 4 (freshest, 50) --
+    "q158_zorder_layout", "q179_join_key_skew_audit",
+    "q185_ansi_sql_parity", "q140_profile_columns",
+    "q134_bpe_merge_candidates", "q137_domain_quality_rollup",
+    "q145_feature_hashing", "q146_compression_ratio",
+    "q160_langid_confusion", "q161_normalize_text", "q164_token_pmi",
+    "q173_chat_template_render", "q178_heavy_hitter_shingles",
+    "q184_bigram_lm_nll", "q186_udtf_chunk_spans",
+    "q188_jaro_winkler_linkage", "q193_rule_ablation",
+    "q154_dup_graph_triangles", "q163_dedup_keep_best",
+    "q168_cluster_size_histogram", "q174_corpus_diff",
+    "q175_novelty_curve", "q177_theta_source_overlap", "q181_kcore_peel",
+    "q136_ivf_pq_topk", "q150_matryoshka_truncate",
+    "q162_embedding_outliers", "q190_pca_project", "q192_hard_negatives",
+    "q155_event_trigrams", "q165_late_data_audit",
+    "q166_recency_decay_scores", "q167_ab_proportion_test",
+    "q169_hll_sketch_rollup", "q170_daily_value_deltas",
+    "q171_slo_percentile_bands", "q176_kll_quantile_rollup",
+    "q180_incremental_agg_merge", "q182_gap_fill_locf",
+    "q183_cms_probe_counts", "q187_daily_value_drift",
+    "q189_session_association_rules", "q191_hll_cube_users",
+    "q149_multimodal_assembly", "q141_shard_assignment",
+    "q148_curation_funnel", "q151_curriculum_deciles",
+    "q152_token_budget_selection", "q159_weighted_sample",
+    "q172_erasure_impact",
 )
 
 

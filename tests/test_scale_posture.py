@@ -489,7 +489,7 @@ def test_sweep_priority_covers_catalog_and_frontloads_backlog():
     under a ~50-row budget, so the priority list IS the evidence
     mechanism: it must name every catalog query exactly once, and every
     query with no driver CORRECTNESS row yet must come before every
-    query that already has one (rounds 1-3 committed artifacts)."""
+    query that already has one (rounds 1-4 committed artifacts)."""
     import json
 
     from gmail_etl_spark.plans.catalog import (
@@ -507,7 +507,7 @@ def test_sweep_priority_covers_catalog_and_frontloads_backlog():
     assert sorted(order) == sorted(CATALOG), "sweep order must cover catalog"
 
     tested: set[str] = set()
-    for r in (1, 2, 3):
+    for r in (1, 2, 3, 4):
         tested |= set(json.load(open(f"CORRECTNESS_r0{r}.json")))
     seen_tested = False
     for name in order:
