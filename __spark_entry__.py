@@ -14,7 +14,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gmail_etl_spark.plans.catalog import oracle_map, query_map
+from gmail_etl_spark.plans.catalog import (
+    oracle_map,
+    query_map,
+    rows_only_reason_map,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,3 +33,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return oracle_map()
+
+
+def rows_only_reasons() -> dict[str, str]:
+    """name -> rationale for every ``queries()`` entry deliberately
+    absent from ``oracle_sql()`` (the driver records those as
+    ``err:"no_oracle"``).  Each reason states why no exact SQL oracle
+    can exist for the operator and which local invariant/recall/
+    error-bound test covers it instead."""
+    return rows_only_reason_map()

@@ -177,6 +177,25 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+        # noise protocol (VERDICT r4 #7): one run on a shared host is
+        # interpretable only against the load it ran under — emit the
+        # 1/5/15-min loadavg and the per-entry repeat counts so the
+        # committed figure can be read against the documented band
+        # (near-dedup measured 8.0-10.7 s across same-code runs under
+        # loadavg 4-8; structural floor ~7.2 s on a quiet host).
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "repeats": {
+            "headline_queries": 3,
+            "gmail_pipeline_20k_msgs": 3,
+            "knn_100k_vectorized": 5,
+            "near_dedup_100k_docs": 7,
+        },
+        # methodology (ADVICE r4): since round 4 the near-dedup entry
+        # measures the broadcast_verify=True / canonical_input=True
+        # fast path with best-of-7 minimums; r1-r3 artifacts measured
+        # the default shuffle-verify path best-of-3 and are not
+        # directly comparable for that entry.
+        "near_dedup_path": "broadcast_verify+canonical_input (since r4)",
     }
     print(json.dumps(out))
 

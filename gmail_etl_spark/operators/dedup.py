@@ -391,8 +391,9 @@ def connected_components(
         # truncated output would be silently-wrong partial components
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
-            "rounds (edge-set checksum still changing); raise max_iter — "
-            "large-star/small-star needs O(log n) rounds"
+            "rounds (edge set is not yet a star forest per the structural "
+            "probe); raise max_iter — large-star/small-star needs O(log n) "
+            "rounds"
         )
     # converged edge set is a star per component: (leaf, root) with root
     # the component min; the root itself gets its own-label row.  The

@@ -95,6 +95,11 @@ class CatalogQuery:
     #: include in bench.py's headline set
     headline: bool = False
     tags: tuple[str, ...] = field(default_factory=tuple)
+    #: REQUIRED when ``oracle is None``: why no exact SQL oracle exists
+    #: and which local gate covers the query instead.  Surfaced through
+    #: ``__spark_entry__.rows_only_reasons()`` so a driver ``no_oracle``
+    #: row is self-explaining without COVERAGE.md in hand.
+    rows_only_reason: str | None = None
 
 
 CATALOG: dict[str, CatalogQuery] = {}
@@ -128,6 +133,7 @@ def query(
     survey: str = "",
     headline: bool = False,
     tags: tuple[str, ...] = (),
+    rows_only_reason: str | None = None,
 ):
     """Decorator registering a (spark, sf_dir) -> DataFrame builder."""
 
@@ -139,11 +145,27 @@ def query(
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
         CATALOG[name] = CatalogQuery(
-            name=name, builder=wrapped, oracle=oracle, survey=survey, headline=headline, tags=tags
+            name=name,
+            builder=wrapped,
+            oracle=oracle,
+            survey=survey,
+            headline=headline,
+            tags=tags,
+            rows_only_reason=rows_only_reason,
         )
         return fn
 
     return deco
+
+
+def rows_only_reason_map() -> dict[str, str]:
+    """name -> rationale for every catalog query without a SQL oracle."""
+    _ensure_loaded()
+    return {
+        name: cq.rows_only_reason
+        for name, cq in CATALOG.items()
+        if cq.oracle is None and cq.rows_only_reason
+    }
 
 
 #: Deliberate sweep order for the driver's correctness harness, which

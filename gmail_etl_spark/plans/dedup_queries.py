@@ -141,6 +141,12 @@ def q43_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q44_minhash_lsh",
     oracle=None,  # approximate recall — verified against q43 in tests
     survey="D2",
+    rows_only_reason=(
+        "MinHash banding is probabilistic (recall < 1 by design), so no "
+        "SQL oracle reproduces the candidate set; gated locally by "
+        "recall>=0.9 vs the exact-Jaccard q43 pairs and a "
+        "no-false-positive property test"
+    ),
 )
 def q44_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
@@ -248,7 +254,16 @@ def q48_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q45_simhash", oracle=None, survey="D2")
+@query(
+    "q45_simhash",
+    oracle=None,
+    survey="D2",
+    rows_only_reason=(
+        "SimHash near-dup candidates are probabilistic (Hamming-ball "
+        "recall < 1); gated by recall/no-false-positive property tests "
+        "against exact similarity"
+    ),
+)
 def q45_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmail_etl_spark.operators.dedup import simhash_signatures
 
@@ -1226,7 +1241,15 @@ def q175_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q177_theta_source_overlap", oracle=None, survey="D2,X3")
+@query(
+    "q177_theta_source_overlap",
+    oracle=None,
+    survey="D2,X3",
+    rows_only_reason=(
+        "DuckDB has no theta-sketch set algebra; gated by a <=5%-error "
+        "test against exact set union/intersection/difference"
+    ),
+)
 def q177_theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-space form of q74's contamination matrix: one theta
     sketch of the distinct 3-shingle set per source

@@ -873,7 +873,15 @@ def q167_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q169_hll_sketch_rollup", oracle=None, survey="2.5-agg,X5")
+@query(
+    "q169_hll_sketch_rollup",
+    oracle=None,
+    survey="2.5-agg,X5",
+    rows_only_reason=(
+        "DuckDB cannot build/merge Spark's HLL sketch binaries; gated by "
+        "a <=5%-error test vs exact distinct counts at every grain"
+    ),
+)
 def q169_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch re-aggregation pattern that makes distinct counts
     composable at 100 TB: build an HLL sketch of user_id per 10-minute
@@ -1017,7 +1025,15 @@ def q171_slo_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q176_kll_quantile_rollup", oracle=None, survey="2.5-agg,X5")
+@query(
+    "q176_kll_quantile_rollup",
+    oracle=None,
+    survey="2.5-agg,X5",
+    rows_only_reason=(
+        "DuckDB has no mergeable KLL quantile sketch; gated by a <=3% "
+        "rank-error test vs exact percentiles"
+    ),
+)
 def q176_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quantile companion to q169's HLL rollup: a KLL doubles sketch
     of `value` per 10-minute window (`kll_sketch_agg_double`, k=400),
@@ -1237,7 +1253,16 @@ def q182_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q183_cms_probe_counts", oracle=None, survey="2.5-agg,X5")
+@query(
+    "q183_cms_probe_counts",
+    oracle=None,
+    survey="2.5-agg,X5",
+    rows_only_reason=(
+        "count-min sketch estimates overcount by design (no DuckDB "
+        "equivalent); gated by never-undercount + eps*N bound tests vs "
+        "exact counts"
+    ),
+)
 def q183_cms_probe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point lookups: one `count_min_sketch` aggregate
     (eps=0.001, confidence=0.99, fixed seed) compresses the full
@@ -1495,7 +1520,15 @@ def q189_session_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 
-@query("q191_hll_cube_users", oracle=None, survey="2.5-agg,X5")
+@query(
+    "q191_hll_cube_users",
+    oracle=None,
+    survey="2.5-agg,X5",
+    rows_only_reason=(
+        "sketch-cube grains are HLL binary merges DuckDB cannot "
+        "reproduce; gated by merged-equals-one-shot exactness tests"
+    ),
+)
 def q191_hll_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cube counterpart to q169's rollup: distinct users at all four
     grains of (event_type × day) — leaf, by-type, by-day, grand total —

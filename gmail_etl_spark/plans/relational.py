@@ -783,7 +783,16 @@ def q82_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q83_approx_count_distinct", oracle=None, survey="2.5-approx")
+@query(
+    "q83_approx_count_distinct",
+    oracle=None,
+    survey="2.5-approx",
+    rows_only_reason=(
+        "Spark HLL++ and DuckDB approx_count_distinct use different "
+        "sketches, so estimates differ engine-to-engine; gated by a "
+        "relative-error test vs exact COUNT(DISTINCT)"
+    ),
+)
 def q83_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts: the sketch that replaces exact
     COUNT(DISTINCT) at 100 TB (mergeable, fixed memory, one pass —
@@ -799,7 +808,16 @@ def q83_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q84_approx_percentile", oracle=None, survey="2.5-approx")
+@query(
+    "q84_approx_percentile",
+    oracle=None,
+    survey="2.5-approx",
+    rows_only_reason=(
+        "approx_percentile sketches are engine-specific (Spark GK vs "
+        "DuckDB t-digest); gated by a rank-error test vs exact "
+        "percentiles"
+    ),
+)
 def q84_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL/GK-style approximate percentiles (percentile_approx): the
     single-pass mergeable form of q19's exact interpolated percentiles."""

@@ -82,7 +82,15 @@ def q95_per_class_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q96_stratified_sample", oracle=None, survey="sampling")
+@query(
+    "q96_stratified_sample",
+    oracle=None,
+    survey="sampling",
+    rows_only_reason=(
+        "sampleBy draws depend on Spark's seeded RNG stream, which no "
+        "SQL engine replays; gated by per-stratum proportion tests"
+    ),
+)
 def q96_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform 50% per-language sample via the scalar-fraction form —
     no driver-side enumeration of the language domain, so the plan is a
@@ -146,7 +154,16 @@ def q97_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q72_pack_sequences", oracle=None, survey="X3,2.7-udf")
+@query(
+    "q72_pack_sequences",
+    oracle=None,
+    survey="X3,2.7-udf",
+    rows_only_reason=(
+        "first-fit-decreasing packing is order-dependent within "
+        "partitions (any valid packing is correct); gated by capacity/ "
+        "coverage invariant tests"
+    ),
+)
 def q72_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk the corpus (q71 shape) then pack chunks into ≤64-token
     training sequences with first-fit-decreasing inside hash buckets —

@@ -127,7 +127,15 @@ def q53_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q54_hyperplane_lsh", oracle=None, survey="X1,D2")
+@query(
+    "q54_hyperplane_lsh",
+    oracle=None,
+    survey="X1,D2",
+    rows_only_reason=(
+        "sign-random-projection LSH candidates are probabilistic; gated "
+        "by recall + no-false-positive tests vs exact cosine"
+    ),
+)
 def q54_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs without the O(n²) cross join: hyperplane
     LSH bucket join + exact-cosine verify (no false positives).  Corpus
@@ -240,7 +248,15 @@ def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q75_kmeans_cells", oracle=None, survey="X1")
+@query(
+    "q75_kmeans_cells",
+    oracle=None,
+    survey="X1",
+    rows_only_reason=(
+        "iterative Lloyd's k-means has no SQL formulation; gated by "
+        "determinism, nearest-centroid, and inertia-descent tests"
+    ),
+)
 def q75_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the IVF coarse quantizer (deterministic Lloyd's, k=8,
     3 iterations) and emit each vector's learned cell — the input the
@@ -252,7 +268,16 @@ def q75_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.select(F.col("id").alias("vec_id"), "cluster").orderBy("vec_id")
 
 
-@query("q110_semantic_dedup", oracle=None, survey="D2,X1")
+@query(
+    "q110_semantic_dedup",
+    oracle=None,
+    survey="D2,X1",
+    rows_only_reason=(
+        "SemDeDup keep-set depends on k-means cell assignment (iterative, "
+        "non-SQL); cosine-component and keep-one-per-cluster invariants "
+        "tested locally"
+    ),
+)
 def q110_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup: k-means cells bound the pairwise
     comparison, cosine >= 0.995 pairs cluster via connected components,
@@ -385,7 +410,15 @@ def q119_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q132_pq_adc_topk", oracle=None, survey="X1")
+@query(
+    "q132_pq_adc_topk",
+    oracle=None,
+    survey="X1",
+    rows_only_reason=(
+        "PQ/ADC distances are codebook-quantized approximations; gated "
+        "by a recall@k test vs exact top-k"
+    ),
+)
 def q132_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC approximate nearest neighbor (the classic IVFADC memory
     path, Jégou et al. 2011): train m=8 × ksub=16 subspace codebooks on
@@ -513,7 +546,15 @@ def q135_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q136_ivf_pq_topk", oracle=None, survey="X1")
+@query(
+    "q136_ivf_pq_topk",
+    oracle=None,
+    survey="X1",
+    rows_only_reason=(
+        "IVFADC results are probe-limited and PQ-quantized (approximate "
+        "by architecture); gated by a recall@10 test vs exact top-k"
+    ),
+)
 def q136_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production big-ANN architecture end-to-end (FAISS IVFADC):
     k-means coarse quantizer (8 cells) prunes each query to its 4
@@ -690,7 +731,16 @@ def q162_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q190_pca_project", oracle=None, survey="X1,X3")
+@query(
+    "q190_pca_project",
+    oracle=None,
+    survey="X1,X3",
+    rows_only_reason=(
+        "eigenvector sign/rotation is solver-specific, so projections "
+        "differ engine-to-engine; gated by numpy-parity and "
+        "orthonormality tests"
+    ),
+)
 def q190_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA over the embedding corpus by the covariance method
     (operators/similarity.py:pca_fit): one mapInPandas pass reduces the

@@ -1595,7 +1595,15 @@ def q145_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q146_compression_ratio", oracle=None, survey="X3,2.7-udf")
+@query(
+    "q146_compression_ratio",
+    oracle=None,
+    survey="X3,2.7-udf",
+    rows_only_reason=(
+        "zlib compressed sizes are library/level-specific and DuckDB has "
+        "no compression function; gated by a discrimination property test"
+    ),
+)
 def q146_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document zlib compression ratio (entropy proxy): the
     Gopher-style quality signal that catches templated/repetitive text

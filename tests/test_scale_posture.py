@@ -484,6 +484,30 @@ def test_catalog_builders_leave_no_cached_tables(spark):
     )
 
 
+def test_rows_only_reasons_cover_exactly_the_no_oracle_queries():
+    """Every oracle-less catalog entry must carry a machine-readable
+    rationale (surfaced via ``__spark_entry__.rows_only_reasons()``) so
+    a driver ``err:"no_oracle"`` row is self-explaining; oracled entries
+    must not carry one (a reason on an oracled query is stale
+    metadata)."""
+    import __spark_entry__ as entry_mod
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+
+    _ensure_loaded()
+    reasons = entry_mod.rows_only_reasons()
+    no_oracle = {n for n, cq in CATALOG.items() if cq.oracle is None}
+    assert set(reasons) == no_oracle, (
+        f"missing reasons: {no_oracle - set(reasons)}; "
+        f"stale reasons: {set(reasons) - no_oracle}"
+    )
+    for name, reason in reasons.items():
+        assert len(reason) > 40, f"{name}: reason too thin to explain anything"
+    oracled_with_reason = [
+        n for n, cq in CATALOG.items() if cq.oracle is not None and cq.rows_only_reason
+    ]
+    assert not oracled_with_reason, oracled_with_reason
+
+
 def test_sweep_priority_covers_catalog_and_frontloads_backlog():
     """The driver verifies queries in ``queries()`` iteration order
     under a ~50-row budget, so the priority list IS the evidence
