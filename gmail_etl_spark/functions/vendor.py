@@ -45,40 +45,78 @@ INDEED_STRUCT = StructType(
 )
 
 
+#: HTML5 void elements — empty by definition, so one as the rtl root
+#: means an empty subtree, and one inside the subtree never opens.
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
 class _RtlCollector(HTMLParser):
-    """Collect text of <a>/<p> descendants of the first dir="rtl" element."""
+    """Collect text of <a>/<p> descendants of the first dir="rtl" element.
+
+    End-tag semantics match bs4-on-html.parser (``_popToTag``): an end
+    tag with no matching open tag is ignored (stray ``</span>`` or a
+    void-element close like ``</br>`` cannot exit the subtree early);
+    a matching one pops everything above it.  ``<p/>`` (explicit
+    self-close, via html.parser's startendtag event) is an empty
+    element occupying a positional slot, exactly as bs4 emits it."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.depth_in_rtl = 0  # >0 once inside the first rtl element
         self.rtl_seen = False
+        self.done = False  # rtl subtree fully consumed
+        self.stack: list[str] = []  # open tags in subtree; [0] = rtl root
         # open a/p elements: index into self.elements (find_all returns
         # start-tag document order; each element's .text spans its subtree)
         self.open_idx: list[int] = []
         self.elements: list[str] = []
 
     def handle_starttag(self, tag, attrs):
-        attrs = dict(attrs)
-        if not self.rtl_seen and attrs.get("dir") == "rtl":
-            self.rtl_seen = True
-            self.depth_in_rtl = 1
+        if self.done:
             return
-        if self.depth_in_rtl > 0:
-            self.depth_in_rtl += 1
+        if not self.rtl_seen:
+            if dict(attrs).get("dir") == "rtl":
+                self.rtl_seen = True
+                if tag in _VOID_TAGS:
+                    self.done = True  # bs4 still picks it: empty subtree
+                else:
+                    self.stack.append(tag)
+            return
+        if self.stack and tag not in _VOID_TAGS:
+            self.stack.append(tag)
             if tag in ("a", "p"):
                 self.open_idx.append(len(self.elements))
                 self.elements.append("")
 
+    def handle_startendtag(self, tag, attrs):
+        if self.done:
+            return
+        if not self.rtl_seen:
+            if dict(attrs).get("dir") == "rtl":
+                self.rtl_seen = True
+                self.done = True  # explicit self-close: empty subtree
+            return
+        if self.stack and tag in ("a", "p"):
+            self.elements.append("")  # empty element, closed immediately
+
     def handle_endtag(self, tag):
-        if self.depth_in_rtl > 0:
-            if tag in ("a", "p") and self.open_idx:
+        if self.done or not self.stack or tag not in self.stack:
+            return  # unmatched close: bs4 ignores it
+        while self.stack:
+            top = self.stack.pop()
+            if top in ("a", "p") and self.open_idx:
                 self.open_idx.pop()
-            self.depth_in_rtl -= 1
+            if top == tag:
+                break
+        if not self.stack:
+            self.done = True  # rtl root closed — subtree complete
 
     def handle_data(self, data):
-        if self.depth_in_rtl > 0:
-            for i in self.open_idx:  # text accrues to every open a/p ancestor
-                self.elements[i] += data
+        if self.done:
+            return
+        for i in self.open_idx:  # text accrues to every open a/p ancestor
+            self.elements[i] += data
 
 
 def extract_indeed_fields(html: str | None) -> tuple[str | None, str | None, str | None]:

@@ -266,6 +266,64 @@ def test_extract_indeed_ignores_outside_rtl():
     assert extract_indeed_fields(html) == ("p1", "p3", "loc")
 
 
+def test_extract_indeed_bs4_edge_semantics():
+    """Round-4 ADVICE cases: the engine kernel AND the q70 golden must
+    both follow bs4-on-html.parser semantics on edge-case markup —
+    unmatched/void end tags are ignored (cannot exit the rtl subtree
+    early), an explicit ``<p/>`` self-close is an empty element that
+    occupies a positional slot, a ``>`` inside a quoted attribute does
+    not end the tag, and a void rtl root means an empty subtree even
+    when a well-formed rtl element follows."""
+    from gmail_etl_spark.plans.gmail_queries import _golden_indeed_fields
+
+    cases = [
+        # stray </span> with no matching open tag: ignored, not an exit
+        (
+            '<div dir="rtl"><p>A</p></span><a>B</a><p>C - D</p><a>E</a></div>',
+            ("B", "E", "D"),
+        ),
+        # </br> closes a void element that was never open: ignored
+        (
+            '<div dir="rtl"><p>A</p></br><a>B</a><p>C - D</p><a>E</a></div>',
+            ("B", "E", "D"),
+        ),
+        # <p/> is start+end: an empty element takes positional slot 0
+        (
+            '<div dir="rtl"><p/><a>B</a><p>C - D</p><a>E</a></div>',
+            ("B", "E", "D"),
+        ),
+        # '>' inside a quoted attribute value does not end the tag
+        (
+            '<div dir="rtl"><p title="x > y">A</p><a>B</a>'
+            "<p>C - D</p><a>E</a></div>",
+            ("B", "E", "D"),
+        ),
+        # matching close pops everything above it (_popToTag): the
+        # unclosed inner <span> dies with </div>, ending the subtree
+        (
+            '<div dir="rtl"><a>w</a><p>A</p><p>x - L</p><span></div>'
+            "<p>tail - ignored</p>",
+            (None, None, None),
+        ),
+        # first dir=rtl element is void → empty subtree, even though a
+        # well-formed rtl div follows (bs4 find picks the first)
+        (
+            '<img dir="rtl"><div dir="rtl"><p>A</p><a>B</a>'
+            "<p>C - D</p><a>E</a></div>",
+            (None, None, None),
+        ),
+        # explicitly self-closed rtl root: same empty-subtree outcome
+        (
+            '<div dir="rtl"/><div dir="rtl"><p>A</p><a>B</a>'
+            "<p>C - D</p><a>E</a></div>",
+            (None, None, None),
+        ),
+    ]
+    for html, want in cases:
+        assert extract_indeed_fields(html) == want, html
+        assert _golden_indeed_fields(html) == want, html
+
+
 def test_strip_html_malformed_markup_cases():
     """Adversarial/malformed markup: the stdlib fallback must never
     raise and must extract the visible text sensibly (the bs4
