@@ -177,6 +177,71 @@ def capped_pair_candidates(buckets: DataFrame, max_bucket: int) -> DataFrame:
     )
 
 
+def lsh_params_for_recall(
+    threshold: float,
+    target_recall: float = 0.99,
+    max_hashes: int = 256,
+) -> tuple[int, int]:
+    """Derive (n_hashes, bands) from the LSH S-curve for a target recall.
+
+    A pair with true Jaccard ``j`` collides in at least one of ``b``
+    bands of ``r`` rows with probability ``1 − (1 − j^r)^b``.  For each
+    ``r`` the minimal band count meeting the recall floor at the
+    threshold is ``b(r) = ⌈ln(1−R) / ln(1−t^r)⌉``; among the feasible
+    (r, b(r)) with ``r·b(r) ≤ max_hashes`` this picks the LARGEST ``r``
+    — the steepest S-curve the signature budget affords (the standard
+    rule, e.g. Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets*
+    §3.4).  Steeper is strictly better for cost: recall at the
+    threshold is pinned by construction, and a larger ``r`` collapses
+    the collision probability of sub-threshold pairs (the candidate
+    volume the verify join must pay for) — at t=0.5, R=0.99 the budget
+    admits r=3/b=35 (105 hashes), whose candidate rate at j=0.25 is
+    0.42 vs 0.67 for r=2/b=17.  There is no absolute precision knob
+    because none exists: the curve's transition width is bounded below
+    by the hash budget, so demanding both 0.99 recall at t and a few-%
+    candidate rate at t/2 is infeasible for any (r, b) — callers
+    control precision through ``max_hashes``.
+
+    Recall here is per-PAIR.  For cluster integrity the relevant figure
+    is per-group: a planted group of ``g`` docs stays one connected
+    component unless its surfaced pair graph disconnects, which is
+    dominated by one doc losing all ``g−1`` of its pairs — probability
+    ≈ ``g·(1−recall)^(g−1)``.  The round-4 diagnosis (split-group rate
+    ≈ 7e-5 at 1M docs with the legacy 16-hash/8-band constants) is
+    exactly this effect; the default ``target_recall=0.99`` bounds the
+    per-group split rate near 1e-17 for g = 10.
+
+    Returns (n_hashes, bands) with ``n_hashes = r · bands``, directly
+    usable as ``minhash_lsh_pairs(..., n_hashes=n, bands=b)``; raises
+    ``ValueError`` when even r=1 cannot meet the recall within
+    ``max_hashes`` rather than silently degrading recall.
+    """
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0,1), got {target_recall}")
+    best: tuple[int, int] | None = None
+    for r in range(1, 33):
+        p_hi = threshold**r
+        denom = math.log1p(-p_hi)  # log(1 - p_hi), exact for tiny p_hi
+        if denom == 0.0:
+            break  # t^r underflowed — no band count can meet the recall
+        # minimal bands meeting the recall: 1-(1-p_hi)^b >= R
+        b = max(1, math.ceil(math.log(1.0 - target_recall) / denom))
+        n = r * b
+        if n <= max_hashes:
+            best = (n, b)  # larger r always wins — keep scanning up
+    if best is None:
+        raise ValueError(
+            f"no (rows, bands) within max_hashes={max_hashes} meets "
+            f"recall>={target_recall} at threshold={threshold}; raise "
+            "max_hashes"
+        )
+    return best
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -187,6 +252,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 512,
     broadcast_verify: bool = False,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
 
@@ -210,7 +276,13 @@ def minhash_lsh_pairs(
     bytes), ~5× smaller than shipping string shingles, and
     array_intersect compares longs.  Jaccard over hashed sets equals
     string-set Jaccard absent 64-bit collisions (~n²/2⁶⁵).
+
+    ``target_recall`` overrides (n_hashes, bands) with the S-curve
+    parameterization from ``lsh_params_for_recall`` — the preset for a
+    corpus-scale recall guarantee instead of hand-tuned constants.
     """
+    if target_recall is not None:
+        n_hashes, bands = lsh_params_for_recall(threshold, target_recall)
     rows_per_band = n_hashes // bands
     # materialize the shingle array once, then derive the signature from
     # the column — otherwise the shingle expression is inlined into all
@@ -222,26 +294,33 @@ def minhash_lsh_pairs(
         .withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
         .withColumn("hsh", F.expr("array_distinct(transform(shingles, s -> xxhash64(s)))"))
     )
+    # band index is FUSED into the bucket hash (the band literal seeds
+    # xxhash64), so the shuffle/group key is one long instead of an
+    # (int, long) pair — cross-band bucket merges need a 64-bit hash
+    # collision (~n_buckets²/2⁶⁵) and would only add candidates that the
+    # exact verify then filters.  The constant band column fed to
+    # ``capped_pair_candidates`` keeps its (band, bucket, ids) contract;
+    # per-band salt independence survives because the bucket value
+    # itself differs per band.
     banded = sigs.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+        ).alias("bucket"),
+    )
     buckets = (
-        banded.groupBy("band", "bucket")
+        banded.groupBy("bucket")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
+        .select(F.lit(0).alias("band"), "bucket", "ids")
     )
     candidates = capped_pair_candidates(buckets, max_bucket)
     # Verify-join strategy.  Default: the verify side is corpus-sized,

@@ -129,6 +129,168 @@ def test_capped_pair_expansion_bounds_hot_bucket(spark):
     pairs.unpersist()
 
 
+def test_capped_pair_expansion_at_max_bucket_boundaries(spark):
+    """Round-4 verdict #8: fuzz ``capped_pair_candidates`` at the cap
+    boundaries — bucket sizes exactly B, B±1, 2B, 2B+1 — against the
+    uncapped expansion's component structure.  In-budget buckets
+    (size ≤ B) must emit the FULL clique (the CASE's cheap arm must not
+    drop pairs); oversized buckets may thin the clique but must (a)
+    emit only valid canonical pairs from the id set, and (b) keep the
+    clique one connected component via cross-band chunk overlap."""
+    from gmail_etl_spark.operators.dedup import capped_pair_candidates
+
+    cap, bands = 8, 3
+    for size in (2, cap - 1, cap, cap + 1, 2 * cap, 2 * cap + 1, 3 * cap + 5):
+        buckets = spark.range(bands).select(
+            F.col("id").cast("int").alias("band"),
+            (F.col("id") * 1000 + size).cast("long").alias("bucket"),
+            F.sequence(F.lit(0), F.lit(size - 1)).alias("ids"),
+        )
+        pairs = capped_pair_candidates(buckets, cap).cache()
+        got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+        clique = {(i, j) for i in range(size) for j in range(i + 1, size)}
+        assert got <= clique, f"size={size}: invalid pairs {got - clique}"
+        if size <= cap:
+            assert got == clique, f"size={size}: in-budget bucket dropped pairs"
+        else:
+            per_band_bound = -(-size // cap) * (cap * (cap - 1) // 2)
+            assert len(got) <= bands * per_band_bound, f"size={size}"
+        comp = connected_components(
+            pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        )
+        assert comp.select("component").distinct().count() == 1, f"size={size}"
+        assert comp.select("node").distinct().count() == size, f"size={size}"
+        pairs.unpersist()
+
+
+def test_lsh_params_for_recall_scurve():
+    """The derived (n_hashes, bands) must analytically meet the recall
+    floor at the threshold, fit the budget, and use the largest feasible
+    rows-per-band (steepest S-curve the budget affords)."""
+    import math
+
+    import pytest
+
+    from gmail_etl_spark.operators.dedup import lsh_params_for_recall
+
+    def min_bands(t, R, r):
+        p = t**r
+        d = math.log1p(-p)
+        return None if d == 0.0 else max(1, math.ceil(math.log(1 - R) / d))
+
+    for t in (0.3, 0.5, 0.7, 0.9):
+        for R in (0.9, 0.99, 0.999):
+            for max_hashes in (64, 256):
+                n, b = lsh_params_for_recall(t, R, max_hashes)
+                r = n // b
+                assert n == r * b and n <= max_hashes
+                recall = 1 - (1 - t**r) ** b
+                assert recall >= R, (t, R, max_hashes, n, b, recall)
+                # steepest feasible: no r' > r fits the budget
+                for r2 in range(r + 1, 33):
+                    b2 = min_bands(t, R, r2)
+                    assert b2 is None or r2 * b2 > max_hashes, (t, R, r2)
+                # steeper curve ⇒ lower candidate rate below threshold
+                b1 = min_bands(t, R, 1)
+                if r > 1 and b1 is not None:
+                    low = t / 2
+                    assert (1 - (1 - low**r) ** b) <= (1 - (1 - low) ** b1)
+    with pytest.raises(ValueError):
+        lsh_params_for_recall(0.5, 0.999999, max_hashes=8)
+    with pytest.raises(ValueError):
+        lsh_params_for_recall(1.5, 0.9)
+
+
+def test_minhash_lsh_target_recall_preset(spark):
+    """``target_recall`` must override the hand-tuned constants and
+    still surface every planted near-dup pair on a small corpus (the
+    derived parameterization can only raise recall vs the default)."""
+    d = _docs(spark, 100).select("doc_id", "text")
+    near = d.select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 2, 100000)).alias("text"),
+    )
+    corpus = d.unionByName(near)
+    # planted pairs only (the corpus is densely self-similar at low
+    # thresholds, so recall is measured on the known-dup population)
+    planted = {
+        (r["a_id"], r["b_id"])
+        for r in jaccard_pairs(corpus, "doc_id", "text", 0.7)
+        .filter((F.col("b_id") - F.col("a_id")) == 5000)
+        .collect()
+    }
+    assert planted
+    preset = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(
+            corpus, "doc_id", "text", threshold=0.5, target_recall=0.99
+        ).collect()
+    }
+    all_exact = {
+        (r["a_id"], r["b_id"])
+        for r in jaccard_pairs(corpus, "doc_id", "text", 0.5).collect()
+    }
+    assert preset <= all_exact  # exact-verified: no false positives
+    # planted pairs sit at j≈0.9, far above the t=0.5 recall floor, so
+    # the derived S-curve catches essentially all of them
+    assert len(preset & planted) >= 0.95 * len(planted)
+
+
+def test_near_dedup_split_group_rate_at_1m(spark):
+    """Round-4 verdict #3 gate: on a deterministic 1M-doc corpus with
+    100k planted groups of 10 (the bench generator), the recall-targeted
+    preset must keep the split-group rate ≤ 1e-4 — i.e. ≤ 10 extra
+    clusters over the planted 100,000.  The legacy 16-hash/8-band
+    constants measured 7 extra (7e-5); the derived t=0.5/R=0.99 preset
+    (105 hashes / 35 bands) bounds the per-group split probability near
+    1e-17, so the expected count is exactly 100,000.
+
+    Env-gated (several minutes of real work): run with
+    ``SPARK_GRAFT_SCALE_TESTS=1``."""
+    import os
+
+    import pytest
+
+    if os.environ.get("SPARK_GRAFT_SCALE_TESTS") != "1":
+        pytest.skip("scale gate: set SPARK_GRAFT_SCALE_TESTS=1 to run")
+    n, group = 1_000_000, 10
+    docs = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(29)),
+                    lambda j: F.when(
+                        j == F.pmod(F.col("id"), F.lit(group)).cast("int"),
+                        F.conv(F.hex(F.abs(F.xxhash64(F.col("id"), j))), 16, 36),
+                    ).otherwise(
+                        F.conv(
+                            F.hex(
+                                F.abs(F.xxhash64(F.floor(F.col("id") / group), j))
+                            ),
+                            16,
+                            36,
+                        )
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .repartition(64)
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, target_recall=0.99
+    )
+    comp = connected_components(
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")),
+        canonical_input=True,
+    )
+    n_clusters = comp.select("component").distinct().count()
+    planted = n // group
+    assert planted <= n_clusters <= planted + planted // 10_000, n_clusters
+
+
 def test_minhash_lsh_cap_end_to_end(spark):
     """minhash_lsh_pairs with a small max_bucket on an all-identical
     corpus: emits fewer pairs than the clique, every emitted pair
