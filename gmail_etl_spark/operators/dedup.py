@@ -445,13 +445,32 @@ def connected_components(
         # canonical star forest ⇔ every leaf (v) has exactly ONE root
         # (no duplicate v — a shared leaf like {(5,9),(6,9)} is a
         # bipartite non-fixpoint) AND no node is both root and leaf.
-        # One aggregation over v gives both: per-leaf edge count and
-        # the root side to probe, then a semi-join against the root
-        # set; everything after the agg is bounded by node count.
-        leaves = d.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
-        roots = d.select(F.col("u").alias("v")).distinct()
-        violations = leaves.filter(F.col("deg") > 1).select("v").unionAll(
-            leaves.select("v").join(roots, "v", "left_semi")
+        # Both conditions fall out of ONE per-node aggregation over the
+        # exploded (node, role) stream — a single exchange, vs the
+        # earlier leaf-agg + root-distinct + semi-join formulation
+        # (two exchanges and a join for the same answer).
+        roles = d.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"),
+                        F.lit(1).alias("root"),
+                        F.lit(0).alias("leaf"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"),
+                        F.lit(0).alias("root"),
+                        F.lit(1).alias("leaf"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.*")
+        per_node = roles.groupBy("node").agg(
+            F.max("root").alias("is_root"), F.sum("leaf").alias("leaf_deg")
+        )
+        violations = per_node.filter(
+            (F.col("leaf_deg") > 1)
+            | ((F.col("is_root") == 1) & (F.col("leaf_deg") > 0))
         )
         return violations.isEmpty()
 
