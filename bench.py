@@ -181,8 +181,9 @@ def main() -> None:
         # interpretable only against the load it ran under — emit the
         # 1/5/15-min loadavg and the per-entry repeat counts so the
         # committed figure can be read against the documented band
-        # (near-dedup measured 8.0-10.7 s across same-code runs under
-        # loadavg 4-8; structural floor ~7.2 s on a quiet host).
+        # (near-dedup measured 6.9-9.0 s across same-code runs under
+        # loadavg 4-16 since the fused star-forest probe; structural
+        # floor ~6.9 s on a quiet host).
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "repeats": {
             "headline_queries": 3,
