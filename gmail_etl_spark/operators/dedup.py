@@ -223,7 +223,10 @@ def lsh_params_for_recall(
     if not 0.0 < target_recall < 1.0:
         raise ValueError(f"target_recall must be in (0,1), got {target_recall}")
     best: tuple[int, int] | None = None
-    for r in range(1, 33):
+    # scan every rows-per-band the budget could host (b >= 1 forces
+    # r <= max_hashes) — at high thresholds the steepest feasible curve
+    # sits far above small-r territory (e.g. t=0.99 admits r > 100)
+    for r in range(1, max_hashes + 1):
         p_hi = threshold**r
         denom = math.log1p(-p_hi)  # log(1 - p_hi), exact for tiny p_hi
         if denom == 0.0:
@@ -242,6 +245,63 @@ def lsh_params_for_recall(
     return best
 
 
+def _lsh_sigs(
+    df: DataFrame, id_col: str, text_col: str, k: int, n_hashes: int
+) -> DataFrame:
+    """(id, shingles, sig, hsh) per doc — the per-row stage of the LSH
+    pipeline.  Module-level (not inlined in ``minhash_lsh_pairs``) so
+    diagnostics like ``tools/profile_neardedup.py`` time the REAL
+    operator stages instead of a hand-mirrored copy that desyncs.
+
+    The shingle array is materialized once, then the signature derives
+    from the column — otherwise the shingle expression is inlined into
+    all n_hashes aggregates and evaluated n_hashes times per row.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shingles")
+        )
+        .withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+        .withColumn("hsh", F.expr("array_distinct(transform(shingles, s -> xxhash64(s)))"))
+    )
+
+
+def _lsh_buckets(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(band, bucket, ids) collision buckets from banded signatures —
+    the one LSH shuffle.
+
+    The band index is FUSED into the bucket hash (the band literal
+    seeds xxhash64), so the shuffle/group key is one long instead of an
+    (int, long) pair — cross-band bucket merges need a 64-bit hash
+    collision (~n_buckets²/2⁶⁵) and would only add candidates that the
+    exact verify then filters.  The constant band column keeps
+    ``capped_pair_candidates``' (band, bucket, ids) contract; per-band
+    salt independence survives because the bucket value itself differs
+    per band.
+    """
+    rows_per_band = n_hashes // bands
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    return (
+        banded.groupBy("bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.lit(0).alias("band"), "bucket", "ids")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -253,6 +313,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 512,
     broadcast_verify: bool = False,
     target_recall: float | None = None,
+    max_hashes: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
 
@@ -279,49 +340,17 @@ def minhash_lsh_pairs(
 
     ``target_recall`` overrides (n_hashes, bands) with the S-curve
     parameterization from ``lsh_params_for_recall`` — the preset for a
-    corpus-scale recall guarantee instead of hand-tuned constants.
+    corpus-scale recall guarantee instead of hand-tuned constants —
+    within the ``max_hashes`` signature budget (so the caller's compute
+    ceiling passes through instead of being silently replaced by the
+    library default; ``max_hashes`` is only consulted on this path).
     """
     if target_recall is not None:
-        n_hashes, bands = lsh_params_for_recall(threshold, target_recall)
-    rows_per_band = n_hashes // bands
-    # materialize the shingle array once, then derive the signature from
-    # the column — otherwise the shingle expression is inlined into all
-    # n_hashes aggregates and evaluated n_hashes times per row.
-    sigs = (
-        df.select(
-            F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shingles")
+        n_hashes, bands = lsh_params_for_recall(
+            threshold, target_recall, max_hashes=max_hashes
         )
-        .withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
-        .withColumn("hsh", F.expr("array_distinct(transform(shingles, s -> xxhash64(s)))"))
-    )
-    # band index is FUSED into the bucket hash (the band literal seeds
-    # xxhash64), so the shuffle/group key is one long instead of an
-    # (int, long) pair — cross-band bucket merges need a 64-bit hash
-    # collision (~n_buckets²/2⁶⁵) and would only add candidates that the
-    # exact verify then filters.  The constant band column fed to
-    # ``capped_pair_candidates`` keeps its (band, bucket, ids) contract;
-    # per-band salt independence survives because the bucket value
-    # itself differs per band.
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bucket"),
-    )
-    buckets = (
-        banded.groupBy("bucket")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.lit(0).alias("band"), "bucket", "ids")
-    )
+    sigs = _lsh_sigs(df, id_col, text_col, k, n_hashes)
+    buckets = _lsh_buckets(sigs, n_hashes, bands)
     candidates = capped_pair_candidates(buckets, max_bucket)
     # Verify-join strategy.  Default: the verify side is corpus-sized,
     # so hint shuffle-hash — the planner must never attempt a broadcast

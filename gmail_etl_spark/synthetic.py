@@ -1,0 +1,65 @@
+"""Deterministic synthetic corpora for benchmarks, scale gates, and
+diagnostics.
+
+The planted near-dup generator here is THE single definition shared by
+``bench.py``, the 1M split-rate scale gate, and the ``tools/`` A/B,
+profiling, and scaling scripts — their comparability rests on running
+the same expressions, so the corpus must never be re-derived per call
+site (a drift between copies would silently invalidate every recorded
+A/B and the round-over-round bench series).
+
+Everything is pure column expressions seeded by ``xxhash64`` — no RNG,
+no Python in the path — so the corpus is bit-identical at any
+parallelism (the topology-determinism requirement certified in
+DEVNOTES).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def planted_near_dup_corpus(
+    spark: SparkSession,
+    n: int,
+    group: int = 10,
+    partitions: int = 32,
+    n_tokens: int = 30,
+) -> DataFrame:
+    """``n`` docs in consecutive groups of ``group`` near-identical
+    texts: doc ``i`` carries ``n_tokens`` pseudo-random tokens derived
+    from its group head ``floor(i / group)``, except the single position
+    ``i mod group`` which is doc-unique — so same-group pairs share all
+    but ≤2 of the ``n_tokens`` tokens (shingle Jaccard ≈ 0.8+, well
+    above the 0.5 near-dup threshold) while cross-group pairs share
+    none.  Exactly ``ceil(n / group)`` clusters are planted.
+
+    Returns (doc_id long, text string), repartitioned to ``partitions``;
+    callers cache if they intend repeated scans.
+    """
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+                    lambda j: F.when(
+                        j == F.pmod(F.col("id"), F.lit(group)).cast("int"),
+                        F.conv(F.hex(F.abs(F.xxhash64(F.col("id"), j))), 16, 36),
+                    ).otherwise(
+                        F.conv(
+                            F.hex(
+                                F.abs(F.xxhash64(F.floor(F.col("id") / group), j))
+                            ),
+                            16,
+                            36,
+                        )
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .repartition(partitions)
+    )

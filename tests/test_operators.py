@@ -178,7 +178,7 @@ def test_lsh_params_for_recall_scurve():
         d = math.log1p(-p)
         return None if d == 0.0 else max(1, math.ceil(math.log(1 - R) / d))
 
-    for t in (0.3, 0.5, 0.7, 0.9):
+    for t in (0.3, 0.5, 0.7, 0.9, 0.99):
         for R in (0.9, 0.99, 0.999):
             for max_hashes in (64, 256):
                 n, b = lsh_params_for_recall(t, R, max_hashes)
@@ -186,8 +186,9 @@ def test_lsh_params_for_recall_scurve():
                 assert n == r * b and n <= max_hashes
                 recall = 1 - (1 - t**r) ** b
                 assert recall >= R, (t, R, max_hashes, n, b, recall)
-                # steepest feasible: no r' > r fits the budget
-                for r2 in range(r + 1, 33):
+                # steepest feasible: no r' > r fits the budget, all the
+                # way up to r' = max_hashes (b >= 1 bounds the scan)
+                for r2 in range(r + 1, max_hashes + 1):
                     b2 = min_bands(t, R, r2)
                     assert b2 is None or r2 * b2 > max_hashes, (t, R, r2)
                 # steeper curve ⇒ lower candidate rate below threshold
@@ -234,6 +235,13 @@ def test_minhash_lsh_target_recall_preset(spark):
     # planted pairs sit at j≈0.9, far above the t=0.5 recall floor, so
     # the derived S-curve catches essentially all of them
     assert len(preset & planted) >= 0.95 * len(planted)
+    # the caller's signature budget must pass through to the S-curve
+    # derivation (an infeasible budget fails loudly, not silently)
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(
+            corpus, "doc_id", "text", threshold=0.5, target_recall=0.99,
+            max_hashes=4,
+        )
 
 
 def test_near_dedup_split_group_rate_at_1m(spark):
@@ -253,32 +261,10 @@ def test_near_dedup_split_group_rate_at_1m(spark):
 
     if os.environ.get("SPARK_GRAFT_SCALE_TESTS") != "1":
         pytest.skip("scale gate: set SPARK_GRAFT_SCALE_TESTS=1 to run")
+    from gmail_etl_spark.synthetic import planted_near_dup_corpus
+
     n, group = 1_000_000, 10
-    docs = (
-        spark.range(n)
-        .select(
-            F.col("id").alias("doc_id"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(29)),
-                    lambda j: F.when(
-                        j == F.pmod(F.col("id"), F.lit(group)).cast("int"),
-                        F.conv(F.hex(F.abs(F.xxhash64(F.col("id"), j))), 16, 36),
-                    ).otherwise(
-                        F.conv(
-                            F.hex(
-                                F.abs(F.xxhash64(F.floor(F.col("id") / group), j))
-                            ),
-                            16,
-                            36,
-                        )
-                    ),
-                ),
-            ).alias("text"),
-        )
-        .repartition(64)
-    )
+    docs = planted_near_dup_corpus(spark, n, group=group, partitions=64)
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", k=3, threshold=0.5, target_recall=0.99
     )

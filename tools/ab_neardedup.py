@@ -25,31 +25,11 @@ def main() -> None:
         minhash_lsh_pairs,
     )
     from gmail_etl_spark.session import get_spark
+    from gmail_etl_spark.synthetic import planted_near_dup_corpus
 
     spark = get_spark("ab-neardedup")
     spark.sparkContext.setLogLevel("ERROR")
-    docs = (
-        spark.range(100_000)
-        .select(
-            F.col("id").alias("doc_id"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(29)),
-                    lambda j: F.when(
-                        j == F.pmod(F.col("id"), F.lit(10)).cast("int"),
-                        F.conv(F.hex(F.abs(F.xxhash64(F.col("id"), j))), 16, 36),
-                    ).otherwise(
-                        F.conv(
-                            F.hex(F.abs(F.xxhash64(F.floor(F.col("id") / 10), j))), 16, 36
-                        )
-                    ),
-                ),
-            ).alias("text"),
-        )
-        .repartition(32)
-        .cache()
-    )
+    docs = planted_near_dup_corpus(spark, 100_000).cache()
     docs.count()
 
     def run() -> None:

@@ -35,32 +35,13 @@ def main() -> None:
         minhash_lsh_pairs,
     )
     from gmail_etl_spark.session import get_spark
+    from gmail_etl_spark.synthetic import planted_near_dup_corpus
 
     spark = get_spark("near-dedup-scale")
     spark.sparkContext.setLogLevel("ERROR")
     n, group = args.n, args.group
-    docs = (
-        spark.range(n)
-        .select(
-            F.col("id").alias("doc_id"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(29)),
-                    lambda j: F.when(
-                        j == F.pmod(F.col("id"), F.lit(group)).cast("int"),
-                        F.conv(F.hex(F.abs(F.xxhash64(F.col("id"), j))), 16, 36),
-                    ).otherwise(
-                        F.conv(
-                            F.hex(F.abs(F.xxhash64(F.floor(F.col("id") / group), j))),
-                            16,
-                            36,
-                        )
-                    ),
-                ),
-            ).alias("text"),
-        )
-        .repartition(args.partitions)
+    docs = planted_near_dup_corpus(
+        spark, n, group=group, partitions=args.partitions
     )
     kwargs = {"k": 3, "threshold": 0.5}
     if args.target_recall is not None:

@@ -1,9 +1,14 @@
 """Stage-by-stage timing of the bench near-dedup path at 100k docs:
 signatures, band buckets, capped expansion (pre-verify candidates),
 verified pairs, and CC — each stage timed by counting its output with
-everything upstream already computed in the same plan (so stage N's
-figure includes upstream recompute; deltas between successive figures
+everything upstream recomputed in the same plan (so stage N's figure
+includes upstream recompute; deltas between successive figures
 approximate per-stage cost under Spark's lazy evaluation).
+
+Imports the operator's OWN stage builders (``_lsh_sigs``,
+``_lsh_buckets``, ``capped_pair_candidates``) and the shared planted
+corpus, so the profile can never desync from what
+``minhash_lsh_pairs`` actually runs.
 
 Usage: PYTHONPATH=. python tools/profile_neardedup.py [--repeats 3]
 """
@@ -22,79 +27,27 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from gmail_etl_spark.operators.dedup import (
+        _lsh_buckets,
+        _lsh_sigs,
         capped_pair_candidates,
         connected_components,
         minhash_lsh_pairs,
-        minhash_signature,
-        shingles,
     )
     from gmail_etl_spark.session import get_spark
+    from gmail_etl_spark.synthetic import planted_near_dup_corpus
 
     spark = get_spark("profile-neardedup")
     spark.sparkContext.setLogLevel("ERROR")
-    docs = (
-        spark.range(100_000)
-        .select(
-            F.col("id").alias("doc_id"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(29)),
-                    lambda j: F.when(
-                        j == F.pmod(F.col("id"), F.lit(10)).cast("int"),
-                        F.conv(F.hex(F.abs(F.xxhash64(F.col("id"), j))), 16, 36),
-                    ).otherwise(
-                        F.conv(
-                            F.hex(F.abs(F.xxhash64(F.floor(F.col("id") / 10), j))), 16, 36
-                        )
-                    ),
-                ),
-            ).alias("text"),
-        )
-        .repartition(32)
-        .cache()
-    )
+    docs = planted_near_dup_corpus(spark, 100_000).cache()
     docs.count()
 
     n_hashes, bands = 16, 8
-    rows_per_band = n_hashes // bands
 
     def sigs_df():
-        return (
-            docs.select(F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("shingles"))
-            .withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
-            .withColumn(
-                "hsh", F.expr("array_distinct(transform(shingles, s -> xxhash64(s)))")
-            )
-        )
-
-    def banded_df():
-        return sigs_df().select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            F.lit(b),
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bucket"),
-        )
+        return _lsh_sigs(docs, "doc_id", "text", 3, n_hashes)
 
     def buckets_df():
-        return (
-            banded_df()
-            .groupBy("bucket")
-            .agg(F.collect_list("id").alias("ids"))
-            .filter(F.size("ids") > 1)
-            .select(F.lit(0).alias("band"), "bucket", "ids")
-        )
+        return _lsh_buckets(sigs_df(), n_hashes, bands)
 
     def candidates_df():
         return capped_pair_candidates(buckets_df(), 512)
