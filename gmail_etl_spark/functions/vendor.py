@@ -55,18 +55,23 @@ _VOID_TAGS = frozenset(
 class _RtlCollector(HTMLParser):
     """Collect text of <a>/<p> descendants of the first dir="rtl" element.
 
-    End-tag semantics match bs4-on-html.parser (``_popToTag``): an end
-    tag with no matching open tag is ignored (stray ``</span>`` or a
-    void-element close like ``</br>`` cannot exit the subtree early);
-    a matching one pops everything above it.  ``<p/>`` (explicit
-    self-close, via html.parser's startendtag event) is an empty
-    element occupying a positional slot, exactly as bs4 emits it."""
+    End-tag semantics match bs4-on-html.parser (``_popToTag``) against
+    the FULL document stack, not a subtree-scoped one: bs4 keeps every
+    open tag since document start, so an end tag matching an element
+    opened OUTSIDE the rtl subtree pops everything above it —
+    *including the rtl root*, ending the subtree.  An end tag with no
+    open match anywhere is ignored (stray ``</span>`` or a
+    void-element close like ``</br>`` cannot exit the subtree early).
+    ``<p/>`` (explicit self-close, via html.parser's startendtag event)
+    is an empty element occupying a positional slot, exactly as bs4
+    emits it."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.rtl_seen = False
         self.done = False  # rtl subtree fully consumed
-        self.stack: list[str] = []  # open tags in subtree; [0] = rtl root
+        self.stack: list[str] = []  # ALL open tags since document start
+        self.root_depth: int | None = None  # len(stack) with root on top
         # open a/p elements: index into self.elements (find_all returns
         # start-tag document order; each element's .text spans its subtree)
         self.open_idx: list[int] = []
@@ -75,42 +80,49 @@ class _RtlCollector(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if self.done:
             return
-        if not self.rtl_seen:
+        if tag in _VOID_TAGS:
+            # void elements never open; a void rtl root is an empty
+            # subtree (bs4 still picks it — positional pick yields None)
+            if self.root_depth is None and dict(attrs).get("dir") == "rtl":
+                self.rtl_seen = True
+                self.done = True
+            return
+        self.stack.append(tag)
+        if self.root_depth is None:
             if dict(attrs).get("dir") == "rtl":
                 self.rtl_seen = True
-                if tag in _VOID_TAGS:
-                    self.done = True  # bs4 still picks it: empty subtree
-                else:
-                    self.stack.append(tag)
-            return
-        if self.stack and tag not in _VOID_TAGS:
-            self.stack.append(tag)
-            if tag in ("a", "p"):
-                self.open_idx.append(len(self.elements))
-                self.elements.append("")
+                self.root_depth = len(self.stack)
+        elif tag in ("a", "p"):
+            self.open_idx.append(len(self.elements))
+            self.elements.append("")
 
     def handle_startendtag(self, tag, attrs):
         if self.done:
             return
-        if not self.rtl_seen:
+        if self.root_depth is None:
             if dict(attrs).get("dir") == "rtl":
                 self.rtl_seen = True
                 self.done = True  # explicit self-close: empty subtree
             return
-        if self.stack and tag in ("a", "p"):
+        if tag in ("a", "p"):
             self.elements.append("")  # empty element, closed immediately
 
     def handle_endtag(self, tag):
-        if self.done or not self.stack or tag not in self.stack:
-            return  # unmatched close: bs4 ignores it
+        if self.done or tag not in self.stack:
+            return  # no open match anywhere: bs4 ignores it
         while self.stack:
             top = self.stack.pop()
-            if top in ("a", "p") and self.open_idx:
-                self.open_idx.pop()
+            if (
+                self.root_depth is not None
+                and len(self.stack) >= self.root_depth
+                and top in ("a", "p")
+                and self.open_idx
+            ):
+                self.open_idx.pop()  # popped element was inside the subtree
             if top == tag:
                 break
-        if not self.stack:
-            self.done = True  # rtl root closed — subtree complete
+        if self.root_depth is not None and len(self.stack) < self.root_depth:
+            self.done = True  # rtl root popped — subtree complete
 
     def handle_data(self, data):
         if self.done:

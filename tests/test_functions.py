@@ -318,6 +318,42 @@ def test_extract_indeed_bs4_edge_semantics():
             "<p>C - D</p><a>E</a></div>",
             (None, None, None),
         ),
+        # _popToTag searches the FULL document stack: </section>
+        # matches a tag opened OUTSIDE the rtl subtree, so it pops
+        # everything above it INCLUDING the rtl root — subtree ends at
+        # the first </section>, leaving only one element
+        (
+            '<section><div dir="rtl"><p>A</p></section><a>B</a>'
+            "<p>C - D</p><a>E</a></div>",
+            (None, None, None),
+        ),
+        # dir must be a real parsed attribute with the exact value
+        # 'rtl': a data-dir attr, an rtlx value, or an uppercase RTL
+        # value must NOT select the root (bs4 attrs matching is exact)
+        (
+            '<span data-dir="rtl"><p>1</p><a>2</a><p>3 - 4</p><a>5</a></span>',
+            (None, None, None),
+        ),
+        (
+            '<div dir="rtlx"><p>1</p><a>2</a><p>3 - 4</p><a>5</a></div>',
+            (None, None, None),
+        ),
+        (
+            '<div dir="RTL"><p>1</p><a>2</a><p>3 - 4</p><a>5</a></div>',
+            (None, None, None),
+        ),
+        # an unquoted attribute value ending in '/' is NOT a self-close
+        # (html.parser folds the '/' into the value), so <p data-x=1/>
+        # opens normally and 'B' accrues to it
+        (
+            '<div dir="rtl"><a>X</a><p data-x=1/>B</p><p>C - D</p><a>E</a></div>',
+            ("B", "E", "D"),
+        ),
+        # ...but an explicit ' />' after the value IS a self-close
+        (
+            '<div dir="rtl"><a>X</a><p data-x=1 />B</p><p>C - D</p><a>E</a></div>',
+            ("", "E", "D"),
+        ),
     ]
     for html, want in cases:
         assert extract_indeed_fields(html) == want, html
