@@ -277,6 +277,51 @@ def test_near_dedup_split_group_rate_at_1m(spark):
     assert planted <= n_clusters <= planted + planted // 10_000, n_clusters
 
 
+def test_cc_adversarial_shapes_at_1m(spark):
+    """Scale gate for connected_components on the shapes that stress
+    ROUND COUNT, not volume: 1M nodes as ten 100k-long disjoint paths
+    (large-star/small-star needs ~log n alternations — cliques converge
+    in ~1) and a 1M-node random binary forest.  Labels are verified
+    arithmetically for EVERY node (component == block head), so this is
+    exactness at scale, not a cardinality check.  Tool form:
+    ``tools/cc_chain_scale.py``.
+
+    Env-gated (minutes of real work): run with
+    ``SPARK_GRAFT_SCALE_TESTS=1``."""
+    import os
+
+    import pytest
+
+    if os.environ.get("SPARK_GRAFT_SCALE_TESTS") != "1":
+        pytest.skip("scale gate: set SPARK_GRAFT_SCALE_TESTS=1 to run")
+    n, plen = 1_000_000, 100_000
+    path_edges = (
+        spark.range(n - 1)
+        .filter(F.pmod(F.col("id") + 1, F.lit(plen)) != 0)
+        .select(F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+        .repartition(64)
+    )
+    forest_edges = (
+        spark.range(n)
+        .filter(F.pmod(F.col("id"), F.lit(plen)) != 0)
+        .select(
+            F.col("id").alias("u"),
+            (
+                F.floor(F.col("id") / plen) * plen
+                + F.pmod(
+                    F.abs(F.xxhash64(F.col("id"))), F.pmod(F.col("id"), F.lit(plen))
+                )
+            ).alias("v"),
+        )
+        .repartition(64)
+    )
+    for edges in (path_edges, forest_edges):
+        comp = connected_components(edges)
+        expected = F.floor(F.col("node") / plen) * plen
+        assert comp.filter(F.col("component") != expected).count() == 0
+        assert comp.select("component").distinct().count() == n // plen
+
+
 def test_minhash_lsh_cap_end_to_end(spark):
     """minhash_lsh_pairs with a small max_bucket on an all-identical
     corpus: emits fewer pairs than the clique, every emitted pair
