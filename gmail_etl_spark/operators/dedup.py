@@ -120,7 +120,21 @@ def minhash_signature(sh: Column, n_hashes: int = 32) -> Column:
     return F.array(*cols)
 
 
-def capped_pair_candidates(buckets: DataFrame, max_bucket: int) -> DataFrame:
+def _pair_expansion(ids: str) -> str:
+    """Canonical i<j pair expansion of an array column as a codegen'd
+    SQL expression — THE single definition (also used by
+    ``jaccard_pairs`` and ``semantic_dedup``); emits
+    struct(a_id, b_id) with least/greatest canonicalization."""
+    return (
+        f"flatten(transform({ids}, (x, i) ->"
+        f" transform(slice({ids}, i + 2, size({ids}) - i - 1),"
+        f" y -> struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
+    )
+
+
+def capped_pair_candidates(
+    buckets: DataFrame, max_bucket: int, complete: bool = False
+) -> DataFrame:
     """i<j pair expansion of per-bucket id lists, with oversized buckets
     split into sub-buckets of at most ``max_bucket`` ids.
 
@@ -140,9 +154,22 @@ def capped_pair_candidates(buckets: DataFrame, max_bucket: int) -> DataFrame:
     union over bands of independent chunk-partitions of the same id set
     is connected with overwhelming probability).
 
-    The common case barely pays for the cap: the CASE's THEN branch for
-    an in-budget bucket is a bare ``array(ids)`` wrap, so codegen never
-    touches the salt/sort machinery unless the bucket is actually
+    **The default mode is therefore only sound for callers with MULTIPLE
+    independent bands** (MinHash LSH, hyperplane LSH).  A caller whose
+    guarantee requires EVERY bucket-cohabiting pair to surface — an
+    exact join where a pair may share exactly one bucket
+    (``jaccard_pairs_prefix``), or a pigeonhole recall proof
+    (``dhash_near_dup_pairs``) — must pass ``complete=True``: oversized
+    buckets are then expanded over all chunk PAIRS (within-chunk i<j
+    plus full cross-chunk products), which emits every pair exactly at
+    the same O(B²) total work as the uncapped form but bounds per-task
+    materialization at O(max_bucket²) instead of O(B²).  Size
+    ``max_bucket`` so max_bucket² structs fit a task (~1024 → ≈16 MB).
+
+    The common case barely pays for the cap in either mode: the CASE's
+    THEN branch for an in-budget bucket is a bare ``array(ids)`` wrap
+    (one chunk, one (0,0) index pair under ``complete``), so codegen
+    never touches the salt/sort machinery unless the bucket is actually
     oversized.  (Catalyst's InferFiltersFromGenerate inlines a
     ``size(CASE ...) > 0`` predicate under the explode, but that too
     only evaluates the trivial THEN arm per normal bucket — measured
@@ -159,19 +186,35 @@ def capped_pair_candidates(buckets: DataFrame, max_bucket: int) -> DataFrame:
         f"      x -> struct(xxhash64(x, band, bucket) AS h, x AS v))), s -> s.v),"
         f"    c * {max_bucket} + 1, {max_bucket})) END"
     )
+    if complete:
+        # all chunk pairs (i <= j): within-chunk i<j expansion on the
+        # diagonal, full cross product off it — exact coverage with
+        # per-task arrays bounded by max_bucket²
+        ch = buckets.select(F.expr(chunks).alias("ch"))
+        idx = (
+            "flatten(transform(sequence(0, size(ch) - 1), i ->"
+            " transform(sequence(i, size(ch) - 1), j -> struct(i, j))))"
+        )
+        chunk_pairs = ch.select("ch", F.explode(F.expr(idx)).alias("pp")).select(
+            F.expr("element_at(ch, pp.i + 1)").alias("ca"),
+            F.expr("element_at(ch, pp.j + 1)").alias("cb"),
+            (F.col("pp.i") == F.col("pp.j")).alias("diag"),
+        )
+        expand = (
+            "CASE WHEN diag THEN " + _pair_expansion("ca") + " ELSE"
+            " flatten(transform(ca, x -> transform(cb,"
+            " y -> struct(least(x, y) as a_id, greatest(x, y) as b_id)))) END"
+        )
+        return (
+            chunk_pairs.select(F.explode(F.expr(expand)).alias("p"))
+            .select("p.a_id", "p.b_id")
+            .dropDuplicates(["a_id", "b_id"])
+        )
     capped = buckets.select(F.explode(F.expr(chunks)).alias("ids")).filter(
         F.size("ids") > 1
     )
     return (
-        capped.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
-                    " y -> struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
-                )
-            ).alias("p")
-        )
+        capped.select(F.explode(F.expr(_pair_expansion("ids"))).alias("p"))
         .select("p.a_id", "p.b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
@@ -279,6 +322,14 @@ def _lsh_buckets(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     salt independence survives because the bucket value itself differs
     per band.
     """
+    if not 1 <= bands <= n_hashes or n_hashes % bands != 0:
+        # bands > n_hashes would give rows_per_band = 0 (every band's
+        # bucket a constant — the whole corpus in one bucket per band);
+        # a non-divisor would silently drop trailing signature hashes
+        raise ValueError(
+            f"bands must divide n_hashes with 1 <= bands <= n_hashes; "
+            f"got n_hashes={n_hashes}, bands={bands}"
+        )
     rows_per_band = n_hashes // bands
     banded = sigs.select(
         "id",
@@ -589,15 +640,7 @@ def jaccard_pairs(
         .filter(F.size("ids") > 1)
     )
     common = (
-        postings.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
-                    " y -> struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
-                )
-            ).alias("p")
-        )
+        postings.select(F.explode(F.expr(_pair_expansion("ids"))).alias("p"))
         .groupBy("p.a_id", "p.b_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -695,7 +738,13 @@ def jaccard_pairs_prefix(
         .filter(F.size("ids") > 1)
         .select(F.lit(0).alias("band"), F.col("rank").alias("bucket"), "ids")
     )
-    candidates = capped_pair_candidates(buckets, max_bucket=4096)
+    # complete=True: the prefix filter gives each qualifying pair at
+    # least ONE shared prefix token, not several independent ones — a
+    # plain chunk split of an oversized posting list could silently drop
+    # a pair whose only shared token is that hot one, violating this
+    # function's exactness contract.  Complete chunk-pair expansion
+    # keeps every pair at bounded (max_bucket²) per-task cost.
+    candidates = capped_pair_candidates(buckets, max_bucket=1024, complete=True)
     side = per_doc.hint("shuffle_hash")
     joined = (
         candidates.join(

@@ -467,7 +467,7 @@ def dhash_near_dup_pairs(
     features: DataFrame,
     id_col: str = "media_id",
     max_hamming: int = 3,
-    max_bucket: int = 4096,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Image near-duplicate pairs by Hamming distance over dHash, with
     multi-index hashing instead of an all-pairs scan (Norouzi et al.,
@@ -511,7 +511,13 @@ def dhash_near_dup_pairs(
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    cands = capped_pair_candidates(buckets, max_bucket)
+    # complete=True: the pigeonhole guarantee says a qualifying pair
+    # agrees on AT LEAST ONE band — possibly exactly one — so a plain
+    # chunk split of a hot bucket (smooth images make band value 0
+    # enormous) could drop a pair and silently break the perfect-recall
+    # contract.  Complete chunk-pair expansion surfaces every
+    # bucket-cohabiting pair at bounded (max_bucket²) per-task cost.
+    cands = capped_pair_candidates(buckets, max_bucket, complete=True)
     side = feats.hint("shuffle_hash")
     joined = (
         cands.join(

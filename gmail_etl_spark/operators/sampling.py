@@ -152,6 +152,9 @@ def pack_sequences(
         F.col(tokens_col).cast("long").alias("n_tokens"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias("bucket"),
     )
+    # item_id keeps the caller's id type (string uuids pack fine — the
+    # in-bucket sort is (n_tokens desc, item_id asc) on either type)
+    id_type = df.schema[id_col].dataType.simpleString()
     return items.groupBy("bucket").applyInPandas(
-        _pack, "bucket long, seq_id long, item_id long, n_tokens long"
+        _pack, f"bucket long, seq_id long, item_id {id_type}, n_tokens long"
     )

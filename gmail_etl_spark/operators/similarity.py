@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from gmail_etl_spark.operators.dedup import capped_pair_candidates
+from gmail_etl_spark.operators.dedup import _pair_expansion, capped_pair_candidates
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -118,6 +118,13 @@ def hyperplane_lsh_pairs(
     surviving candidates.  All JVM expressions — the dot products
     against literal hyperplanes run in whole-stage codegen.
     """
+    if not 1 <= bands <= n_planes or n_planes % bands != 0:
+        # same guard as the MinHash path: bands > n_planes makes every
+        # band's bucket constant; a non-divisor silently drops bits
+        raise ValueError(
+            f"bands must divide n_planes with 1 <= bands <= n_planes; "
+            f"got n_planes={n_planes}, bands={bands}"
+        )
     rows_per_band = n_planes // bands
     v = F.col("v")
     bits = [
@@ -190,9 +197,24 @@ def cosine_topk_vectorized(
         )
         .collect()
     )
+    if not q_rows:
+        # empty query set: empty result with the normal path's schema
+        # (query_id in the queries' id type, plus the rank column the
+        # window adds), not a driver-side numpy AxisError
+        return corpus.select(
+            F.col(id_col)
+            .cast(queries.schema[id_col].dataType.simpleString())
+            .alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("sim"),
+            F.lit(1).alias("rank"),
+        ).limit(0)
     q_ids = np.array([r["query_id"] for r in q_rows])
     q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # zero-norm queries get sim 0 everywhere (id-ordered top-k), the
+    # same convention as the corpus-side guard below — not NaN rankings
+    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    np.divide(q_mat, q_norms, out=q_mat, where=q_norms > 0)
 
     def _kernel(batches):
         for pdf in batches:
@@ -340,15 +362,7 @@ def semantic_dedup(
         ids.groupBy("cluster")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
-                    " y -> struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
-                )
-            ).alias("p")
-        )
+        .select(F.explode(F.expr(_pair_expansion("ids"))).alias("p"))
         .select("p.a_id", "p.b_id")
     )
     vecs = corpus.select(

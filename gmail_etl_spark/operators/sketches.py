@@ -62,7 +62,12 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
                 counters = ser[ser > 0].to_dict()
         yield pd.DataFrame({col: pd.Series(list(counters.keys()), dtype="object")})
 
-    return items.select(col).mapInPandas(kernel, schema=f"{col} string").distinct()
+    # output schema mirrors the input column's type — hardcoding string
+    # would break heavy-hitter queries over long/int item columns
+    out_type = items.schema[col].dataType.simpleString()
+    return (
+        items.select(col).mapInPandas(kernel, schema=f"{col} {out_type}").distinct()
+    )
 
 
 def exact_heavy_hitters(

@@ -35,7 +35,22 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where ``big`` has hot keys: big scatters over n salts,
     small replicates n times; the shuffle key becomes (key, salt) so a
-    hot key spreads over n reducers instead of one."""
+    hot key spreads over n reducers instead of one.
+
+    Only big-side-preserving join types are supported: replication is
+    invisible to inner/left/semi/anti results, but a right or full
+    outer join would emit each UNMATCHED small-side row once per
+    replica (n null-padded duplicates) — those types raise instead of
+    silently corrupting."""
+    normalized = how.lower().replace("_", "")
+    if normalized not in (
+        "inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"
+    ):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins; {how!r} "
+            "would duplicate unmatched small-side rows across salt "
+            "replicas — salt the other side instead"
+        )
     big_salted = with_salt(big, salt_from, n)
     small_replicated = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n)]))
@@ -51,12 +66,19 @@ def two_phase_agg(
     n: int = 8,
 ) -> DataFrame:
     """sum/count on a skewed key in two shuffles of bounded fan-in:
-    (key, salt) partial → key final.  Returns (key, sum_value, n_rows)."""
+    (key, salt) partial → key final.  Returns (key, sum_value, n_rows).
+
+    Partials accumulate in ``decimal(38,9)`` so the sum is
+    order-independent across the extra combine level (float partials
+    would make the result depend on salt assignment).  The decimal
+    quantizes inputs at 9 decimal places and bounds |sum| < 10^29 —
+    values finer than 1e-9 lose precision by design; pre-scale them if
+    that matters."""
     partial = (
         with_salt(df, salt_from, n)
         .groupBy(key, "_salt")
         .agg(
-            F.sum(F.col(value).cast("decimal(18,2)")).alias("_psum"),
+            F.sum(F.col(value).cast("decimal(38,9)")).alias("_psum"),
             F.count(F.lit(1)).alias("_pcnt"),
         )
     )

@@ -40,9 +40,13 @@ def langid_classify(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Returns (id, predicted_lang, score): argmax over labels of the
-    integer dot product between the document's bigram counts and the
-    label's trained profile; ties break on label ascending."""
+    """Returns (id, predicted_lang, score) — ONE row per test doc:
+    argmax over labels of the integer dot product between the
+    document's bigram counts and the label's trained profile; ties
+    break on label ascending.  A doc whose bigrams overlap no profile
+    (unseen script, or a text too short to produce bigrams) gets a
+    null prediction and null score instead of silently vanishing from
+    the output."""
     profiles = _bigram_counts(train, [label_col], text_col).withColumnRenamed(
         "cnt", "prof_cnt"
     )
@@ -55,7 +59,7 @@ def langid_classify(
         .agg(F.sum(F.col("doc_cnt") * F.col("prof_cnt")).alias("score"))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc(label_col))
-    return (
+    picked = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
@@ -64,6 +68,7 @@ def langid_classify(
             "score",
         )
     )
+    return test.select(id_col).distinct().join(picked, id_col, "left")
 
 
 def chunk_documents(

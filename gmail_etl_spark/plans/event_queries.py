@@ -574,7 +574,7 @@ def q138_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q147_two_phase_agg",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value,
            COUNT(*) AS n_rows
     FROM events
     GROUP BY event_type

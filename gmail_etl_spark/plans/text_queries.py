@@ -336,14 +336,21 @@ def q38_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(v.doc_cnt * p.prof_cnt) AS BIGINT) AS score
         FROM vecs v JOIN prof p USING (bigram)
         GROUP BY v.doc_id, p.lang
+    ),
+    picked AS (
+        SELECT doc_id, lang AS predicted_lang, score
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, lang) AS rn
+            FROM scored
+        )
+        WHERE rn = 1
     )
-    SELECT doc_id, lang AS predicted_lang, score
-    FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                     ORDER BY score DESC, lang) AS rn
-        FROM scored
-    )
-    WHERE rn = 1
+    -- one row per test doc: a doc overlapping no profile keeps a null
+    -- prediction (mirrors langid_classify's left join)
+    SELECT t.doc_id, p.predicted_lang, p.score
+    FROM (SELECT DISTINCT doc_id FROM test) t
+    LEFT JOIN picked p USING (doc_id)
     ORDER BY doc_id
     """,
     survey="X3",

@@ -1495,3 +1495,199 @@ def test_minhash_verify_strategy_independence(spark):
             ).collect()
         }
     assert out[False] == out[True] and len(out[True]) > 0
+
+
+def test_capped_pair_candidates_complete_mode_exact(spark):
+    """complete=True must emit EVERY i<j pair of an oversized bucket —
+    the contract the exact callers (jaccard_pairs_prefix pigeonhole,
+    dhash multi-index) rely on — at chunk boundaries and odd sizes,
+    while the default mode on the same input may drop cross-chunk
+    pairs but must stay a subset."""
+    from gmail_etl_spark.operators.dedup import capped_pair_candidates
+
+    for n, cap in [(10, 4), (9, 4), (8, 4), (5, 2), (300, 7), (4, 4), (2, 4)]:
+        buckets = spark.createDataFrame(
+            [(0, 7, list(range(n)))], "band int, bucket long, ids array<bigint>"
+        )
+        got = {
+            (r.a_id, r.b_id)
+            for r in capped_pair_candidates(buckets, cap, complete=True).collect()
+        }
+        want = {(i, j) for i in range(n) for j in range(i + 1, n)}
+        assert got == want, (n, cap, len(got), len(want))
+        capped = {
+            (r.a_id, r.b_id)
+            for r in capped_pair_candidates(buckets, cap).collect()
+        }
+        assert capped <= want
+
+
+def test_jaccard_pairs_prefix_exact_under_hot_token(spark):
+    """A hot shared prefix token larger than the chunk cap must not
+    lose pairs: jaccard_pairs_prefix output == jaccard_pairs output on
+    a corpus where qualifying pairs share exactly one (hot) token."""
+    from gmail_etl_spark.operators.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+    # every doc: {common, xK, yK}; pair (2k, 2k+1) shares {common, xk}
+    # -> jaccard 0.5; 'common' is in every prefix (df-rarity puts per-
+    # pair tokens first, but with 3 tokens and t=0.5 the prefix keeps 2)
+    rows = []
+    for k in range(60):
+        rows.append((2 * k, f"common x{k} y{2 * k}"))
+        rows.append((2 * k + 1, f"common x{k} y{2 * k + 1}"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.a_id, r.b_id, round(r.jaccard, 6))
+        for r in jaccard_pairs(d, "doc_id", "text", 0.5).collect()
+    }
+    prefix = {
+        (r.a_id, r.b_id, round(r.jaccard, 6))
+        for r in jaccard_pairs_prefix(d, "doc_id", "text", 0.5).collect()
+    }
+    assert exact == prefix and len(exact) >= 60
+
+
+def test_lsh_bands_validation(spark):
+    """bands > n_hashes (rows_per_band 0: whole corpus in one bucket
+    per band) and non-divisor bands (silently dropped hashes) must
+    raise, in both the MinHash and hyperplane paths."""
+    import pytest
+
+    from gmail_etl_spark.operators.dedup import minhash_lsh_pairs
+    from gmail_etl_spark.operators.similarity import hyperplane_lsh_pairs
+
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(d, "doc_id", "text", n_hashes=32, bands=64).collect()
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(d, "doc_id", "text", n_hashes=32, bands=5).collect()
+    e = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0, 0.1])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        hyperplane_lsh_pairs(e, dim=2, n_planes=16, bands=5).collect()
+
+
+def test_langid_unmatched_doc_gets_null_row(spark):
+    """A test doc with no bigram overlap against any profile must
+    surface with a null prediction, not vanish."""
+    from gmail_etl_spark.operators.text import langid_classify
+
+    train = spark.createDataFrame(
+        [("en", 100, "the quick brown fox"), ("fr", 101, "le renard brun")],
+        "lang string, doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(1, "the brown"), (2, "####"), (3, "x")],  # 2: unseen bigrams; 3: 1 char
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.predicted_lang, r.score) for r in langid_classify(train, test).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1][0] == "en"
+    assert out[2] == (None, None)
+    assert out[3] == (None, None)
+
+
+def test_heavy_hitters_long_column(spark):
+    """Heavy-hitter detection over a non-string item column (the
+    mapInPandas schema must follow the input type)."""
+    from pyspark.sql import functions as F2
+
+    from gmail_etl_spark.operators.sketches import exact_heavy_hitters
+
+    items = spark.range(1000).select(
+        F2.when(F2.col("id") < 600, F2.lit(7)).otherwise(F2.col("id")).alias("item")
+    )
+    out = exact_heavy_hitters(items, "item", denom=10)
+    rows = out.collect()
+    assert [r.item for r in rows] == [7]
+    assert rows[0].cnt == 600
+
+
+def test_pack_sequences_string_ids(spark):
+    """pack_sequences with string ids: the applyInPandas schema follows
+    the caller's id type."""
+    from pyspark.sql import functions as F2
+
+    from gmail_etl_spark.operators.sampling import pack_sequences
+
+    d = spark.range(50).select(
+        F2.concat(F2.lit("doc-"), F2.col("id")).alias("doc_uuid"),
+        (F2.pmod(F2.col("id"), 7) + 1).alias("n_tok"),
+    )
+    out = pack_sequences(d, "doc_uuid", "n_tok", budget=16)
+    rows = out.collect()
+    assert len(rows) == 50 and all(isinstance(r.item_id, str) for r in rows)
+
+
+def test_salted_join_rejects_small_side_preserving_types(spark):
+    """right/full outer joins would emit unmatched small-side rows once
+    per salt replica — they must raise."""
+    import pytest
+
+    from gmail_etl_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10), (1, 11)], "k long, ts long")
+    small = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    inner = salted_join(big, small, key="k", salt_from="ts", n=4).collect()
+    assert len(inner) == 2
+    left_rows = salted_join(big, small, key="k", salt_from="ts", n=4, how="left").collect()
+    assert len(left_rows) == 2
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, key="k", salt_from="ts", n=4, how=how)
+
+
+def test_two_phase_agg_small_values_not_quantized(spark):
+    """Sub-cent values must survive the decimal accumulation (the old
+    decimal(18,2) partial quantized 0.004 to zero)."""
+    from pyspark.sql import functions as F2
+
+    from gmail_etl_spark.operators.skew import two_phase_agg
+
+    d = spark.range(1000).select(
+        F2.lit("k").alias("key"), F2.lit(0.004).alias("value"), F2.col("id").alias("salt_src")
+    )
+    row = two_phase_agg(d, key="key", value="value", salt_from="salt_src", n=8).collect()[0]
+    assert abs(row.sum_value - 4.0) < 1e-6
+    assert row.n_rows == 1000
+
+
+def test_cosine_topk_empty_and_zero_norm_queries(spark):
+    """Empty query set returns an empty frame (schema intact) instead
+    of a driver-side numpy error; a zero-norm query ranks by sim 0 with
+    deterministic id order instead of NaN-first."""
+    from pyspark.sql import functions as F2
+
+    from gmail_etl_spark.operators.similarity import cosine_topk_vectorized
+
+    emb = spark.range(20).select(
+        F2.col("id").alias("vec_id"),
+        F2.array(F2.col("id").cast("double"), F2.lit(1.0)).alias("embedding"),
+    )
+    empty = cosine_topk_vectorized(emb.filter(F2.col("vec_id") < 0), emb, k=3)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"query_id", "neighbor_id", "sim", "rank"}
+    zq = spark.createDataFrame([(99, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    out = cosine_topk_vectorized(zq, emb, k=3).collect()
+    assert [r.neighbor_id for r in out] == [0, 1, 2]  # id-ordered at sim 0
+    assert all(r.sim == 0.0 for r in out)
+
+
+def test_jaccard_pairs_prefix_hot_bucket_over_cap(spark):
+    """End-to-end exactness through an actually-oversized posting list:
+    1100 docs all sharing one hot token (bucket > the 1024 chunk cap,
+    so it splits) — every pair qualifies at t=1/3 and complete
+    expansion must emit all C(1100,2) of them; the pre-fix chunk split
+    would have surfaced only the within-chunk half."""
+    from pyspark.sql import functions as F2
+
+    from gmail_etl_spark.operators.dedup import jaccard_pairs_prefix
+
+    n = 1100
+    d = spark.range(n).select(
+        F2.col("id").alias("doc_id"),
+        F2.concat(F2.lit("hot y"), F2.col("id")).alias("text"),
+    )
+    got = jaccard_pairs_prefix(d, "doc_id", "text", 1.0 / 3).count()
+    assert got == n * (n - 1) // 2
