@@ -267,19 +267,44 @@ def train_kmeans(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 3,
+    assign_strategy: str = "expr",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means as a DataFrame iteration — the IVF coarse-quantizer
     trainer (q51's cell assignment, learned instead of given).
 
     Deterministic: centroids initialize from the k lowest-id vectors, and
-    every assignment argmin tie-breaks on cluster index.  Scale shape per
-    iteration: centroids are k×dim literals compiled into the plan (a
-    broadcast in spirit, no join), assignment is a map-only argmin in
-    whole-stage codegen, and the recompute shuffles only k×dim partial
-    (sum, count) pairs per partition — corpus rows never shuffle.
+    every assignment argmin tie-breaks on cluster index (both strategies:
+    ``array_min`` over (dist, cluster) structs and ``numpy.argmin``
+    first-occurrence pick the lowest cluster index on equal distance).
+
+    ``assign_strategy``:
+
+    - ``"expr"`` (default, the oracled-query path): centroids are k×dim
+      literals compiled into the plan (a broadcast in spirit, no join),
+      assignment is a map-only argmin in whole-stage codegen, and the
+      recompute shuffles only k×dim partial (sum, count) pairs per
+      partition — corpus rows never shuffle.  The compiled plan is
+      O(k·dim) expression nodes, which is the right trade only while
+      k·dim stays small (tens of cells): past that, codegen size and
+      Catalyst analysis time blow up long before the data does.
+    - ``"vectorized"`` (the 100 TB form, for k in the hundreds+):
+      centroids are closed over by Arrow ``mapInPandas`` kernels — one
+      numpy matmul per corpus batch for assignment, and per-batch
+      sufficient statistics (cluster, count, sum-vector) collected to
+      the driver for the centroid update (the :func:`pca_fit` pattern;
+      O(n_batches·k·dim) driver bytes, corpus-size-independent).
+      Corpus rows never shuffle on either path.
+
+    The two strategies compute the same argmin over the same distances
+    and are assignment-identical except where distances tie at float
+    rounding granularity (test-pinned on the planted corpus).
 
     Returns (assignments DataFrame (id, cluster), final centroids).
     """
+    if assign_strategy not in ("expr", "vectorized"):
+        raise ValueError(
+            f"assign_strategy must be 'expr' or 'vectorized', got {assign_strategy!r}"
+        )
     dim_rows = (
         corpus.orderBy(id_col)
         .limit(k)
@@ -290,6 +315,8 @@ def train_kmeans(
     base = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    if assign_strategy == "vectorized":
+        return _train_kmeans_vectorized(base, centroids, iters, corpus, id_col)
 
     def _assign(cents: list[list[float]]):
         dists = [
@@ -331,6 +358,96 @@ def train_kmeans(
     return _assign(centroids).select("id", "cluster"), centroids
 
 
+def _train_kmeans_vectorized(
+    base: DataFrame,
+    centroids: list[list[float]],
+    iters: int,
+    corpus: DataFrame,
+    id_col: str,
+) -> tuple[DataFrame, list[list[float]]]:
+    """The ``assign_strategy="vectorized"`` body of :func:`train_kmeans`
+    — see its docstring for the contract.  ``base`` is the normalized
+    (id, v array<double>) projection; ``corpus``/``id_col`` are only
+    needed to carry the id dtype through the Arrow kernel schema."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def _dists(v: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+        # squared euclidean via the expanded form: one BLAS matmul per
+        # batch instead of a (batch, k, dim) difference tensor, so peak
+        # memory stays O(batch·k) at any k
+        return (
+            (v * v).sum(axis=1)[:, None]
+            - 2.0 * (v @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+
+    def _assign_vec(cents: list[list[float]]) -> DataFrame:
+        C = np.array(cents, dtype=np.float64)
+
+        def kern(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.array(pdf["v"].tolist(), dtype=np.float64)
+                # argmin returns the FIRST minimal index: same lowest-
+                # cluster tie-break as the expr path's array_min struct
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "cluster": _dists(v, C).argmin(axis=1).astype("int32"),
+                    }
+                )
+
+        return base.mapInPandas(kern, f"id {id_type}, cluster int")
+
+    def _partial_stats(cents: list[list[float]]) -> DataFrame:
+        C = np.array(cents, dtype=np.float64)
+
+        def kern(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.array(pdf["v"].tolist(), dtype=np.float64)
+                a = _dists(v, C).argmin(axis=1)
+                present = np.unique(a)
+                sums = np.zeros((len(present), v.shape[1]), dtype=np.float64)
+                counts = np.zeros(len(present), dtype=np.int64)
+                for i, ci in enumerate(present):
+                    mask = a == ci
+                    sums[i] = v[mask].sum(axis=0)
+                    counts[i] = int(mask.sum())
+                yield pd.DataFrame(
+                    {
+                        "cluster": present.astype("int32"),
+                        "n": counts,
+                        "s": list(sums),
+                    }
+                )
+
+        return base.mapInPandas(kern, "cluster int, n long, s array<double>")
+
+    for _ in range(iters):
+        sums: dict[int, "np.ndarray"] = {}
+        counts: dict[int, int] = {}
+        for r in _partial_stats(centroids).collect():
+            ci = r["cluster"]
+            vec = np.array(r["s"], dtype=np.float64)
+            if ci in sums:
+                sums[ci] += vec
+                counts[ci] += r["n"]
+            else:
+                sums[ci] = vec
+                counts[ci] = r["n"]
+        new_c = [list(c) for c in centroids]  # empty clusters keep position
+        for ci, s in sums.items():
+            new_c[ci] = (s / counts[ci]).tolist()
+        centroids = new_c
+    return _assign_vec(centroids).select("id", "cluster"), centroids
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -338,6 +455,7 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 3,
     threshold: float = 0.995,
+    assign_strategy: str = "expr",
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: partition the embedding
     space with the deterministic k-means coarse quantizer, generate
@@ -348,7 +466,9 @@ def semantic_dedup(
     Scale shape: pairwise comparison happens only WITHIN a k-means cell
     (the SemDeDup observation — semantic duplicates land in the same
     cell), so cost is sum over cells of |cell|^2, never corpus^2; raise
-    k so cells stay bounded.  Candidate ids expand from ONE shuffle of
+    k so cells stay bounded (``assign_strategy="vectorized"`` keeps the
+    quantizer viable at the hundreds of cells that implies — see
+    :func:`train_kmeans`).  Candidate ids expand from ONE shuffle of
     the narrow (cluster, id) rows (same grouped i<j expansion as the
     LSH paths); vectors re-enter by id only for candidate pairs, with
     shuffle_hash so the corpus side can never be mis-broadcast.
@@ -356,7 +476,10 @@ def semantic_dedup(
     """
     from gmail_etl_spark.operators.dedup import near_dedup
 
-    assign, _ = train_kmeans(corpus, id_col, vec_col, k=k, iters=iters)
+    assign, _ = train_kmeans(
+        corpus, id_col, vec_col, k=k, iters=iters,
+        assign_strategy=assign_strategy,
+    )
     ids = assign.select(F.col("cluster"), F.col("id"))
     candidates = (
         ids.groupBy("cluster")
@@ -870,6 +993,7 @@ def save_ivf_index(
     vec_col: str = "embedding",
     k_cells: int = 8,
     iters: int = 3,
+    assign_strategy: str = "expr",
 ) -> None:
     """Materialize an IVF index as a TABLE: train the coarse quantizer
     (:func:`train_kmeans`, deterministic), write the corpus partitioned
@@ -880,7 +1004,12 @@ def save_ivf_index(
     once; at 100 TB this is the difference between an ANN system and an
     ANN query."""
     assignments, centroids = train_kmeans(
-        corpus, id_col=id_col, vec_col=vec_col, k=k_cells, iters=iters
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k_cells,
+        iters=iters,
+        assign_strategy=assign_strategy,
     )
     indexed = corpus.join(
         assignments, corpus[id_col] == assignments["id"]
@@ -906,16 +1035,46 @@ def query_ivf_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_strategy: str = "expr",
+    rank_strategy: str = "expr",
 ) -> DataFrame:
     """Query the persisted index: assign each query to its ``nprobe``
-    nearest centroids (centroids are a handful of plan literals read
-    back from the index), scan ONLY the probed partitions (`cluster IN
+    nearest centroids, scan ONLY the probed partitions (`cluster IN
     (...)` reaches the reader as a partition filter), and rank exact
     cosine within the per-query probed cells under the (sim DESC, id)
     total order.  The collected probe set is bounded by k_cells — the
     same bounded-scalar contract as the query set itself.  Results are
     identical to running the same nprobe IVF search in one job; the
-    test asserts it row-for-row."""
+    test asserts it row-for-row.
+
+    ``probe_strategy`` mirrors :func:`train_kmeans`'s
+    ``assign_strategy``: ``"expr"`` (default) compiles the centroids
+    into the plan as k_cells×dim literals — right while the cell count
+    is small; ``"vectorized"`` collects the (small-by-contract) query
+    set, picks each query's ``nprobe`` cells with one numpy matmul on
+    the driver, and re-enters the plan as a q×nprobe-row DataFrame —
+    the probe step carries zero centroid literals, so plan size is
+    independent of k_cells.  Both order probes by (distance rounded to
+    9 places, cell id), so the probed cells are identical.
+
+    ``rank_strategy`` picks the within-cell ranking kernel over the
+    SAME candidate set (probed cells minus the query itself, under the
+    (sim rounded to 6 DESC, neighbor id) total order, row-identical by
+    test): ``"expr"`` (default) joins queries to probed vectors and
+    ranks with the codegen cosine; ``"vectorized"`` closes the
+    (bounded) query set over a ``mapInPandas`` kernel — one numpy
+    matmul per probed Arrow batch with per-batch partial top-k, the
+    :func:`cosine_topk_vectorized` discipline, so the probed scan's
+    byte savings are not given back as per-row expression overhead at
+    wide dims."""
+    if probe_strategy not in ("expr", "vectorized"):
+        raise ValueError(
+            f"probe_strategy must be 'expr' or 'vectorized', got {probe_strategy!r}"
+        )
+    if rank_strategy not in ("expr", "vectorized"):
+        raise ValueError(
+            f"rank_strategy must be 'expr' or 'vectorized', got {rank_strategy!r}"
+        )
     cents = sorted(
         (r["cluster"], list(r["centroid"]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
@@ -936,39 +1095,137 @@ def query_ivf_index(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
-    scored_cells = q.select(
-        "query_id",
-        "q_vec",
-        F.slice(
-            F.array_sort(
-                F.array(
-                    *[
-                        F.struct(
-                            F.round(dist2(F.col("q_vec"), c), 9).alias("d"),
-                            F.lit(ci).alias("cell"),
-                        )
-                        for ci, c in cents
-                    ]
-                )
-            ),
-            1,
-            nprobe,
-        ).alias("probes"),
-    ).select(
-        "query_id", "q_vec", F.explode("probes.cell").alias("cluster")
-    )
+    if probe_strategy == "vectorized":
+        import numpy as np
+
+        q_id_type = queries.schema[id_col].dataType.simpleString()
+        q_rows = q.collect()
+        cell_ids = np.array([ci for ci, _ in cents], dtype=np.int64)
+        C = np.array([c for _, c in cents], dtype=np.float64)
+        probe_rows = []
+        for r in q_rows:
+            v = np.array(r["q_vec"], dtype=np.float64)
+            d2 = np.round(((C - v[None, :]) ** 2).sum(axis=1), 9)
+            # (rounded distance, cell id) ascending — the expr path's
+            # array_sort(struct(d, cell)) order, so probes match exactly
+            order = np.lexsort((cell_ids, d2))[:nprobe]
+            for ci in cell_ids[order]:
+                probe_rows.append((r["query_id"], list(r["q_vec"]), int(ci)))
+        scored_cells = spark.createDataFrame(
+            probe_rows,
+            f"query_id {q_id_type}, q_vec array<double>, cluster int",
+        )
+    else:
+        scored_cells = q.select(
+            "query_id",
+            "q_vec",
+            F.slice(
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.round(dist2(F.col("q_vec"), c), 9).alias("d"),
+                                F.lit(ci).alias("cell"),
+                            )
+                            for ci, c in cents
+                        ]
+                    )
+                ),
+                1,
+                nprobe,
+            ).alias("probes"),
+        ).select(
+            "query_id", "q_vec", F.explode("probes.cell").alias("cluster")
+        )
     probe_set = sorted(
         {r["cluster"] for r in scored_cells.select("cluster").distinct().collect()}
     )
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cluster").isin(probe_set)
     )
+    from pyspark.sql import Window as W
+
+    if rank_strategy == "vectorized":
+        import numpy as np
+        import pandas as pd
+
+        q_id_type2 = queries.schema[id_col].dataType.simpleString()
+        c_id_type = vectors.schema[id_col].dataType.simpleString()
+        per_q: dict = {}
+        for r in scored_cells.select(
+            "query_id", "q_vec", "cluster"
+        ).collect():  # bounded: q × nprobe rows
+            vec, cells = per_q.setdefault(
+                r["query_id"], (list(r["q_vec"]), set())
+            )
+            cells.add(r["cluster"])
+        if not per_q:
+            # empty query set: empty result with the join path's schema,
+            # not a driver-side numpy AxisError
+            return vectors.select(
+                F.col(id_col).cast(q_id_type2).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.lit(0.0).alias("sim"),
+                F.lit(1).alias("rank"),
+            ).limit(0)
+        q_ids = list(per_q)
+        q_mat = np.array([per_q[q][0] for q in q_ids], dtype=np.float64)
+        q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+        np.divide(q_mat, q_norms, out=q_mat, where=q_norms > 0)
+        q_cells = [
+            np.fromiter(per_q[q][1], dtype=np.int64) for q in q_ids
+        ]
+
+        def _kern(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ids = pdf["__nid"].to_numpy()
+                clusters = pdf["cluster"].to_numpy()
+                c = np.array(pdf["__cvec"].tolist(), dtype=np.float64)
+                norms = np.linalg.norm(c, axis=1, keepdims=True)
+                np.divide(c, norms, out=c, where=norms > 0)
+                sims = c @ q_mat.T  # (batch, n_queries)
+                out_q, out_n, out_s = [], [], []
+                for j, qid in enumerate(q_ids):
+                    # same candidate set as the join path: rows in this
+                    # query's probed cells, minus the query itself
+                    mask = np.isin(clusters, q_cells[j]) & (ids != qid)
+                    cand_ids, cand_sims = ids[mask], sims[mask, j]
+                    if len(cand_ids) > k:
+                        order = np.lexsort(
+                            (cand_ids, -np.round(cand_sims, 6))
+                        )[:k]
+                    else:
+                        order = np.arange(len(cand_ids))
+                    out_q.extend([qid] * len(order))
+                    out_n.extend(cand_ids[order])
+                    out_s.extend(cand_sims[order])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+                )
+
+        partials = vectors.select(
+            F.col(id_col).alias("__nid"),
+            F.col(vec_col).cast("array<double>").alias("__cvec"),
+            "cluster",
+        ).mapInPandas(
+            _kern,
+            f"query_id {q_id_type2}, neighbor_id {c_id_type}, sim double",
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
+        )
+        return (
+            partials.withColumn("sim", F.round("sim", 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
     joined = scored_cells.join(vectors, "cluster").filter(
         F.col("query_id") != F.col(id_col)
     )
     sim = F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6)
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )

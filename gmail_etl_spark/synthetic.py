@@ -63,3 +63,54 @@ def planted_near_dup_corpus(
         )
         .repartition(partitions)
     )
+
+
+def planted_embedding_corpus(
+    spark: SparkSession,
+    n: int,
+    dim: int = 64,
+    n_centers: int = 64,
+    noise: float = 0.05,
+    partitions: int = 32,
+) -> DataFrame:
+    """``n`` vectors in ``dim`` dims planted around ``n_centers``
+    well-separated centers: vector ``i`` = center ``i mod n_centers``
+    plus per-coordinate noise, every component an ``xxhash64``-derived
+    uniform in [-1, 1] (centers) / [-noise, +noise] (per-vector) — no
+    RNG, bit-identical at any parallelism, same discipline as
+    :func:`planted_near_dup_corpus`.
+
+    Random centers in [-1,1]^dim sit ~sqrt(2·dim/3) apart (≈6.5 at
+    dim=64) while the noise vector's norm is ~noise·sqrt(dim/3)
+    (≈0.23 at the default), so each vector's nearest center is its
+    planted one by a wide margin — ground truth for quantizer-recall
+    checks.  Because ids 0..k-1 belong to k distinct centers (for
+    k ≤ n_centers), :func:`~gmail_etl_spark.operators.similarity.
+    train_kmeans`'s lowest-id init seeds every cell near a distinct
+    planted center.
+
+    Returns (vec_id long, embedding array<double>, center int),
+    repartitioned to ``partitions``; callers cache for repeated scans.
+    """
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+    center = F.pmod(F.col("id"), F.lit(n_centers)).cast("int")
+
+    def _unit(*seed_cols):
+        # xxhash64-derived uniform in [-1, 1] with ~1e-3 granularity
+        return F.pmod(F.xxhash64(*seed_cols), F.lit(2001)).cast(
+            "double"
+        ) / 1000.0 - 1.0
+
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                dims,
+                lambda j: _unit(center, j)
+                + F.lit(float(noise)) * _unit(F.col("id"), j, F.lit("noise")),
+            ).alias("embedding"),
+            center.alias("center"),
+        )
+        .repartition(partitions)
+    )

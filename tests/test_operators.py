@@ -888,6 +888,51 @@ def test_kmeans_trainer_properties(spark):
     assert inertiaN <= inertia0
 
 
+def test_kmeans_vectorized_matches_expr(spark):
+    """The numpy/Arrow assignment path (the large-k form: centroids in
+    kernel closures, not k×dim plan literals) produces the same
+    assignments and centroids as the codegen expr path — same argmin,
+    same lowest-cluster tie-break, sufficient-statistics update."""
+    import math
+
+    from gmail_etl_spark.operators.similarity import train_kmeans
+    from gmail_etl_spark.synthetic import planted_embedding_corpus
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a_expr, c_expr = train_kmeans(emb, k=5, iters=3, assign_strategy="expr")
+    a_vec, c_vec = train_kmeans(emb, k=5, iters=3, assign_strategy="vectorized")
+    for u, v in zip(c_expr, c_vec):
+        for x, y in zip(u, v):
+            # centroid sums run in different orders (shuffle-order fold
+            # vs numpy pairwise) — equal to float accumulation noise
+            assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-12)
+    de = {r["id"]: r["cluster"] for r in a_expr.collect()}
+    dv = {r["id"]: r["cluster"] for r in a_vec.collect()}
+    assert de == dv and len(de) == emb.count()
+
+    # large-k smoke on the planted corpus: every vector lands in the
+    # cell seeded by its planted center (k > any size the expr path's
+    # O(k·dim)-literal plan could carry)
+    from pyspark.sql import functions as F
+
+    corpus = planted_embedding_corpus(spark, 4000, dim=16, n_centers=64)
+    assign, cents = train_kmeans(
+        corpus, k=64, iters=2, assign_strategy="vectorized"
+    )
+    agree = (
+        assign.join(corpus, assign["id"] == corpus["vec_id"])
+        .filter(F.col("cluster") == F.col("center"))
+        .count()
+    )
+    assert agree == 4000
+    assert len(cents) == 64
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        train_kmeans(emb, k=5, iters=1, assign_strategy="bogus")
+
+
 def test_wav_decode_features_and_degrade():
     """Real RIFF/PCM parse: sample-derived features, stdlib-`wave`
     cross-check, chunk-order tolerance, corrupt-payload degrade."""
@@ -1472,6 +1517,59 @@ def test_persisted_ivf_index_roundtrip(spark, tmp_path):
         F.col("cluster").isin(probe_set))
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_query_ivf_probe_strategies_identical(spark, tmp_path):
+    """probe_strategy='vectorized' (driver-side numpy cell pick, zero
+    centroid literals in the plan) returns row-identical results to the
+    default expr probe — same (rounded distance, cell) probe order."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gmail_etl_spark.operators.similarity import (
+        query_ivf_index,
+        save_ivf_index,
+    )
+    from gmail_etl_spark.synthetic import planted_embedding_corpus
+
+    emb = planted_embedding_corpus(spark, 3000, dim=16, n_centers=12).select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ivf_probe")
+    save_ivf_index(
+        spark, emb, path, k_cells=12, iters=2, assign_strategy="vectorized"
+    )
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    got_e = query_ivf_index(
+        spark, path, queries, k=4, nprobe=3, probe_strategy="expr"
+    )
+    got_v = query_ivf_index(
+        spark, path, queries, k=4, nprobe=3, probe_strategy="vectorized"
+    )
+    rows_e = sorted(map(tuple, got_e.collect()))
+    rows_v = sorted(map(tuple, got_v.collect()))
+    assert rows_e == rows_v and len(rows_e) == queries.count() * 4
+
+    # the numpy within-cell ranking kernel returns the same rows as the
+    # join/codegen ranking over the same probed candidate set
+    got_r = query_ivf_index(
+        spark, path, queries, k=4, nprobe=3,
+        probe_strategy="vectorized", rank_strategy="vectorized",
+    )
+    rows_r = sorted(map(tuple, got_r.collect()))
+    assert rows_r == rows_e
+
+    # empty query set degrades to an empty frame on both rank paths
+    none = queries.limit(0)
+    assert query_ivf_index(
+        spark, path, none, k=4, nprobe=3, rank_strategy="vectorized"
+    ).count() == 0
+    assert query_ivf_index(spark, path, none, k=4, nprobe=3).count() == 0
+
+    with pytest.raises(ValueError):
+        query_ivf_index(spark, path, queries, probe_strategy="bogus")
+    with pytest.raises(ValueError):
+        query_ivf_index(spark, path, queries, rank_strategy="bogus")
 
 
 def test_minhash_verify_strategy_independence(spark):
