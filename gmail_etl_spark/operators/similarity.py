@@ -744,6 +744,7 @@ def ivf_pq_topk(
     k: int = 5,
     nprobe: int = 2,
     rerank: int = 5,
+    assign_strategy: str = "expr",
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011): the full big-ANN search architecture —
     an IVF coarse quantizer prunes the corpus to each query's ``nprobe``
@@ -751,8 +752,12 @@ def ivf_pq_topk(
     a ``k * rerank`` shortlist.  Compose with :func:`train_kmeans` (the
     cell centroids) and :func:`train_pq` (the codebooks).
 
-    Scale shape: cell assignment is a map-only argmin over centroid
-    literals (no join, no shuffle); the ADC kernel skips every row
+    Scale shape: cell assignment is a map-only argmin — over centroid
+    literals by default, or inside a numpy/Arrow kernel with
+    ``assign_strategy="vectorized"`` (identical assignments by test;
+    the large-cell-count form, zero plan literals — see
+    :func:`train_kmeans`); either way no join, no shuffle; the ADC
+    kernel skips every row
     outside the query's probed cells, so scan cost per query drops by
     ~k_cells/nprobe; per-batch partial top-k bounds the merge shuffle at
     O(n_batches · k·rerank · n_queries); the re-rank pass broadcasts the
@@ -763,30 +768,65 @@ def ivf_pq_topk(
     import numpy as np
     import pandas as pd
 
+    if assign_strategy not in ("expr", "vectorized"):
+        raise ValueError(
+            f"assign_strategy must be 'expr' or 'vectorized', got {assign_strategy!r}"
+        )
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    # map-only cell assignment compiled from centroid literals
     base = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    cell_pairs = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"),
-                        F.array(*[F.lit(c) for c in cent]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, d: acc + d,
-                ).alias("dist"),
-                F.lit(ci).alias("cell"),
-            )
-            for ci, cent in enumerate(centroids)
-        ]
-    )
-    with_cell = base.withColumn("cell", F.array_min(cell_pairs)["cell"])
+    if assign_strategy == "vectorized":
+        # large-k form (same trade as train_kmeans's vectorized path):
+        # centroids in a kernel closure, one matmul per Arrow batch,
+        # zero plan literals; argmin first-occurrence = the expr path's
+        # lowest-cell tie-break
+        C_cells = np.asarray(centroids, dtype=np.float64)
+        c2_cells = (C_cells * C_cells).sum(axis=1)
+        corpus_id_type = corpus.schema[id_col].dataType.simpleString()
+
+        def _cell_kern(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.array(pdf["v"].tolist(), dtype=np.float64)
+                d2 = (
+                    (v * v).sum(axis=1)[:, None]
+                    - 2.0 * (v @ C_cells.T)
+                    + c2_cells[None, :]
+                )
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "v": pdf["v"],
+                        "cell": d2.argmin(axis=1).astype("int32"),
+                    }
+                )
+
+        with_cell = base.mapInPandas(
+            _cell_kern, f"id {corpus_id_type}, v array<double>, cell int"
+        )
+    else:
+        # map-only cell assignment compiled from centroid literals
+        cell_pairs = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(c) for c in cent]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    ).alias("dist"),
+                    F.lit(ci).alias("cell"),
+                )
+                for ci, cent in enumerate(centroids)
+            ]
+        )
+        with_cell = base.withColumn("cell", F.array_min(cell_pairs)["cell"])
     # cell rides along through the encode projection: no join, no shuffle
     enc = pq_encode(with_cell, codebooks, "id", "v", keep_cols=("cell",))
 

@@ -1113,6 +1113,21 @@ def test_ivf_pq_recall_vs_exact(spark):
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.4, f"IVFADC recall@10 too low: {mean_recall}"
 
+    # vectorized cell assignment (numpy kernel, zero centroid literals)
+    # returns row-identical results to the literal-compiled default
+    approx_v = ivf_pq_topk(
+        queries, emb, books, centroids, k=10, nprobe=4, rerank=5,
+        assign_strategy="vectorized",
+    ).collect()
+    assert sorted(map(tuple, approx_v)) == sorted(map(tuple, approx))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ivf_pq_topk(
+            queries, emb, books, centroids, assign_strategy="bogus"
+        )
+
 
 def test_dhash_planted_near_dups(spark):
     """Perceptual dedup semantics: a copy with a few flipped pixels sits
