@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Gmail-pipeline throughput at scale (E2 transform lifecycle).
+
+bench.py measures the full stage-1 transform (header pivot, lenient
+date parse, base64url body decode, HTML->text, vendor enrichment) at
+20k messages; this tool runs the SAME plan at 1M+ messages and reports
+msgs/sec, plus a full write-path run (transform -> parquet sink) so the
+figure includes the shuffle-free sink, not just the count.
+
+The reference processes <=300 messages per serial run on a Raspberry Pi
+(resources/gmail_functions.py:151 pageSize, gmail_dag.py @daily); the
+msgs/sec here is the like-for-like single-node comparison and the
+plan's map-only shape (zero exchanges before the sink) is what projects
+it to a 1000-executor cluster: throughput scales with cores because
+nothing shuffles.
+
+Usage: python tools/pipeline_scale.py [--msgs 1000000] [--repeats 3]
+Emits one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--msgs", type=int, default=1_000_000)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    from gmail_etl_spark.pipeline import transform_stage1
+    from gmail_etl_spark.session import get_spark
+    from gmail_etl_spark.sources.fixtures import fixture_raw_df
+
+    spark = get_spark("pipeline-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    fixture = fixture_raw_df(spark)
+    n_fixture = fixture.count()
+    reps = args.msgs // n_fixture
+    corpus = (
+        fixture.crossJoin(spark.range(reps).select(F.col("id").alias("_rep")))
+        .withColumn("id", F.concat_ws("-", "id", "_rep"))
+        .drop("_rep")
+        .repartition(32)
+        .cache()
+    )
+    n_msgs = corpus.count()
+
+    # transform-only (the bench entry's shape, 50x the rows)
+    transform_stage1(corpus).count()  # warm
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        n_out = transform_stage1(corpus).count()
+        best = min(best, time.perf_counter() - t0)
+    assert n_out == n_msgs, (n_out, n_msgs)
+    transform_s = best
+
+    # full write path: transform -> parquet sink (fresh dir per run)
+    work = tempfile.mkdtemp(prefix="pipeline_scale_")
+    write_s = float("inf")
+    try:
+        for i in range(args.repeats):
+            out = os.path.join(work, f"run{i}")
+            t0 = time.perf_counter()
+            transform_stage1(corpus).write.parquet(out)
+            write_s = min(write_s, time.perf_counter() - t0)
+        n_written = spark.read.parquet(os.path.join(work, "run0")).count()
+        assert n_written == n_msgs, (n_written, n_msgs)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_scale",
+                "msgs": n_msgs,
+                "transform_s": round(transform_s, 2),
+                "transform_msgs_per_s": round(n_msgs / transform_s),
+                "transform_and_sink_s": round(write_s, 2),
+                "sink_msgs_per_s": round(n_msgs / write_s),
+                "reference_msgs_per_day": 300,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+                "repeats": args.repeats,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
