@@ -74,11 +74,28 @@ def main() -> None:
         .withColumn("id", F.concat_ws("-", "id", "_rep"))
         .drop("_rep")
     )
-    transform_stage1(corpus).count()  # warm
+
+    # count() is NOT a valid materializer here: transform_stage1 is pure
+    # projection, so Catalyst column-prunes every stage — including the
+    # three pandas UDFs — out of a count plan (verified: it contains no
+    # ArrowEvalPython node).  Hashing every output column forces the
+    # full transform while moving a single row to the driver.
+    def _pipeline_run() -> int:
+        out = transform_stage1(corpus)
+        hashed = out.select(F.xxhash64(*out.columns).alias("h"))
+        # bit_xor CONSUMES h — a bare count would let the pruner drop
+        # the hash projection and re-introduce the same dead plan
+        row = hashed.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor("h").alias("x")
+        ).collect()[0]
+        return row["n"]
+
+    n_msgs = _pipeline_run()  # warm
+    assert n_msgs == 20000
     best = float("inf")
     for _ in range(REPEATS_PIPELINE):
         t0 = time.perf_counter()
-        n_msgs = transform_stage1(corpus).count()
+        n_msgs = _pipeline_run()
         best = min(best, time.perf_counter() - t0)
     assert n_msgs == 20000
     times["gmail_pipeline_20k_msgs"] = round(best, 3)
@@ -186,6 +203,12 @@ def main() -> None:
         # the default shuffle-verify path best-of-3 and are not
         # directly comparable for that entry.
         "near_dedup_path": "broadcast_verify+canonical_input (since r4)",
+        # methodology (r5): the pipeline entry now materializes via a
+        # full-column xxhash64 checksum; r1-r4 artifacts used count(),
+        # which Catalyst column-pruned past ALL transform stages (incl.
+        # the pandas UDFs), so those figures measured corpus
+        # construction only and are not comparable for that entry.
+        "gmail_pipeline_materializer": "xxhash64 all-column checksum (since r5)",
     }
     print(json.dumps(out))
 

@@ -542,3 +542,34 @@ def test_sweep_priority_covers_catalog_and_frontloads_backlog():
                 f"never-driver-tested {name} ordered after an "
                 "already-tested query — backlog must be front-loaded"
             )
+
+
+def test_pipeline_bench_materializer_is_not_column_pruned(spark):
+    """count() on transform_stage1 is a dead plan: the transform is pure
+    projection, so the pruner removes every stage including the three
+    pandas UDFs (r1-r4 bench artifacts measured exactly that).  The
+    bench's checksum materializer must keep the Arrow stages in the
+    executed plan, and bench.py must actually use it."""
+    from gmail_etl_spark.pipeline import transform_stage1
+    from gmail_etl_spark.sources.fixtures import fixture_raw_df
+
+    out = transform_stage1(fixture_raw_df(spark))
+
+    count_plan = out.groupBy().count()._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in count_plan, (
+        "count() now evaluates the UDF stages — the checksum "
+        "materializer may be redundant; revisit bench.py"
+    )
+
+    hashed = out.select(F.xxhash64(*out.columns).alias("h"))
+    agg = hashed.agg(F.count(F.lit(1)).alias("n"), F.bit_xor("h").alias("x"))
+    checksum_plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in checksum_plan, (
+        "checksum materializer no longer forces the pandas-UDF stages"
+    )
+
+    src = open("bench.py").read()
+    assert "bit_xor" in src and "xxhash64(*out.columns)" in src, (
+        "bench.py pipeline entry must materialize via the all-column "
+        "checksum, not count()"
+    )

@@ -58,12 +58,24 @@ def main() -> None:
     )
     n_msgs = corpus.count()
 
-    # transform-only (the bench entry's shape, 50x the rows)
-    transform_stage1(corpus).count()  # warm
+    # transform-only (the bench entry's shape, 50x the rows).  count()
+    # would be column-pruned past every transform stage (incl. the
+    # pandas UDFs) — the checksum aggregate consumes every output
+    # column, forcing full evaluation with one driver row.
+    def _run() -> int:
+        out = transform_stage1(corpus)
+        hashed = out.select(F.xxhash64(*out.columns).alias("h"))
+        row = hashed.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor("h").alias("x")
+        ).collect()[0]
+        return row["n"]
+
+    n_out = _run()  # warm
+    assert n_out == n_msgs, (n_out, n_msgs)
     best = float("inf")
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        n_out = transform_stage1(corpus).count()
+        n_out = _run()
         best = min(best, time.perf_counter() - t0)
     assert n_out == n_msgs, (n_out, n_msgs)
     transform_s = best

@@ -106,10 +106,18 @@ def main() -> None:
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
+        # scale AQE's skew gate to this corpus: the hot partition here is
+        # ~120 MB, under the 256 MB default threshold that a real
+        # cluster's partitions would clear — without this the "skew on"
+        # and "skew off" variants compile to the same unsplit plan
         conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         results["sortmerge_aqe_skew"] = _time_best(
             lambda: run_join(fact.join(dim, "k")), args.repeats
         )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
 
         conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         results["sortmerge_skew_off"] = _time_best(
