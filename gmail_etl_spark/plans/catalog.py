@@ -173,44 +173,22 @@ def rows_only_reason_map() -> dict[str, str]:
 #: budget.  Policy: never-driver-tested entries first, then the rows the
 #: driver has not re-checked for the longest time — so evidence coverage
 #: grows every round and stale rows rotate back into the budget.
-#: Round-5 order (catalog frozen at 254): (1) the 61 queries with no
-#: driver CORRECTNESS row yet (q194+ tail, registration order) — the
-#: driver's ~50-row budget lands entirely here; (2) rows last verified
-#: in round 1 (stalest); (3) round 2; (4) round 3; (5) round 4
-#: (freshest).  Generated from CORRECTNESS_r0{1,2,3,4}.json by
+#: Round-6 order (catalog frozen at 254): (1) the 11 queries with no
+#: driver CORRECTNESS row yet (the last evidence gap) -- the driver's
+#: ~50-row budget lands on these first, then rotates the stalest
+#: round-1 rows; (2) rows last verified in round 1 (stalest); (3)
+#: round 2; (4) round 3; (5) round 4; (6) round 5 (freshest).
+#: Generated from CORRECTNESS_r0{1,2,3,4,5}.json by
 #: tools/gen_sweep_priority.py.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # -- (1) never driver-tested: the 61-query tail --
-    "q194_bm25_scores", "q195_rrf_hybrid", "q247_threshold_sensitivity",
-    "q196_retrieval_ndcg", "q197_funnel_conversion",
-    "q198_cohort_retention", "q199_scd2_state_history",
-    "q200_merge_upsert", "q215_recursive_reachability",
-    "q219_session_funnel", "q226_spatial_bucket_join",
-    "q227_time_to_convert", "q234_activity_heatmap",
-    "q235_negative_edge_samples", "q236_calibration_bins",
-    "q237_point_in_time_lookup", "q238_activity_islands",
-    "q241_validation_quarantine", "q242_bounded_conversion",
-    "q251_rfm_segmentation", "q252_burstiness_audit",
-    "q201_acf_daily_counts", "q202_cusum_changepoint",
-    "q203_moment_shape_stats", "q204_k_anonymity_audit",
-    "q205_distribution_drift", "q206_gini_concentration",
-    "q207_benford_audit", "q208_ewma_smoothing", "q212_ks_drift_test",
-    "q213_mann_whitney_u", "q214_churn_hazard", "q220_pareto_frontier",
-    "q221_daily_anomaly_flags", "q222_sampled_sum_estimate",
-    "q223_exact_order_statistics", "q224_walk_forward_forecast",
-    "q225_bollinger_breakouts", "q232_weighted_median",
-    "q233_dedup_savings", "q239_cuped_adjustment",
-    "q240_quantile_treatment_effect", "q243_power_analysis",
-    "q244_simpson_check", "q246_median_confidence_interval",
-    "q248_wilson_error_rates", "q249_source_concentration",
-    "q250_sequential_monitoring", "q253_dow_adjusted_anomalies",
-    "q254_peak_concurrency", "q209_quantile_normalize",
-    "q210_nb_token_likelihoods", "q211_chi2_feature_selection",
-    "q216_window_distribution_suite", "q217_unpivot_round_trip",
-    "q218_roc_auc", "q228_activity_bitmask_streaks",
-    "q229_capped_running_balance", "q230_best_stump_threshold",
-    "q231_sorted_group_concat", "q245_levenshtein_linkage",
-    # -- (2) last verified round 1 (stalest, 49) --
+    # -- (1) never driver-tested (11) --
+    "q209_quantile_normalize", "q210_nb_token_likelihoods",
+    "q211_chi2_feature_selection", "q216_window_distribution_suite",
+    "q217_unpivot_round_trip", "q218_roc_auc",
+    "q228_activity_bitmask_streaks", "q229_capped_running_balance",
+    "q230_best_stump_threshold", "q231_sorted_group_concat",
+    "q245_levenshtein_linkage",
+    # -- (2) last verified round 1 (49) --
     "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
     "q04_priority_semi_join", "q05_customers_without_orders",
     "q06_order_size_histogram", "q07_top_orders_per_customer",
@@ -271,7 +249,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q94_hash_split", "q95_per_class_cap", "q96_stratified_sample",
     "q97_contamination", "q72_pack_sequences",
     "q107_source_mixing_weights",
-    # -- (5) last verified round 4 (freshest, 50) --
+    # -- (5) last verified round 4 (50) --
     "q158_zorder_layout", "q179_join_key_skew_audit",
     "q185_ansi_sql_parity", "q140_profile_columns",
     "q134_bpe_merge_candidates", "q137_domain_quality_rollup",
@@ -296,7 +274,31 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q148_curation_funnel", "q151_curriculum_deciles",
     "q152_token_budget_selection", "q159_weighted_sample",
     "q172_erasure_impact",
-)
+    # -- (6) last verified round 5 (50) --
+    "q194_bm25_scores", "q195_rrf_hybrid", "q247_threshold_sensitivity",
+    "q196_retrieval_ndcg", "q197_funnel_conversion",
+    "q198_cohort_retention", "q199_scd2_state_history",
+    "q200_merge_upsert", "q215_recursive_reachability",
+    "q219_session_funnel", "q226_spatial_bucket_join",
+    "q227_time_to_convert", "q234_activity_heatmap",
+    "q235_negative_edge_samples", "q236_calibration_bins",
+    "q237_point_in_time_lookup", "q238_activity_islands",
+    "q241_validation_quarantine", "q242_bounded_conversion",
+    "q251_rfm_segmentation", "q252_burstiness_audit",
+    "q201_acf_daily_counts", "q202_cusum_changepoint",
+    "q203_moment_shape_stats", "q204_k_anonymity_audit",
+    "q205_distribution_drift", "q206_gini_concentration",
+    "q207_benford_audit", "q208_ewma_smoothing", "q212_ks_drift_test",
+    "q213_mann_whitney_u", "q214_churn_hazard", "q220_pareto_frontier",
+    "q221_daily_anomaly_flags", "q222_sampled_sum_estimate",
+    "q223_exact_order_statistics", "q224_walk_forward_forecast",
+    "q225_bollinger_breakouts", "q232_weighted_median",
+    "q233_dedup_savings", "q239_cuped_adjustment",
+    "q240_quantile_treatment_effect", "q243_power_analysis",
+    "q244_simpson_check", "q246_median_confidence_interval",
+    "q248_wilson_error_rates", "q249_source_concentration",
+    "q250_sequential_monitoring", "q253_dow_adjusted_anomalies",
+    "q254_peak_concurrency",)
 
 
 def _sweep_order() -> list[str]:

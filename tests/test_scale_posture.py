@@ -531,7 +531,7 @@ def test_sweep_priority_covers_catalog_and_frontloads_backlog():
     assert sorted(order) == sorted(CATALOG), "sweep order must cover catalog"
 
     tested: set[str] = set()
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         tested |= set(json.load(open(f"CORRECTNESS_r0{r}.json")))
     seen_tested = False
     for name in order:
