@@ -24,8 +24,49 @@ REPEATS_PIPELINE = 3
 REPEATS_KNN = 5
 REPEATS_NEAR_DEDUP = 7
 
+# load gate (VERDICT r5 #2): the committed BENCH_r05 artifact was taken
+# at loadavg 15-19 on 32 CPUs and read 2.2x the same code's quiet-window
+# figure.  A timed artifact recorded under co-tenant load is worse than
+# a late one, so the bench now refuses to *start* until the 1-min
+# loadavg per CPU drops under the threshold — bounded, so a driver-timed
+# run can still complete on a busy host; the artifact then self-reports
+# whether the gate held (load_gate_ok) instead of leaving the reader to
+# reconstruct it from raw loadavg.
+LOAD_GATE_RATIO = 0.25  # loadavg[0] / cpus
+LOAD_GATE_MAX_WAIT_SEC = 300.0
+LOAD_GATE_POLL_SEC = 15.0
+
+
+def _wait_for_quiet_host() -> dict:
+    """Block (bounded) until the host is quiet; return gate metadata."""
+    import sys
+
+    cpus = os.cpu_count() or 1
+    initial = os.getloadavg()[0]
+    waited = 0.0
+    load = initial
+    while load / cpus > LOAD_GATE_RATIO and waited < LOAD_GATE_MAX_WAIT_SEC:
+        print(
+            f"bench: loadavg {load:.1f}/{cpus} cpus exceeds gate "
+            f"ratio {LOAD_GATE_RATIO}; waiting {LOAD_GATE_POLL_SEC:.0f}s "
+            f"({waited:.0f}/{LOAD_GATE_MAX_WAIT_SEC:.0f}s elapsed)",
+            file=sys.stderr,
+        )
+        time.sleep(LOAD_GATE_POLL_SEC)
+        waited += LOAD_GATE_POLL_SEC
+        load = os.getloadavg()[0]
+    return {
+        "ratio_threshold": LOAD_GATE_RATIO,
+        "cpus": cpus,
+        "initial_loadavg1": round(initial, 2),
+        "start_loadavg1": round(load, 2),
+        "waited_sec": round(waited, 1),
+        "ok_at_start": load / cpus <= LOAD_GATE_RATIO,
+    }
+
 
 def main() -> None:
+    load_gate = _wait_for_quiet_host()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
     from gmail_etl_spark.session import get_spark
@@ -191,6 +232,15 @@ def main() -> None:
         # loadavg 4-16 since the fused star-forest probe; structural
         # floor ~6.9 s on a quiet host).
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        # the gate's verdict: ok == quiet at start.  end_loadavg1 is
+        # informational only — it necessarily includes the bench's own
+        # local[32] Spark work (a quiet-start run legitimately ends at
+        # loadavg ~16-20 on 32 CPUs), so it cannot gate.
+        "load_gate": {
+            **load_gate,
+            "end_loadavg1": round(os.getloadavg()[0], 2),
+            "ok": load_gate["ok_at_start"],
+        },
         "repeats": {
             "headline_queries": REPEATS_HEADLINE,
             "gmail_pipeline_20k_msgs": REPEATS_PIPELINE,
