@@ -715,13 +715,14 @@ def jaccard_pairs_prefix(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("token"),
     )
+    # Global rarity rank over the (unbounded) vocabulary: two-phase
+    # distributed row number, never a single-partition sort.
+    from gmail_etl_spark.operators.distributed_window import attach_row_number
+
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    rank = dfreq.select(
-        "token",
-        F.row_number()
-        .over(Window.orderBy(F.asc("df"), F.asc("token")))
-        .alias("rank"),
-    )
+    rank = attach_row_number(
+        dfreq, [F.asc("df"), F.asc("token")], out="rank"
+    ).select("token", "rank")
     ranked = toks.join(F.broadcast(rank), "token").select("id", "rank")
     # per-doc rank set, rarity-ordered, with its prefix slice
     per_doc = ranked.groupBy("id").agg(

@@ -1,0 +1,246 @@
+"""Distributed (two-phase) global window primitives.
+
+An unpartitioned ``Window.orderBy(...)`` is correct but executes in
+Spark as ``Exchange SinglePartition`` + one ``WindowExec`` task: the
+whole frame is sorted and scanned by a single core.  Fine at sf0.1,
+an OOM/straggler at 100 TB.  These helpers compute the same *exact*
+results with a scale-safe shape:
+
+1. ``repartitionByRange`` on the ordering keys — partitions are
+   range-disjoint and ordered by ``spark_partition_id()``, so a global
+   order statistic decomposes into a partition-local statistic plus a
+   carry from the preceding partitions;
+2. a *partitioned* window (one hash shuffle, all partitions in
+   parallel) computes the local statistic;
+3. the per-partition carries form a tiny frame (≤ ``num_partitions``
+   rows — bounded by configuration, not by data), folded with one
+   bounded single-partition window and broadcast-joined back.
+
+Both phases are exact integer/order arithmetic, so the result is
+row-identical to the single-window form — proven by
+``tests/test_distributed_window.py`` and by the DuckDB oracles of the
+queries built on top (q82, q165, q220, q227, q251, q254).
+
+Determinism notes: ``repartitionByRange`` samples with deterministic
+per-partition seeds, so the boundary set is stable across recomputes;
+AQE may coalesce shuffle partitions, but coalescing merges *adjacent*
+ranges, so partition ids stay ordered by the range keys and the
+carry fold stays correct.  Ordering keys must form a total order
+(callers always pass a unique tie-break column), which all six catalog
+users do.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Internal column names — double-underscored and prefixed to avoid
+#: colliding with caller columns; all are dropped before returning.
+PID = "__dw_pid"
+_LOC = "__dw_loc"
+_TOT = "__dw_tot"
+_CARRY = "__dw_carry"
+_OFF = "__dw_off"
+_CNT = "__dw_cnt"
+
+
+def _order_cols(order_by: Sequence[Column | str]) -> list[Column | str]:
+    return list(order_by)
+
+
+def _num_partitions(df: DataFrame, num_partitions: int | None) -> int:
+    if num_partitions is not None:
+        return int(num_partitions)
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def _with_range_pid(
+    df: DataFrame, order_by: Sequence[Column | str], num_partitions: int | None
+) -> DataFrame:
+    """Range-partition on the ordering keys and materialize the
+    partition id as a column.  Partition ids ascend with the sort
+    order, so ``PID`` is a coarse, explicit version of the global
+    order — the pivot both phases share."""
+    n = _num_partitions(df, num_partitions)
+    ranged = df.repartitionByRange(n, *_order_cols(order_by))
+    return ranged.withColumn(PID, F.spark_partition_id())
+
+
+def attach_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    out: str = "rn",
+    total_out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row_number over ``order_by`` without a
+    single-partition sort.
+
+    Equivalent to ``F.row_number().over(Window.orderBy(*order_by))``
+    when ``order_by`` is a total order.  Optionally attaches the total
+    row count as ``total_out`` (needed by ntile/percent_rank/cume_dist
+    derivations) — computed from the same tiny per-partition counts
+    frame, no extra pass over the data.
+    """
+    ranged = _with_range_pid(df, order_by, num_partitions)
+
+    # Phase 1: partition-local row number — a *partitioned* window, so
+    # every range partition ranks in parallel.
+    w_local = Window.partitionBy(PID).orderBy(*_order_cols(order_by))
+    local = ranged.withColumn(_LOC, F.row_number().over(w_local))
+
+    # Phase 2: per-partition counts (tiny: ≤ num_partitions rows; the
+    # range exchange is reused) → exclusive prefix-sum over pid is the
+    # carry each partition adds.  The single-partition window here is
+    # over a configuration-bounded frame, which is the documented
+    # exception to the "no unpartitioned windows" posture rule.
+    counts = ranged.groupBy(PID).agg(F.count(F.lit(1)).alias(_CNT))
+    w_off = Window.orderBy(PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        PID,
+        F.coalesce(F.sum(_CNT).over(w_off), F.lit(0)).alias(_OFF),
+        F.sum(_CNT)
+        .over(
+            Window.orderBy(PID).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias(_TOT),
+    )
+
+    joined = local.join(F.broadcast(offsets), PID)
+    result = joined.withColumn(out, (F.col(_LOC) + F.col(_OFF)).cast("long"))
+    if total_out is not None:
+        result = result.withColumn(total_out, F.col(_TOT).cast("long"))
+    return result.drop(PID, _LOC, _OFF, _TOT, _CNT)
+
+
+def attach_prefix_agg(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    value_col: str,
+    out: str,
+    op: str = "sum",
+    inclusive: bool = True,
+    total_out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum/max of ``value_col`` over ``order_by``.
+
+    Equivalent to ``F.sum/max(value_col).over(Window.orderBy(*order_by)
+    .rowsBetween(unboundedPreceding, 0 if inclusive else -1))`` —
+    the exclusive form yields NULL for the globally-first row, matching
+    the window semantics.  ``op='max'`` works for any orderable type
+    (timestamps included); ``op='sum'`` for numeric.
+    """
+    if op not in ("sum", "max"):
+        raise ValueError(f"unsupported prefix op: {op!r}")
+    agg = F.sum if op == "sum" else F.max
+
+    ranged = _with_range_pid(df, order_by, num_partitions)
+
+    upper = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy(PID)
+        .orderBy(*_order_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    local = ranged.withColumn(_LOC, agg(value_col).over(w_local))
+
+    # Tiny carry frame: per-partition totals, exclusive prefix over pid.
+    totals = ranged.groupBy(PID).agg(agg(value_col).alias(_TOT))
+    w_carry = Window.orderBy(PID).rowsBetween(Window.unboundedPreceding, -1)
+    carry_cols = [
+        F.col(PID),
+        agg(_TOT).over(w_carry).alias(_CARRY),
+    ]
+    if total_out is not None:
+        carry_cols.append(
+            agg(_TOT)
+            .over(
+                Window.orderBy(PID).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias(total_out)
+        )
+    carries = totals.select(*carry_cols)
+
+    joined = local.join(F.broadcast(carries), PID)
+    if op == "max":
+        # greatest() skips NULLs; NULL only when both sides are (the
+        # globally-first row of an exclusive frame).
+        combined = F.greatest(F.col(_LOC), F.col(_CARRY))
+    else:
+        combined = F.when(
+            F.col(_LOC).isNull() & F.col(_CARRY).isNull(), F.lit(None)
+        ).otherwise(
+            F.coalesce(F.col(_LOC), F.lit(0)) + F.coalesce(F.col(_CARRY), F.lit(0))
+        )
+    return joined.withColumn(out, combined).drop(PID, _LOC, _CARRY, _TOT)
+
+
+def _floor_div(numer: Column, denom: Column) -> Column:
+    """Non-negative integer floor division without double rounding
+    error: subtract the remainder so the division is of an exact
+    multiple (always exactly representable), then restore the integer
+    type."""
+    return ((numer - F.pmod(numer, denom)) / denom).cast("long")
+
+
+def _ceil_div(a: Column, b: Column) -> Column:
+    return _floor_div(a + b - F.lit(1), b)
+
+
+def ntile_from_rn(rn: Column, total: Column, n: int) -> Column:
+    """SQL NTILE(n) as pure integer arithmetic over a global row number.
+
+    Standard semantics: the first ``total % n`` buckets hold
+    ``total div n + 1`` rows, the rest ``total div n``.  Matches
+    ``F.ntile(n).over(...)`` and DuckDB's NTILE exactly when ``rn`` is
+    the 1-based position under the same (total) order.
+    """
+    q = _floor_div(total, F.lit(n))
+    r = F.pmod(total, F.lit(n))
+    head = (q + 1) * r  # rows occupied by the r "big" buckets
+    big = _ceil_div(rn, q + 1)
+    # greatest(q, 1): never divide by zero; when q == 0 every row is in
+    # the `big` branch so the small-bucket expression is unused.
+    small = r + _ceil_div(rn - head, F.greatest(q, F.lit(1)))
+    return F.when(rn <= head, big).otherwise(small).cast("int")
+
+
+def percent_rank_from_rn(rn: Column, total: Column) -> Column:
+    """``percent_rank()`` under a total order: (rn-1)/(N-1), 0.0 for a
+    single-row frame — the same double division Spark and DuckDB
+    evaluate, so hash-identical."""
+    return F.when(total > 1, (rn - 1).cast("double") / (total - 1).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def cume_dist_from_rn(rn: Column, total: Column) -> Column:
+    """``cume_dist()`` under a total order (each row its own peer
+    group): rn/N as double division."""
+    return rn.cast("double") / total.cast("double")
+
+
+def attach_ntile(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    n: int,
+    out: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``NTILE(n)`` over ``order_by`` via the two-phase row
+    number — exact, no single-partition sort."""
+    rn_col, tot_col = "__dw_rn", "__dw_total"
+    ranked = attach_row_number(
+        df, order_by, out=rn_col, total_out=tot_col, num_partitions=num_partitions
+    )
+    return ranked.withColumn(
+        out, ntile_from_rn(F.col(rn_col), F.col(tot_col), n)
+    ).drop(rn_col, tot_col)

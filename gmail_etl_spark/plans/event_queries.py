@@ -697,14 +697,19 @@ def q165_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One arrival-order running max (the same cumulative window the
     stream's watermark tracker maintains), then a tumbling-window
-    rollup; exact integer counts."""
+    rollup; exact integer counts.
+
+    Scale shape: the running max is the two-phase distributed prefix
+    (operators/distributed_window.py) — range-partition by arrival
+    order, parallel per-partition running max, tiny broadcast carry —
+    not a single-partition ``Window.orderBy``; row-identical by
+    tests/test_distributed_window.py."""
+    from gmail_etl_spark.operators.distributed_window import attach_prefix_agg
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    arrivals = e.select(
-        "ts", F.max("ts").over(w).alias("hwm")
-    )
+    arrivals = attach_prefix_agg(
+        e.select("ts", "event_id"), ["event_id"], "ts", "hwm", op="max"
+    ).select("ts", "hwm")
     late_30 = (F.col("ts") < F.col("hwm") - F.expr("INTERVAL 30 MINUTES")).cast("int")
     late_5 = (F.col("ts") < F.col("hwm") - F.expr("INTERVAL 5 MINUTES")).cast("int")
     return (

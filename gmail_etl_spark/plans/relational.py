@@ -767,13 +767,31 @@ def q81_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="2.5-window",
 )
 def q82_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    """Global rank statistics with a scale-safe shape: the naive form
+    (``Window.orderBy`` with no partition) sorts the whole table on ONE
+    partition.  Instead, a two-phase distributed row number
+    (range-partition → parallel local rank → tiny broadcast carry,
+    ``operators/distributed_window.py``) feeds exact integer/double
+    derivations of NTILE / percent_rank / cume_dist — row-identical to
+    the window functions under the (o_totalprice, o_orderkey) total
+    order, proven in tests/test_distributed_window.py."""
+    from gmail_etl_spark.operators.distributed_window import (
+        attach_row_number,
+        cume_dist_from_rn,
+        ntile_from_rn,
+        percent_rank_from_rn,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = attach_row_number(
+        o, ["o_totalprice", "o_orderkey"], out="__rn", total_out="__n"
+    )
+    rn, n = F.col("__rn"), F.col("__n")
+    return ranked.select(
         F.col("o_orderkey").alias("orderkey"),
-        F.ntile(4).over(w).alias("price_quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        ntile_from_rn(rn, n, 4).alias("price_quartile"),
+        percent_rank_from_rn(rn, n).alias("pct_rank"),
+        cume_dist_from_rn(rn, n).alias("cume"),
     ).orderBy("orderkey")
 
 

@@ -433,12 +433,14 @@ def q151_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     each decile's doc count, token budget, and TTR range — the schedule
     table a curriculum-ordered training run consumes.
 
-    Scale posture: the score is a map-only expression; NTILE over a
-    global order is the one total-order shuffle (at 100 TB replace with
-    approx-quantile boundaries + a broadcast range join — same output
-    decile semantics, no global sort); the rollup is ten groups.  TTR is
-    a ratio of integers from identical token arrays, rounded in-query on
-    both engines."""
+    Scale posture: the score is a map-only expression; the decile
+    assignment is the EXACT two-phase distributed ntile
+    (operators/distributed_window.py — range-partition, parallel local
+    rank, tiny broadcast carry), not a single-partition global sort;
+    the rollup is ten groups.  TTR is a ratio of integers from
+    identical token arrays, rounded in-query on both engines."""
+    from gmail_etl_spark.operators.distributed_window import attach_ntile
+
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     scored = d.select(
@@ -450,9 +452,8 @@ def q151_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ttr"),
     )
-    w = Window.orderBy("ttr", "doc_id")
     return (
-        scored.withColumn("decile", F.ntile(10).over(w))
+        attach_ntile(scored, ["ttr", "doc_id"], 10, "decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -500,10 +501,12 @@ def q152_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     'best data under a token budget' step of data-constrained training
     recipes.
 
-    Scale posture: same as q151 — one total-order window (the
-    approx-quantile + range-join rewrite applies identically at 100 TB);
-    the cumulative sum is exact integers, so the cut point is
-    engine-exact."""
+    Scale posture: the running total is the EXACT two-phase distributed
+    prefix sum (operators/distributed_window.py) over the quality
+    order — no single-partition sort of the corpus; the cumulative sum
+    is exact integers, so the cut point is engine-exact."""
+    from gmail_etl_spark.operators.distributed_window import attach_prefix_agg
+
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     scored = d.select(
@@ -515,12 +518,16 @@ def q152_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ttr"),
     )
-    w = (
-        Window.orderBy(F.desc("ttr"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_cum = attach_prefix_agg(
+        scored,
+        [F.desc("ttr"), F.asc("doc_id")],
+        "n_tokens",
+        "__cum",
+        op="sum",
     )
     return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        with_cum.withColumn("cum_tokens", F.col("__cum").cast("long"))
+        .drop("__cum")
         .filter(F.col("cum_tokens") <= 10000)
         .orderBy("doc_id")
     )

@@ -1098,7 +1098,18 @@ def q220_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, no O(n²) dominance pairs — two sorts of the customer
     aggregate.  All comparisons are integer; no float surface at all.
     The classic multi-criteria 'best customers / best configs' readout,
-    and the 2-D special case of the general skyline."""
+    and the 2-D special case of the general skyline.
+
+    Scale shape: 'max over rows with a STRICTLY better value' factors
+    through the value grain — group to distinct cents (resp. n_orders),
+    take the per-value max of the other axis, then an EXCLUSIVE
+    two-phase distributed prefix max over the value order
+    (operators/distributed_window.py) and a join back on the value.
+    Identical to the strict range frame (the per-value fold collapses
+    peers; the exclusive prefix excludes the current value), with no
+    single-partition sort of the unbounded customer grain."""
+    from gmail_etl_spark.operators.distributed_window import attach_prefix_agg
+
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
@@ -1106,21 +1117,23 @@ def q220_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
     )
-    w_spend = (
-        Window.orderBy(F.col("cents").desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_orders = (
-        Window.orderBy(F.col("n_orders").desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    dom = spend.select(
-        "custkey",
-        "cents",
-        "n_orders",
-        F.max("n_orders").over(w_spend).alias("max_n_higher_spend"),
-        F.max("cents").over(w_orders).alias("max_c_higher_n"),
-    )
+    by_cents = attach_prefix_agg(
+        spend.groupBy("cents").agg(F.max("n_orders").alias("__grp_max_n")),
+        [F.col("cents").desc()],
+        "__grp_max_n",
+        "max_n_higher_spend",
+        op="max",
+        inclusive=False,
+    ).select("cents", "max_n_higher_spend")
+    by_orders = attach_prefix_agg(
+        spend.groupBy("n_orders").agg(F.max("cents").alias("__grp_max_c")),
+        [F.col("n_orders").desc()],
+        "__grp_max_c",
+        "max_c_higher_n",
+        op="max",
+        inclusive=False,
+    ).select("n_orders", "max_c_higher_n")
+    dom = spend.join(by_cents, "cents").join(by_orders, "n_orders")
     return (
         dom.filter(
             (
@@ -2514,8 +2527,17 @@ def q254_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     users were ever active at once, and when'.  Capacity planning as
     two integer prefix sums — no interval self-join, no densification.
     µs-exact epochs; all integers.  Shape: per-user span fold, a
-    2-rows-per-user boundary table, one global time-ordered window over
-    distinct change points."""
+    2-rows-per-user boundary table, one global time-ordered prefix sum
+    over distinct change points.
+
+    Scale shape: change points are unbounded (2 per user), so the
+    running sum is the two-phase distributed prefix
+    (operators/distributed_window.py), and the peak/argmax readout is a
+    single struct-max aggregation (max of (concurrency, -t) pairs picks
+    the highest concurrency, earliest time) — no global window at
+    all."""
+    from gmail_etl_spark.operators.distributed_window import attach_prefix_agg
+
     e = load_table(spark, sf_dir, "events")
     spans = e.groupBy("user_id").agg(
         F.unix_micros(F.min("ts")).alias("start_us"),
@@ -2526,22 +2548,23 @@ def q254_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         spans.select(F.col("end_us").alias("t"), F.lit(-1).alias("delta"))
     )
-    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    swept = (
-        points.groupBy("t")
-        .agg(F.sum("delta").alias("d"))
-        .select("t", F.sum("d").over(wt).cast("long").alias("concurrency"))
-    )
-    wall = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return (
-        swept.withColumn("m", F.max("concurrency").over(wall))
-        .agg(
-            F.max("concurrency").alias("peak_concurrency"),
-            F.min(
-                F.when(F.col("concurrency") == F.col("m"), F.col("t"))
-            ).alias("peak_at_us"),
-            F.count(F.lit(1)).cast("long").alias("n_change_points"),
-        )
+    swept = attach_prefix_agg(
+        points.groupBy("t").agg(F.sum("delta").alias("d")),
+        ["t"],
+        "d",
+        "concurrency",
+        op="sum",
+    ).select("t", F.col("concurrency").cast("long").alias("concurrency"))
+    return swept.agg(
+        F.max("concurrency").alias("peak_concurrency"),
+        F.max(
+            F.struct(
+                F.col("concurrency").alias("c"), (-F.col("t")).alias("neg_t")
+            )
+        ).alias("__peak"),
+        F.count(F.lit(1)).cast("long").alias("n_change_points"),
+    ).select(
+        "peak_concurrency",
+        (-F.col("__peak.neg_t")).cast("long").alias("peak_at_us"),
+        "n_change_points",
     )

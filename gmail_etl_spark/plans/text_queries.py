@@ -696,21 +696,27 @@ def q101_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; encoding is posexplode + broadcast join + ordered
     re-aggregation.  At 100 TB the vocab build is one map-side-combined
     count and the encode pass never shuffles document content — only
-    (doc_id, pos, id) triples."""
+    (doc_id, pos, id) triples.
+
+    Scale shape: top-32 selection is ``orderBy(...).limit(32)`` —
+    TakeOrderedAndProject does per-partition top-K and merges 32 rows
+    on the driver — NOT a global row_number over the unbounded
+    vocabulary; the id-assigning window then runs on a 32-row frame
+    (bounded by the limit, whitelisted in test_scale_posture)."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    vocab = (
+    top = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn(
-            "token_id",
-            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("token"))) - 1,
-        )
-        .filter(F.col("token_id") < 32)
-        .select("token", "token_id")
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(32)
     )
+    vocab = top.withColumn(
+        "token_id",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("token"))) - 1,
+    ).select("token", "token_id")
     pos = (
         d.filter(F.col("doc_id") < 50)
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))

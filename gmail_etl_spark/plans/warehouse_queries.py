@@ -692,7 +692,15 @@ def q227_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q166 trap) can split the engines.  Shape: two user-grain MIN
     aggregates (the funnel chaining), a gap projection, and the
     value-grain prefix window — conversion-latency analytics in two
-    corpus shuffles."""
+    corpus shuffles.
+
+    Scale shape: the gap grain is unbounded (up to one row per
+    converting user), so the cumulative count uses the two-phase
+    distributed prefix sum (operators/distributed_window.py) instead of
+    a single-partition ``Window.orderBy``; the corpus total rides the
+    same tiny carry frame."""
+    from gmail_etl_spark.operators.distributed_window import attach_prefix_agg
+
     e = load_table(spark, sf_dir, "events")
     v = (
         e.filter(F.col("event_type") == "view")
@@ -710,18 +718,9 @@ def q227_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("t_buy") - F.unix_micros("t_view")).alias("gap_us")
     )
     grain = gaps.groupBy("gap_us").agg(F.count(F.lit(1)).alias("cnt"))
-    wo = Window.orderBy("gap_us")
-    cum = grain.select(
-        "gap_us",
-        F.sum("cnt").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum_cnt"
-        ),
-        F.sum("cnt").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-    )
+    cum = attach_prefix_agg(
+        grain, ["gap_us"], "cnt", "cum_cnt", op="sum", total_out="n"
+    ).select("gap_us", "cum_cnt", "n")
     n, cc = F.col("n"), F.col("cum_cnt")
     return cum.agg(
         F.any_value("n").cast("long").alias("n_converted"),
@@ -1260,8 +1259,16 @@ def q251_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency sorts DESC so quintile 5 is most-recent, matching f/m where
     5 is best).  Output is the segment histogram: '555' champions down
     to '111' lost.  All three metrics are exact integers; no float
-    anywhere.  One per-user fold, three 150-row windows, one segment
-    fold."""
+    anywhere.  One per-user fold, three quintile scorings, one segment
+    fold.
+
+    Scale shape: the user grain is unbounded, so each NTILE(5) is the
+    two-phase distributed ntile (operators/distributed_window.py) —
+    range-partition on the metric, parallel local rank, tiny broadcast
+    carry, integer bucket arithmetic — never a single-partition sort of
+    the user table; the three scorings rejoin on user_id."""
+    from gmail_etl_spark.operators.distributed_window import attach_ntile
+
     e = load_table(spark, sf_dir, "events")
     horizon = e.agg(F.max("ts").alias("t_max"))
     rfm = (
@@ -1283,16 +1290,22 @@ def q251_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    scored = rfm.select(
-        "user_id",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_us").desc(), "user_id"))
-        .alias("r"),
-        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary_cents", "user_id"))
-        .alias("m"),
-    )
+    r = attach_ntile(
+        rfm.select("user_id", "recency_us"),
+        [F.col("recency_us").desc(), "user_id"],
+        5,
+        "r",
+    ).select("user_id", "r")
+    f = attach_ntile(
+        rfm.select("user_id", "frequency"), ["frequency", "user_id"], 5, "f"
+    ).select("user_id", "f")
+    m = attach_ntile(
+        rfm.select("user_id", "monetary_cents"),
+        ["monetary_cents", "user_id"],
+        5,
+        "m",
+    ).select("user_id", "m")
+    scored = r.join(f, "user_id").join(m, "user_id")
     return (
         scored.select(
             F.concat(

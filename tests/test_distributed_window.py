@@ -1,0 +1,355 @@
+"""Row-identity proofs for the two-phase distributed window primitives
+(operators/distributed_window.py) against the exact single-partition
+window forms they replace — the same discipline as near-dedup's
+broadcast_verify/shuffle_hash strategy pair: the naive exact form is
+the oracle, the scale-safe form must match it row for row.
+
+Covers the primitives (row_number / ntile / prefix sum / prefix max,
+inclusive and exclusive, asc and desc) and the six catalog queries that
+were rewritten onto them (q82, q165, q220, q227, q251, q254).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gmail_etl_spark.operators.distributed_window import (
+    attach_ntile,
+    attach_prefix_agg,
+    attach_row_number,
+    cume_dist_from_rn,
+    ntile_from_rn,
+    percent_rank_from_rn,
+)
+from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded, load_table
+from tests.conftest import SF_DIR
+
+_ensure_loaded()
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def test_row_number_matches_global_window(spark, orders):
+    order = ["o_totalprice", "o_orderkey"]
+    exact = orders.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+    mine = attach_row_number(orders, order, out="rn", total_out="n")
+    assert _rows(exact, "o_orderkey", "rn") == _rows(mine, "o_orderkey", "rn")
+    totals = mine.select("n").distinct().collect()
+    assert [r.n for r in totals] == [orders.count()]
+
+
+def test_row_number_desc_order(spark, orders):
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    exact = orders.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+    mine = attach_row_number(orders, order, out="rn")
+    assert _rows(exact, "o_orderkey", "rn") == _rows(mine, "o_orderkey", "rn")
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 5, 7, 10, 1499, 1500, 5000])
+def test_ntile_matches_window_ntile(spark, orders, n):
+    """All bucket-size regimes: n=1, n divides N, n doesn't, n == N-1,
+    n == N, n > N (every row its own bucket)."""
+    order = ["o_totalprice", "o_orderkey"]
+    exact = orders.withColumn("t", F.ntile(n).over(Window.orderBy(*order)))
+    mine = attach_ntile(orders, order, n, "t")
+    assert _rows(exact, "o_orderkey", "t") == _rows(mine, "o_orderkey", "t")
+
+
+def test_rank_stat_derivations_match_window_functions(spark, orders):
+    """percent_rank / cume_dist derived from the distributed row number
+    are bit-identical to the window functions under a total order
+    (exact float equality, not tolerance)."""
+    order = ["o_totalprice", "o_orderkey"]
+    w = Window.orderBy(*order)
+    exact = orders.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("nt"),
+    )
+    ranked = attach_row_number(orders, order, out="rn", total_out="n")
+    rn, n = F.col("rn"), F.col("n")
+    mine = ranked.select(
+        "o_orderkey",
+        percent_rank_from_rn(rn, n).alias("pr"),
+        cume_dist_from_rn(rn, n).alias("cd"),
+        ntile_from_rn(rn, n, 4).alias("nt"),
+    )
+    assert _rows(exact, "o_orderkey", "pr", "cd", "nt") == _rows(
+        mine, "o_orderkey", "pr", "cd", "nt"
+    )
+
+
+def test_prefix_sum_inclusive_and_exclusive(spark, orders):
+    grain = orders.groupBy("o_totalprice").agg(F.count(F.lit(1)).alias("c"))
+    w_inc = Window.orderBy("o_totalprice").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_exc = Window.orderBy("o_totalprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    exact = grain.select(
+        "o_totalprice",
+        F.sum("c").over(w_inc).alias("s_inc"),
+        F.sum("c").over(w_exc).alias("s_exc"),
+    )
+    mine = attach_prefix_agg(
+        grain, ["o_totalprice"], "c", "s_inc", op="sum", total_out="tot"
+    )
+    mine = attach_prefix_agg(
+        mine, ["o_totalprice"], "c", "s_exc", op="sum", inclusive=False
+    )
+    assert _rows(exact, "o_totalprice", "s_inc", "s_exc") == _rows(
+        mine, "o_totalprice", "s_inc", "s_exc"
+    )
+    # the exclusive form's globally-first row is NULL, as in the window
+    first = mine.orderBy("o_totalprice").limit(1).collect()[0]
+    assert first.s_exc is None
+    assert [r.tot for r in mine.select("tot").distinct().collect()] == [
+        grain.count()
+    ]
+
+
+def test_prefix_max_desc_exclusive_on_timestamps_and_longs(spark):
+    e = load_table(spark, SF_DIR, "events").select("event_id", "ts")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    exact = e.select("event_id", F.max("ts").over(w).alias("hwm"))
+    mine = attach_prefix_agg(e, ["event_id"], "ts", "hwm", op="max").select(
+        "event_id", "hwm"
+    )
+    assert _rows(exact, "event_id", "hwm") == _rows(mine, "event_id", "hwm")
+
+
+def test_prefix_agg_rejects_unknown_op(spark, orders):
+    with pytest.raises(ValueError, match="unsupported prefix op"):
+        attach_prefix_agg(orders, ["o_orderkey"], "o_totalprice", "x", op="avg")
+
+
+def test_empty_frame(spark, orders):
+    empty = orders.filter(F.lit(False))
+    assert attach_row_number(empty, ["o_orderkey"], out="rn").count() == 0
+    assert (
+        attach_prefix_agg(empty, ["o_orderkey"], "o_totalprice", "s").count()
+        == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# The six rewritten catalog queries vs their exact single-window forms.
+# The DuckDB oracles already gate these (tests/test_oracle.py, driver
+# hash at sf0.01); this pins the Spark-vs-Spark identity independently.
+# ---------------------------------------------------------------------------
+
+
+def test_q82_matches_exact_window_form(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    exact = o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+    mine = CATALOG["q82_window_distribution"].builder(spark, SF_DIR)
+    assert _rows(exact, "orderkey", "price_quartile", "pct_rank", "cume") == _rows(
+        mine, "orderkey", "price_quartile", "pct_rank", "cume"
+    )
+
+
+def test_q165_matches_exact_window_form(spark):
+    e = load_table(spark, SF_DIR, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    arrivals = e.select("ts", F.max("ts").over(w).alias("hwm"))
+    late_30 = (F.col("ts") < F.col("hwm") - F.expr("INTERVAL 30 MINUTES")).cast(
+        "int"
+    )
+    late_5 = (F.col("ts") < F.col("hwm") - F.expr("INTERVAL 5 MINUTES")).cast(
+        "int"
+    )
+    exact = (
+        arrivals.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(late_30).cast("long").alias("n_late_30m"),
+            F.sum(late_5).cast("long").alias("n_late_5m"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "n_events",
+            "n_late_30m",
+            "n_late_5m",
+        )
+    )
+    mine = CATALOG["q165_late_data_audit"].builder(spark, SF_DIR)
+    cols = ["bucket_start", "n_events", "n_late_30m", "n_late_5m"]
+    assert _rows(exact, *cols) == _rows(mine, *cols)
+
+
+def test_q220_matches_exact_range_frame_form(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w_spend = Window.orderBy(F.col("cents").desc()).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_orders = Window.orderBy(F.col("n_orders").desc()).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    exact = spend.select(
+        "custkey",
+        "cents",
+        "n_orders",
+        F.max("n_orders").over(w_spend).alias("mh"),
+        F.max("cents").over(w_orders).alias("mc"),
+    ).filter(
+        (F.col("mh").isNull() | (F.col("mh") < F.col("n_orders")))
+        & (F.col("mc").isNull() | (F.col("mc") < F.col("cents")))
+    )
+    mine = CATALOG["q220_pareto_frontier"].builder(spark, SF_DIR)
+    assert _rows(exact, "custkey", "cents", "n_orders") == _rows(
+        mine, "custkey", "cents", "n_orders"
+    )
+
+
+def test_q251_matches_exact_window_form(spark):
+    e = load_table(spark, SF_DIR, "events")
+    horizon = e.agg(F.max("ts").alias("t_max"))
+    rfm = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("t_last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            (F.unix_micros("t_max") - F.unix_micros("t_last")).alias(
+                "recency_us"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = rfm.select(
+        "user_id",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_us").desc(), "user_id"))
+        .alias("r"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "user_id"))
+        .alias("m"),
+    )
+    exact = (
+        scored.select(
+            F.concat(
+                F.col("r").cast("string"),
+                F.col("f").cast("string"),
+                F.col("m").cast("string"),
+            ).alias("segment"),
+            "user_id",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").cast("long").alias("first_user_id"),
+        )
+    )
+    mine = CATALOG["q251_rfm_segmentation"].builder(spark, SF_DIR)
+    cols = ["segment", "n_users", "first_user_id"]
+    assert _rows(exact, *cols) == _rows(mine, *cols)
+
+
+def test_q227_and_q254_match_exact_forms(spark):
+    # q227: exact quartile readout vs the single-window prefix form
+    e = load_table(spark, SF_DIR, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    gaps = p.join(v, "user_id").select(
+        (F.unix_micros("t_buy") - F.unix_micros("t_view")).alias("gap_us")
+    )
+    grain = gaps.groupBy("gap_us").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = Window.orderBy("gap_us").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grain.select(
+        "gap_us",
+        F.sum("cnt").over(wo).alias("cum_cnt"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    n, cc = F.col("n"), F.col("cum_cnt")
+    exact = cum.agg(
+        F.any_value("n").cast("long").alias("n_converted"),
+        F.floor(F.min(F.when(cc * 4 >= n, F.col("gap_us"))) / 60000000)
+        .cast("long")
+        .alias("p25_minutes"),
+        F.floor(F.min(F.when(cc * 2 >= n, F.col("gap_us"))) / 60000000)
+        .cast("long")
+        .alias("median_minutes"),
+        F.floor(F.min(F.when(cc * 4 >= 3 * n, F.col("gap_us"))) / 60000000)
+        .cast("long")
+        .alias("p75_minutes"),
+    )
+    mine = CATALOG["q227_time_to_convert"].builder(spark, SF_DIR)
+    assert [tuple(r) for r in exact.collect()] == [
+        tuple(r) for r in mine.collect()
+    ]
+
+    # q254: peak concurrency vs the single-window sweep
+    spans = e.groupBy("user_id").agg(
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        (F.unix_micros(F.max("ts")) + 300000000).alias("end_us"),
+    )
+    points = spans.select(
+        F.col("start_us").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(F.col("end_us").alias("t"), F.lit(-1).alias("delta"))
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    swept = (
+        points.groupBy("t")
+        .agg(F.sum("delta").alias("d"))
+        .select("t", F.sum("d").over(wt).cast("long").alias("concurrency"))
+    )
+    exact254 = swept.withColumn(
+        "m", F.max("concurrency").over(wall)
+    ).agg(
+        F.max("concurrency").alias("peak_concurrency"),
+        F.min(F.when(F.col("concurrency") == F.col("m"), F.col("t"))).alias(
+            "peak_at_us"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_change_points"),
+    )
+    mine254 = CATALOG["q254_peak_concurrency"].builder(spark, SF_DIR)
+    assert [tuple(r) for r in exact254.collect()] == [
+        tuple(r) for r in mine254.collect()
+    ]

@@ -325,20 +325,120 @@ _BNLJ_JUSTIFIED = {
 }
 
 
-def test_no_unjustified_nested_loop_joins_anywhere(spark):
+@pytest.fixture(scope="module")
+def all_plans(spark) -> dict[str, str]:
+    """One simple-mode physical plan per catalog query — built once and
+    shared by every whole-catalog posture scan in this module."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    return {
+        name: cq.builder(spark, SF_DIR)._jdf.queryExecution().explainString(mode)
+        for name, cq in sorted(CATALOG.items())
+    }
+
+
+def test_no_unjustified_nested_loop_joins_anywhere(all_plans):
     """Blanket 100 TB guard over the WHOLE catalog: no plan may contain
     a cartesian product, and nested-loop joins only where whitelisted
     with a scale justification.  A regression that turns an equi-join
     into a nested loop (lost join key, accidental inequality join)
     fails here before it ships."""
     offenders = {}
-    for name, cq in sorted(CATALOG.items()):
-        plan = _plan(cq.builder(spark, SF_DIR))
+    for name, plan in all_plans.items():
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_JUSTIFIED:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+#: Queries allowed to keep a single-partition window because the frame
+#: it runs over is bounded by the problem DOMAIN, not by data volume —
+#: each entry names the grain and why it cannot grow with corpus size.
+_SINGLE_PARTITION_WINDOW_JUSTIFIED = {
+    "q107_source_mixing_weights": "source grain — enumerated corpus sources",
+    "q170_daily_value_deltas": "day grain — one row per calendar day",
+    "q213_mann_whitney_u": "cents value grain — bounded by the price domain",
+    "q214_churn_hazard": "week grain — one row per calendar week",
+    "q218_roc_auc": "score grain — bounded by the integer score domain",
+    "q230_best_stump_threshold": "threshold grain — bounded n_chars domain",
+}
+
+
+def _single_partition_windows(plan: str) -> list[str]:
+    """Window nodes fed by ``Exchange SinglePartition`` (possibly via a
+    Sort/Project/another Window) in a simple-mode plan string."""
+    lines = plan.splitlines()
+    hits = []
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow(GroupLimit)? \[", ln):
+            for j in range(i + 1, min(i + 10, len(lines))):
+                if "Exchange SinglePartition" in lines[j]:
+                    hits.append(ln.strip())
+                    break
+                if "Exchange" in lines[j]:
+                    break
+    return hits
+
+
+def test_no_unpartitioned_windows_over_unbounded_grains(all_plans):
+    """Blanket 100 TB guard (VERDICT r6 #1): an unpartitioned window
+    executes the whole frame on ONE task, so it is banned everywhere
+    except (a) the tiny per-partition carry frames of the two-phase
+    distributed window primitives — recognizable by their ``__dw_pid``
+    ordering, bounded by shuffle-partition count — and (b) the
+    explicitly whitelisted domain-bounded grains above.  The six former
+    scale-killers (q82/q165/q220/q227/q251/q254) plus q151/q152/q101/
+    q157 were rewritten onto operators/distributed_window.py in round 7
+    and must never regress to a global sort."""
+    offenders: dict[str, list[str]] = {}
+    for name, plan in all_plans.items():
+        hits = [
+            h
+            for h in _single_partition_windows(plan)
+            if "__dw_pid" not in h
+        ]
+        if hits and name not in _SINGLE_PARTITION_WINDOW_JUSTIFIED:
+            offenders[name] = [h[:120] for h in hits]
+    assert not offenders, (
+        "unpartitioned window over a potentially unbounded grain — use "
+        f"operators/distributed_window.py or whitelist with a bounded-"
+        f"grain justification: {offenders}"
+    )
+    # keep the whitelist tight: entries that no longer hit must go
+    stale = [
+        n
+        for n in _SINGLE_PARTITION_WINDOW_JUSTIFIED
+        if n in all_plans
+        and not [
+            h
+            for h in _single_partition_windows(all_plans[n])
+            if "__dw_pid" not in h
+        ]
+    ]
+    assert not stale, (
+        f"whitelist entries with no single-partition window left: {stale}"
+    )
+
+
+def test_rewritten_queries_use_distributed_window_carries(all_plans):
+    """The ten round-7 rewrites must actually contain the two-phase
+    carry shape (a ``__dw_pid``-ordered bounded window) — guards against
+    silently reverting to the naive global window."""
+    rewritten = [
+        "q82_window_distribution",
+        "q165_late_data_audit",
+        "q220_pareto_frontier",
+        "q227_time_to_convert",
+        "q251_rfm_segmentation",
+        "q254_peak_concurrency",
+        "q151_curriculum_deciles",
+        "q152_token_budget_selection",
+        "q157_jaccard_prefix_join",
+    ]
+    missing = [n for n in rewritten if "__dw_pid" not in all_plans[n]]
+    assert not missing, f"expected distributed-window carry frames in: {missing}"
 
 
 def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
@@ -511,9 +611,12 @@ def test_rows_only_reasons_cover_exactly_the_no_oracle_queries():
 def test_sweep_priority_covers_catalog_and_frontloads_backlog():
     """The driver verifies queries in ``queries()`` iteration order
     under a ~50-row budget, so the priority list IS the evidence
-    mechanism: it must name every catalog query exactly once, and every
-    query with no driver CORRECTNESS row yet must come before every
-    query that already has one (rounds 1-4 committed artifacts)."""
+    mechanism: it must name every catalog query exactly once; every
+    oracled query with no driver CORRECTNESS row yet must come before
+    every query that already has one (rounds 1-6 committed artifacts);
+    and the rows-only queries (oracle=None) must all come LAST — a
+    driver visit can only record ``err: no_oracle`` for them, so any
+    budget spent there is wasted."""
     import json
 
     from gmail_etl_spark.plans.catalog import (
@@ -530,11 +633,20 @@ def test_sweep_priority_covers_catalog_and_frontloads_backlog():
     order = _sweep_order()
     assert sorted(order) == sorted(CATALOG), "sweep order must cover catalog"
 
+    rows_only = {n for n, cq in CATALOG.items() if cq.oracle is None}
+    n_oracled = len(order) - len(rows_only)
+    misplaced = [n for n in order[:n_oracled] if n in rows_only]
+    assert not misplaced, (
+        f"rows-only queries must be last in the sweep order: {misplaced}"
+    )
+
     tested: set[str] = set()
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         tested |= set(json.load(open(f"CORRECTNESS_r0{r}.json")))
     seen_tested = False
     for name in order:
+        if name in rows_only:
+            continue
         if name in tested:
             seen_tested = True
         else:
