@@ -173,38 +173,16 @@ def rows_only_reason_map() -> dict[str, str]:
 #: budget.  Policy: never-driver-tested entries first, then the rows the
 #: driver has not re-checked for the longest time — so evidence coverage
 #: grows every round and stale rows rotate back into the budget.
-#: Round-6 order (catalog frozen at 254): (1) the 11 queries with no
-#: driver CORRECTNESS row yet (the last evidence gap) -- the driver's
-#: ~50-row budget lands on these first, then rotates the stalest
-#: round-1 rows; (2) rows last verified in round 1 (stalest); (3)
-#: round 2; (4) round 3; (5) round 4; (6) round 5 (freshest).
-#: Generated from CORRECTNESS_r0{1,2,3,4,5}.json by
+#: Round-7 order (every oracled query now driver-green at least once):
+#: stalest-first rotation — rows last verified in round 1 lead, then
+#: rounds 2-6.  The 18 rows-only queries (oracle=None) go LAST: a
+#: driver visit can only ever record ``err: no_oracle`` for them (their
+#: evidence is the local tolerance/recall gates), so spending any of
+#: the ~50-row budget on them is pure waste — r6 burned 2 samples on
+#: q83/q84 this way.  Generated from CORRECTNESS_r0{1..6}.json by
 #: tools/gen_sweep_priority.py.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # -- (1) never driver-tested (11) --
-    "q209_quantile_normalize", "q210_nb_token_likelihoods",
-    "q211_chi2_feature_selection", "q216_window_distribution_suite",
-    "q217_unpivot_round_trip", "q218_roc_auc",
-    "q228_activity_bitmask_streaks", "q229_capped_running_balance",
-    "q230_best_stump_threshold", "q231_sorted_group_concat",
-    "q245_levenshtein_linkage",
-    # -- (2) last verified round 1 (49) --
-    "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
-    "q04_priority_semi_join", "q05_customers_without_orders",
-    "q06_order_size_histogram", "q07_top_orders_per_customer",
-    "q08_running_customer_spend", "q09_top_lineitems",
-    "q10_distinct_flags", "q11_intersect_custkeys", "q12_except_custkeys",
-    "q13_rollup_flags", "q14_conditional_agg", "q15_segment_stats",
-    "q16_extract_batch", "q17_cube_status_priority", "q18_pivot_status",
-    "q19_quantity_percentiles", "q80_window_lag_lead",
-    "q81_window_range_frame", "q82_window_distribution",
-    "q83_approx_count_distinct", "q84_approx_percentile",
-    "q85_scalar_subquery", "q86_correlated_subquery",
-    "q89_full_outer_join", "q90_cross_join_grid", "q91_min_by_max_by",
-    "q56_shipping_priority", "q57_forecast_revenue", "q58_returned_items",
-    "q76_large_orders", "q78_window_navigation",
-    "q77_promo_revenue_share", "q92_cohort_retention", "q99_top_supplier",
-    "q100_monthly_revenue_dense", "q104_nation_revenue_share",
+    # -- (2) last verified round 1 (10) --
     "q108_small_qty_revenue", "q109_dormant_customers",
     "q20_string_kernels", "q21_regex_sanitize", "q22_base64_roundtrip",
     "q23_date_kernels", "q24_json_extract", "q25_header_pivot",
@@ -228,7 +206,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q111_event_transitions", "q26_multimodal_features",
     "q29_frame_sample", "q64_asof_join", "q65_range_join",
     "q66_time_rollup",
-    # -- (4) last verified round 3 (50) --
+    # -- (4) last verified round 3 (42) --
     "q120_volume_shipping", "q121_market_share", "q122_supplier_profit",
     "q123_part_supplier_counts", "q124_custdist",
     "q126_priority_linestatus", "q127_disjunctive_revenue",
@@ -238,38 +216,31 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q39_langid_classify", "q101_encode_tokens", "q116_pii_redact",
     "q117_url_domains", "q118_boilerplate_lines",
     "q125_quality_classifier", "q153_source_token_entropy",
-    "q44_minhash_lsh", "q45_simhash", "q133_repeated_ngram_spans",
-    "q139_remove_dup_spans", "q156_pagerank", "q157_jaccard_prefix_join",
-    "q54_hyperplane_lsh", "q75_kmeans_cells", "q110_semantic_dedup",
-    "q119_int8_quantize", "q132_pq_adc_topk", "q135_jl_projection",
-    "q68_winsorized_stats", "q79_arrow_histogram", "q114_mad_outliers",
-    "q138_salted_skew_join", "q147_two_phase_agg", "q70_gmail_stage1",
-    "q106_media_resize", "q115_audio_features", "q142_image_dhash",
-    "q143_image_near_dup_pairs", "q144_audio_fingerprint",
-    "q94_hash_split", "q95_per_class_cap", "q96_stratified_sample",
-    "q97_contamination", "q72_pack_sequences",
-    "q107_source_mixing_weights",
-    # -- (5) last verified round 4 (50) --
+    "q133_repeated_ngram_spans", "q139_remove_dup_spans", "q156_pagerank",
+    "q157_jaccard_prefix_join", "q119_int8_quantize",
+    "q135_jl_projection", "q68_winsorized_stats", "q79_arrow_histogram",
+    "q114_mad_outliers", "q138_salted_skew_join", "q147_two_phase_agg",
+    "q70_gmail_stage1", "q106_media_resize", "q115_audio_features",
+    "q142_image_dhash", "q143_image_near_dup_pairs",
+    "q144_audio_fingerprint", "q94_hash_split", "q95_per_class_cap",
+    "q97_contamination", "q107_source_mixing_weights",
+    # -- (5) last verified round 4 (42) --
     "q158_zorder_layout", "q179_join_key_skew_audit",
     "q185_ansi_sql_parity", "q140_profile_columns",
     "q134_bpe_merge_candidates", "q137_domain_quality_rollup",
-    "q145_feature_hashing", "q146_compression_ratio",
-    "q160_langid_confusion", "q161_normalize_text", "q164_token_pmi",
-    "q173_chat_template_render", "q178_heavy_hitter_shingles",
-    "q184_bigram_lm_nll", "q186_udtf_chunk_spans",
-    "q188_jaro_winkler_linkage", "q193_rule_ablation",
-    "q154_dup_graph_triangles", "q163_dedup_keep_best",
-    "q168_cluster_size_histogram", "q174_corpus_diff",
-    "q175_novelty_curve", "q177_theta_source_overlap", "q181_kcore_peel",
-    "q136_ivf_pq_topk", "q150_matryoshka_truncate",
-    "q162_embedding_outliers", "q190_pca_project", "q192_hard_negatives",
-    "q155_event_trigrams", "q165_late_data_audit",
+    "q145_feature_hashing", "q160_langid_confusion",
+    "q161_normalize_text", "q164_token_pmi", "q173_chat_template_render",
+    "q178_heavy_hitter_shingles", "q184_bigram_lm_nll",
+    "q186_udtf_chunk_spans", "q188_jaro_winkler_linkage",
+    "q193_rule_ablation", "q154_dup_graph_triangles",
+    "q163_dedup_keep_best", "q168_cluster_size_histogram",
+    "q174_corpus_diff", "q175_novelty_curve", "q181_kcore_peel",
+    "q150_matryoshka_truncate", "q162_embedding_outliers",
+    "q192_hard_negatives", "q155_event_trigrams", "q165_late_data_audit",
     "q166_recency_decay_scores", "q167_ab_proportion_test",
-    "q169_hll_sketch_rollup", "q170_daily_value_deltas",
-    "q171_slo_percentile_bands", "q176_kll_quantile_rollup",
+    "q170_daily_value_deltas", "q171_slo_percentile_bands",
     "q180_incremental_agg_merge", "q182_gap_fill_locf",
-    "q183_cms_probe_counts", "q187_daily_value_drift",
-    "q189_session_association_rules", "q191_hll_cube_users",
+    "q187_daily_value_drift", "q189_session_association_rules",
     "q149_multimodal_assembly", "q141_shard_assignment",
     "q148_curation_funnel", "q151_curriculum_deciles",
     "q152_token_budget_selection", "q159_weighted_sample",
@@ -298,7 +269,38 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q244_simpson_check", "q246_median_confidence_interval",
     "q248_wilson_error_rates", "q249_source_concentration",
     "q250_sequential_monitoring", "q253_dow_adjusted_anomalies",
-    "q254_peak_concurrency",)
+    "q254_peak_concurrency",
+    # -- (7) last verified round 6 (48) --
+    "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
+    "q04_priority_semi_join", "q05_customers_without_orders",
+    "q06_order_size_histogram", "q07_top_orders_per_customer",
+    "q08_running_customer_spend", "q09_top_lineitems",
+    "q10_distinct_flags", "q11_intersect_custkeys", "q12_except_custkeys",
+    "q13_rollup_flags", "q14_conditional_agg", "q15_segment_stats",
+    "q16_extract_batch", "q17_cube_status_priority", "q18_pivot_status",
+    "q19_quantity_percentiles", "q80_window_lag_lead",
+    "q81_window_range_frame", "q82_window_distribution",
+    "q85_scalar_subquery", "q86_correlated_subquery",
+    "q89_full_outer_join", "q90_cross_join_grid", "q91_min_by_max_by",
+    "q56_shipping_priority", "q57_forecast_revenue", "q58_returned_items",
+    "q76_large_orders", "q78_window_navigation",
+    "q77_promo_revenue_share", "q92_cohort_retention", "q99_top_supplier",
+    "q100_monthly_revenue_dense", "q104_nation_revenue_share",
+    "q209_quantile_normalize", "q210_nb_token_likelihoods",
+    "q211_chi2_feature_selection", "q216_window_distribution_suite",
+    "q217_unpivot_round_trip", "q218_roc_auc",
+    "q228_activity_bitmask_streaks", "q229_capped_running_balance",
+    "q230_best_stump_threshold", "q231_sorted_group_concat",
+    "q245_levenshtein_linkage",
+    # -- (last) rows-only by design (18) — a driver visit yields only err:no_oracle; never spend budget here --
+    "q83_approx_count_distinct", "q84_approx_percentile",
+    "q146_compression_ratio", "q44_minhash_lsh", "q45_simhash",
+    "q177_theta_source_overlap", "q54_hyperplane_lsh", "q75_kmeans_cells",
+    "q110_semantic_dedup", "q132_pq_adc_topk", "q136_ivf_pq_topk",
+    "q190_pca_project", "q169_hll_sketch_rollup",
+    "q176_kll_quantile_rollup", "q183_cms_probe_counts",
+    "q191_hll_cube_users", "q96_stratified_sample", "q72_pack_sequences",
+)
 
 
 def _sweep_order() -> list[str]:

@@ -6,7 +6,10 @@ Policy (pinned by tests/test_scale_posture.py::
 test_sweep_priority_covers_catalog_and_frontloads_backlog):
 
   1. queries with no driver CORRECTNESS row yet, in registration order;
-  2. then stale-by-round — rows last verified in the oldest round first.
+  2. then stale-by-round — rows last verified in the oldest round first;
+  3. rows-only queries (oracle=None) LAST: a driver visit can only ever
+     record ``err: no_oracle`` for them, so they gain nothing from
+     budget — their evidence lives in the local tolerance/recall gates.
 
 Run after each round's ``CORRECTNESS_r0N.json`` lands, paste the output
 over the existing tuple body, and update the round tuple in the guard
@@ -27,13 +30,15 @@ def main(rounds: list[int]) -> None:
 
     _ensure_loaded()
     reg = list(CATALOG)
+    rows_only = [q for q in reg if CATALOG[q].oracle is None]
+    oracled = [q for q in reg if CATALOG[q].oracle is not None]
     last: dict[str, int] = {}
     for r in rounds:
         for q in json.load(open(f"CORRECTNESS_r{r:02d}.json")):
             if q in CATALOG:
                 last[q] = max(last.get(q, 0), r)
-    never = [q for q in reg if q not in last]
-    tiers = {r: [q for q in reg if last.get(q) == r] for r in rounds}
+    never = [q for q in oracled if q not in last]
+    tiers = {r: [q for q in oracled if last.get(q) == r] for r in rounds}
 
     def emit(names: list[str], comment: str) -> str:
         body = ", ".join(f'"{n}"' for n in names) + ","
@@ -42,12 +47,22 @@ def main(rounds: list[int]) -> None:
         )
         return f"    # -- {comment} --\n{wrapped}"
 
-    parts = [emit(never, f"(1) never driver-tested ({len(never)})")]
+    parts = []
+    if never:
+        parts.append(emit(never, f"(1) never driver-tested ({len(never)})"))
     for i, r in enumerate(rounds):
-        parts.append(
-            emit(tiers[r], f"({i + 2}) last verified round {r} ({len(tiers[r])})")
+        if tiers[r]:
+            parts.append(
+                emit(tiers[r], f"({i + 2}) last verified round {r} ({len(tiers[r])})")
+            )
+    parts.append(
+        emit(
+            rows_only,
+            f"(last) rows-only by design ({len(rows_only)}) — a driver "
+            "visit yields only err:no_oracle; never spend budget here",
         )
-    order = never + [q for r in rounds for q in tiers[r]]
+    )
+    order = never + [q for r in rounds for q in tiers[r]] + rows_only
     assert sorted(order) == sorted(reg), "generated order must cover catalog"
     print("\n".join(parts))
 
