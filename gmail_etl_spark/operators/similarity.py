@@ -91,6 +91,61 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     return out
 
 
+def srp_params_for_recall(
+    threshold: float,
+    target_recall: float = 0.99,
+    max_planes: int = 256,
+) -> tuple[int, int]:
+    """Derive (n_planes, bands) from the sign-random-projection S-curve
+    for a target recall — the SRP analog of
+    :func:`gmail_etl_spark.operators.dedup.lsh_params_for_recall`.
+
+    Charikar'02: two vectors at cosine similarity ``s`` agree on one
+    sign bit with probability ``p(s) = 1 − arccos(s)/π``; a band of
+    ``r`` bits collides with ``p^r`` and recall over ``b`` bands is
+    ``1 − (1 − p^r)^b``.  For each ``r`` the minimal band count meeting
+    the floor at the threshold is ``b(r) = ⌈ln(1−R) / ln(1−p^r)⌉``;
+    among feasible (r, b(r)) with ``r·b(r) ≤ max_planes`` this picks
+    the LARGEST ``r`` — the steepest S-curve the bit budget affords
+    (MMDS §3.7.3's banding rule applied to the SRP family), which pins
+    recall at the threshold while collapsing sub-threshold candidate
+    volume.
+
+    Returns (n_planes, bands) with ``n_planes = r · bands``, directly
+    usable as ``hyperplane_lsh_pairs(..., n_planes=n, bands=b)``;
+    raises when even r=1 cannot meet the recall within ``max_planes``.
+    """
+    import math
+
+    if not -1.0 < threshold < 1.0:
+        raise ValueError(f"cosine threshold must be in (-1,1), got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0,1), got {target_recall}")
+    p = 1.0 - math.acos(threshold) / math.pi
+    if p <= 0.0:
+        raise ValueError(
+            f"threshold={threshold} gives non-positive bit-agreement "
+            "probability — SRP banding cannot target recall there"
+        )
+    best: tuple[int, int] | None = None
+    for r in range(1, max_planes + 1):
+        p_hi = p**r
+        denom = math.log1p(-p_hi)
+        if denom == 0.0:
+            break
+        b = max(1, math.ceil(math.log(1.0 - target_recall) / denom))
+        n = r * b
+        if n <= max_planes:
+            best = (n, b)  # larger r always wins — keep scanning up
+    if best is None:
+        raise ValueError(
+            f"no (bits, bands) within max_planes={max_planes} meets "
+            f"recall>={target_recall} at threshold={threshold}; raise "
+            "max_planes"
+        )
+    return best
+
+
 def hyperplane_lsh_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -100,6 +155,8 @@ def hyperplane_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.9,
     max_bucket: int = 512,
+    target_recall: float | None = None,
+    max_planes: int = 256,
 ) -> DataFrame:
     """Near-duplicate embedding pairs via sign-random-projection LSH
     (Charikar'02): bit p of a vector's signature is sign(v · h_p) for a
@@ -117,7 +174,18 @@ def hyperplane_lsh_pairs(
     ``capped_pair_candidates``); vectors re-enter by id only for
     surviving candidates.  All JVM expressions — the dot products
     against literal hyperplanes run in whole-stage codegen.
+
+    ``target_recall`` makes the recall contract explicit: when set, the
+    (n_planes, bands) arguments are REPLACED by
+    :func:`srp_params_for_recall`'s S-curve derivation at this
+    threshold — the same parameterization MinHash gained in round 5
+    (``lsh_params_for_recall``), so callers state the recall they need
+    instead of hand-tuning bit counts.
     """
+    if target_recall is not None:
+        n_planes, bands = srp_params_for_recall(
+            threshold, target_recall, max_planes
+        )
     if not 1 <= bands <= n_planes or n_planes % bands != 0:
         # same guard as the MinHash path: bands > n_planes makes every
         # band's bucket constant; a non-divisor silently drops bits
@@ -1077,6 +1145,7 @@ def query_ivf_index(
     vec_col: str = "embedding",
     probe_strategy: str = "expr",
     rank_strategy: str = "expr",
+    max_queries: int | None = 1024,
 ) -> DataFrame:
     """Query the persisted index: assign each query to its ``nprobe``
     nearest centroids, scan ONLY the probed partitions (`cluster IN
@@ -1106,19 +1175,50 @@ def query_ivf_index(
     matmul per probed Arrow batch with per-batch partial top-k, the
     :func:`cosine_topk_vectorized` discipline, so the probed scan's
     byte savings are not given back as per-row expression overhead at
-    wide dims."""
+    wide dims.  ``"auto"`` routes on the measured crossover (DEVNOTES):
+    once the per-query probe sets union to ~the whole cell space
+    (``n_queries × nprobe >= k_cells``), the join path materializes
+    nearly query×corpus candidate rows and the matmul kernel wins;
+    below it, partition pruning dominates and the join path wins.
+
+    ``max_queries`` enforces the bounded-queries contract: both
+    vectorized paths COLLECT the query set to the driver, so a caller
+    accidentally passing a corpus-sized frame must fail loudly (raise),
+    never silently collect — the check is a ``limit(max_queries+1)``
+    count, so it costs O(max_queries) rows even on an unbounded input.
+    ``None`` disables the guard (caller takes responsibility)."""
     if probe_strategy not in ("expr", "vectorized"):
         raise ValueError(
             f"probe_strategy must be 'expr' or 'vectorized', got {probe_strategy!r}"
         )
-    if rank_strategy not in ("expr", "vectorized"):
+    if rank_strategy not in ("expr", "vectorized", "auto"):
         raise ValueError(
-            f"rank_strategy must be 'expr' or 'vectorized', got {rank_strategy!r}"
+            "rank_strategy must be 'expr', 'vectorized' or 'auto', "
+            f"got {rank_strategy!r}"
         )
     cents = sorted(
         (r["cluster"], list(r["centroid"]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
     )
+    n_q: int | None = None
+    if probe_strategy == "vectorized" or rank_strategy in ("vectorized", "auto"):
+        cap = max_queries if max_queries is not None else 1_000_000
+        n_q = queries.limit(cap + 1).count()
+    if rank_strategy == "auto":
+        rank_strategy = "vectorized" if n_q * nprobe >= len(cents) else "expr"
+    if (
+        max_queries is not None
+        and n_q is not None
+        and n_q > max_queries
+        and (probe_strategy == "vectorized" or rank_strategy == "vectorized")
+    ):
+        raise ValueError(
+            f"query_ivf_index: query set has >{max_queries} rows but a "
+            "vectorized strategy collects queries to the driver — pass a "
+            "bounded query frame, raise max_queries explicitly, or use "
+            "probe_strategy='expr', rank_strategy='expr' (fully "
+            "distributed, no collect)"
+        )
 
     def dist2(vec: Column, c: list[float]) -> Column:
         return F.aggregate(

@@ -133,7 +133,9 @@ def q53_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="X1,D2",
     rows_only_reason=(
         "sign-random-projection LSH candidates are probabilistic; gated "
-        "by recall + no-false-positive tests vs exact cosine"
+        "by recall + no-false-positive tests vs exact cosine, with the "
+        "recall contract parameterized via srp_params_for_recall "
+        "(S-curve-derived n_planes/bands for a stated target_recall)"
     ),
 )
 def q54_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

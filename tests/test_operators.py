@@ -528,6 +528,81 @@ def test_hyperplane_lsh_recall_and_no_false_positives(spark):
     assert joined.filter(cosine(F.col("va"), F.col("vb")) < 0.999).count() == 0
 
 
+def test_srp_params_for_recall_scurve():
+    """SRP analog of test_lsh_params_for_recall_scurve: derived
+    (n_planes, bands) must analytically meet the recall floor at the
+    cosine threshold via Charikar's p(s) = 1 − arccos(s)/π collision
+    curve, fit the bit budget, and use the steepest feasible band."""
+    import math
+
+    import pytest
+
+    from gmail_etl_spark.operators.similarity import srp_params_for_recall
+
+    def min_bands(p, R, r):
+        ph = p**r
+        d = math.log1p(-ph)
+        return None if d == 0.0 else max(1, math.ceil(math.log(1 - R) / d))
+
+    for t in (0.5, 0.8, 0.9, 0.99):
+        p = 1 - math.acos(t) / math.pi
+        for R in (0.9, 0.99, 0.999):
+            for max_planes in (64, 256):
+                n, b = srp_params_for_recall(t, R, max_planes)
+                r = n // b
+                assert n == r * b and n <= max_planes
+                recall = 1 - (1 - p**r) ** b
+                assert recall >= R, (t, R, max_planes, n, b, recall)
+                # steepest feasible rows-per-band
+                for r2 in range(r + 1, max_planes + 1):
+                    b2 = min_bands(p, R, r2)
+                    assert b2 is None or r2 * b2 > max_planes, (t, R, r2)
+    with pytest.raises(ValueError):
+        srp_params_for_recall(0.99, 0.999999, max_planes=4)
+    with pytest.raises(ValueError):
+        srp_params_for_recall(1.5, 0.9)
+    with pytest.raises(ValueError):
+        srp_params_for_recall(-1.0, 0.9)
+
+
+def test_hyperplane_lsh_target_recall_preset(spark):
+    """``target_recall`` must override the hand-tuned (n_planes, bands)
+    via the S-curve derivation and still surface every planted
+    exact-copy pair (identical vectors agree on every bit, so banding
+    cannot lose them under ANY derived parameterization) with zero
+    false positives — the q54 recall contract, now a stated knob."""
+    from gmail_etl_spark.operators.similarity import (
+        cosine,
+        hyperplane_lsh_pairs,
+        srp_params_for_recall,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    copies = emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    got = hyperplane_lsh_pairs(
+        corpus, "vec_id", "embedding", threshold=0.99, target_recall=0.99
+    )
+    planted = got.filter((F.col("b_id") - F.col("a_id")) == 1000)
+    assert planted.count() == 100
+    # the preset actually drove the parameterization (not the defaults)
+    n, b = srp_params_for_recall(0.99, 0.99)
+    assert (n, b) != (16, 4) and n % b == 0
+    # exact-cosine verify: nothing below the threshold survives
+    a = corpus.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    bb = corpus.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    joined = got.join(a, "a_id").join(bb, "b_id")
+    assert joined.filter(cosine(F.col("va"), F.col("vb")) < 0.99).count() == 0
+
+
 def test_simhash_locality(spark):
     d = _docs(spark, 40).select("doc_id", "text")
     dup = d.select((F.col("doc_id") + 5000).alias("doc_id"), F.col("text"))
@@ -1585,6 +1660,100 @@ def test_query_ivf_probe_strategies_identical(spark, tmp_path):
         query_ivf_index(spark, path, queries, probe_strategy="bogus")
     with pytest.raises(ValueError):
         query_ivf_index(spark, path, queries, rank_strategy="bogus")
+
+
+def test_query_ivf_bounded_queries_guard_and_auto_route(spark, tmp_path):
+    """VERDICT r6 #4/#5.  (a) The vectorized paths collect the query
+    set to the driver 'small by contract' — the contract is now
+    ENFORCED: a corpus-sized query frame raises instead of silently
+    collecting, and the check itself is bounded (limit(max+1) count).
+    (b) rank_strategy='auto' encodes the measured DEVNOTES crossover:
+    queries×nprobe >= k_cells → the probe sets union to ~every cell, so
+    the matmul kernel wins and auto picks it; below the crossover the
+    pruned join wins and auto picks expr.  Both routes must stay
+    row-identical to the explicit strategies."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gmail_etl_spark.operators.similarity import (
+        query_ivf_index,
+        save_ivf_index,
+    )
+    from gmail_etl_spark.synthetic import planted_embedding_corpus
+
+    emb = planted_embedding_corpus(spark, 2000, dim=16, n_centers=12).select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ivf_guard")
+    save_ivf_index(
+        spark, emb, path, k_cells=12, iters=2, assign_strategy="vectorized"
+    )
+
+    # (a) guard: corpus-sized query frame + any vectorized strategy → raise
+    for kwargs in (
+        {"rank_strategy": "vectorized"},
+        {"probe_strategy": "vectorized"},
+    ):
+        with pytest.raises(ValueError, match="query set has >"):
+            query_ivf_index(
+                spark, path, emb, k=3, nprobe=2, max_queries=50, **kwargs
+            )
+    # fully-distributed expr/expr never collects queries — no guard
+    n = query_ivf_index(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") < 60),
+        k=3,
+        nprobe=2,
+        max_queries=50,
+    ).count()
+    assert n == 60 * 3
+    # max_queries=None disables the guard
+    assert (
+        query_ivf_index(
+            spark,
+            path,
+            emb.filter(F.col("vec_id") < 60),
+            k=3,
+            nprobe=2,
+            rank_strategy="vectorized",
+            max_queries=None,
+        ).count()
+        == 60 * 3
+    )
+
+    # (b) auto-routing: 2 queries × nprobe 3 = 6 < 12 cells → expr path
+    # (no python kernel in the plan); 5 × 3 = 15 >= 12 → matmul path.
+    def plan_of(df) -> str:
+        return df._jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+
+    q_small = emb.filter(F.col("vec_id") < 2)
+    q_large = emb.filter(F.col("vec_id") < 5)
+    auto_small = query_ivf_index(
+        spark, path, q_small, k=4, nprobe=3, rank_strategy="auto"
+    )
+    auto_large = query_ivf_index(
+        spark, path, q_large, k=4, nprobe=3, rank_strategy="auto"
+    )
+    assert "MapInPandas" not in plan_of(auto_small)
+    assert "MapInPandas" in plan_of(auto_large)
+    # both routes return the explicit-strategy answer, row for row
+    exp_small = query_ivf_index(
+        spark, path, q_small, k=4, nprobe=3, rank_strategy="expr"
+    )
+    exp_large = query_ivf_index(
+        spark, path, q_large, k=4, nprobe=3, rank_strategy="expr"
+    )
+    assert sorted(map(tuple, auto_small.collect())) == sorted(
+        map(tuple, exp_small.collect())
+    )
+    assert sorted(map(tuple, auto_large.collect())) == sorted(
+        map(tuple, exp_large.collect())
+    )
 
 
 def test_minhash_verify_strategy_independence(spark):

@@ -489,3 +489,65 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         }
         exp = set(expected.items())
         assert got == exp and got_fast == exp, (edges, got, exp)
+
+
+def test_capped_pair_candidates_complete_random_buckets(spark):
+    """Seeded structural fuzz of ``capped_pair_candidates(...,
+    complete=True)`` (VERDICT r6 #7): the diagonal/off-diagonal chunk
+    CASE is exactness-critical for the exact callers
+    (jaccard_pairs_prefix, dhash multi-index), and the fixed boundary
+    cases can miss interactions — random bucket counts, sizes straddling
+    the cap (including exact multiples, cap±1, singletons), overlapping
+    id sets across buckets, and random caps, all compared against the
+    Python-computed exact pair union.  Default (banded) mode on the same
+    input must stay a subset."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gmail_etl_spark.operators.dedup import capped_pair_candidates
+
+    rng = random.Random(20260815)
+
+    cases = []
+    for trial in range(10):
+        cap = rng.choice([2, 3, 4, 7, 16])
+        n_buckets = rng.randint(1, 5)
+        universe = list(range(rng.randint(5, 40)))
+        buckets = []
+        for b in range(n_buckets):
+            # sizes deliberately straddle the cap: undersized, exact
+            # multiple, off-by-one, and far-oversized buckets all occur
+            size = rng.choice(
+                [2, cap, cap + 1, 2 * cap, 2 * cap - 1, 3 * cap + 1,
+                 min(len(universe), 5 * cap)]
+            )
+            size = min(size, len(universe))
+            ids = rng.sample(universe, size)
+            buckets.append((rng.randint(0, 3), rng.randint(0, 10), ids))
+        cases.append((cap, buckets))
+
+    for cap, buckets in cases:
+        want = set()
+        for _, _, ids in buckets:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = ids[i], ids[j]
+                    want.add((min(a, b), max(a, b)))
+        df = spark.createDataFrame(
+            [(b, bk, ids) for b, bk, ids in buckets if len(ids) > 1],
+            "band int, bucket long, ids array<bigint>",
+        )
+        if df.count() == 0:
+            continue
+        got = {
+            (r.a_id, r.b_id)
+            for r in capped_pair_candidates(df, cap, complete=True).collect()
+        }
+        assert got == want, (cap, [len(i) for _, _, i in buckets],
+                             len(got), len(want))
+        banded = {
+            (r.a_id, r.b_id)
+            for r in capped_pair_candidates(df, cap).collect()
+        }
+        assert banded <= want
