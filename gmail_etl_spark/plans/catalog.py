@@ -182,6 +182,8 @@ def rows_only_reason_map() -> dict[str, str]:
 #: q83/q84 this way.  Generated from CORRECTNESS_r0{1..6}.json by
 #: tools/gen_sweep_priority.py.
 _SWEEP_PRIORITY: tuple[str, ...] = (
+    # -- (0) never driver-tested (1): new round-7 row goes first --
+    "q255_stream_stream_join",
     # -- (2) last verified round 1 (10) --
     "q108_small_qty_revenue", "q109_dormant_customers",
     "q20_string_kernels", "q21_regex_sanitize", "q22_base64_roundtrip",

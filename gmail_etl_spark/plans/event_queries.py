@@ -1577,3 +1577,106 @@ def q191_hll_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").asc_nulls_last(), F.col("day").asc_nulls_last()
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 — stream-stream interval join (view→purchase attribution)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q255_stream_stream_join",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id AS v_id, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, event_id AS p_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT v.user_id, v_id, p_id,
+               epoch_us(p_ts) - epoch_us(v_ts) AS gap_us
+        FROM v JOIN p ON v.user_id = p.user_id
+                     AND p.p_ts >= v.v_ts
+                     AND p.p_ts <= v.v_ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT v_id) AS BIGINT) AS n_views,
+           CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+    FROM j
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    survey="ST2,X5,2.5-join",
+)
+def q255_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, driven end-to-end through Structured
+    Streaming: the events table re-enters as TWO watermarked file-source
+    streams (views, purchases), the inner join
+    (streaming/jobs.py::stream_stream_attribution — already
+    stream==batch-tested locally) runs in
+    StreamingSymmetricHashJoinExec under an availableNow trigger into a
+    memory sink, and the sunk pairs fold to a per-user attribution
+    rollup.  Inner-join matches are append-emitted as found, so with the
+    watermark covering the corpus span the streamed pair set IS the
+    batch interval join — which the DuckDB oracle hashes.  At 100 TB the
+    same plan runs with the watermark at the real late-data horizon so
+    join state stays bounded ((watermark + within) of events per side).
+
+    This is the only catalog entry that executes a streaming query
+    inside the driver's correctness gate — the other streaming legs are
+    batch-oracled in tests; the join leg is driver-hashed here."""
+    import uuid
+
+    from gmail_etl_spark.plans.catalog import normalize_nano_ts
+    from gmail_etl_spark.streaming.jobs import stream_stream_attribution
+
+    # testdata tables are single parquet FILES: the file-stream source
+    # derives basePath from the path and requires a directory, so load
+    # via a glob that matches exactly the one file — globs make the
+    # source treat the parent directory as the base
+    path = f"{sf_dir}/events.parque[t]"
+    probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    events = normalize_nano_ts(
+        spark.readStream.schema(probed).parquet(path), "ts"
+    )
+    pairs = stream_stream_attribution(
+        events,
+        trigger_type="view",
+        outcome_type="purchase",
+        within="30 minutes",
+        # corpus-span watermark: nothing is ever late, so the streamed
+        # result is exactly the batch interval join (the oracle)
+        watermark="3650 days",
+    ).select(
+        "user_id",
+        F.col("trigger_id").alias("v_id"),
+        F.col("outcome_id").alias("p_id"),
+        (F.unix_micros("outcome_ts") - F.unix_micros("trigger_ts")).alias(
+            "gap_us"
+        ),
+    )
+    sink = f"q255_pairs_{uuid.uuid4().hex}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("v_id").cast("long").alias("n_views"),
+            F.countDistinct("p_id").cast("long").alias("n_purchases"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+        )
+        .orderBy("user_id")
+    )
