@@ -520,9 +520,16 @@ def test_session_batch_plan_shapes(spark):
         # per-node detail section below it
         return _plan(CATALOG[name].builder(spark, SF_DIR)).split("\n\n(")[0]
 
-    # Pareto skyline: two range-frame windows, no O(n²) dominance join
-    p = tree("q220_pareto_frontier")
-    assert "Join" not in p and p.count("Scan parquet") == 1, p
+    # Pareto skyline (round-7 rewrite): the strict range frames became
+    # value-grain EXCLUSIVE distributed prefix maxima + join-backs — so
+    # joins now exist by design (broadcast carries + grain joins), but
+    # never an O(n²) dominance join, and the __dw_pid carry shape must
+    # be present.  The branch re-scans collapse at runtime: AQE reuses
+    # the identical exchanges (verified ReusedExchange x4 post-exec).
+    p220 = _plan(CATALOG["q220_pareto_frontier"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in p220, p220
+    assert "BroadcastNestedLoop" not in p220, p220
+    assert "__dw_pid" in p220, "expected distributed-window carry shape"
 
     # AQP estimate: sample AND exact ride ONE scan (no second read)
     p = tree("q222_sampled_sum_estimate")
