@@ -353,3 +353,48 @@ def test_q227_and_q254_match_exact_forms(spark):
     assert [tuple(r) for r in exact254.collect()] == [
         tuple(r) for r in mine254.collect()
     ]
+
+
+def test_distributed_window_invariant_to_runtime_conf(spark):
+    """The two-phase carry logic leans on spark_partition_id() over a
+    range exchange — it must survive the runtime knobs a foreign
+    harness session may differ in: AQE off (no stage coalescing at
+    all) and a much higher shuffle-partition count (mostly-empty range
+    partitions).  Same rows, same ranks, under every combination."""
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    order = ["o_totalprice", "o_orderkey"]
+    baseline = _rows(
+        attach_row_number(o, order, out="rn", total_out="n"),
+        "o_orderkey",
+        "rn",
+        "n",
+    )
+    conf = spark.conf
+    saved_aqe = conf.get("spark.sql.adaptive.enabled")
+    saved_parts = conf.get("spark.sql.shuffle.partitions")
+    try:
+        for aqe in ("false", "true"):
+            for parts in ("3", "200"):
+                conf.set("spark.sql.adaptive.enabled", aqe)
+                conf.set("spark.sql.shuffle.partitions", parts)
+                got = _rows(
+                    attach_row_number(o, order, out="rn", total_out="n"),
+                    "o_orderkey",
+                    "rn",
+                    "n",
+                )
+                assert got == baseline, (aqe, parts)
+                ntiles = _rows(
+                    attach_ntile(o, order, 5, "t"), "o_orderkey", "t"
+                )
+                exact = _rows(
+                    o.withColumn(
+                        "t", F.ntile(5).over(Window.orderBy(*order))
+                    ),
+                    "o_orderkey",
+                    "t",
+                )
+                assert ntiles == exact, (aqe, parts)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        conf.set("spark.sql.shuffle.partitions", saved_parts)
