@@ -135,6 +135,14 @@ def attach_prefix_agg(
     the exclusive form yields NULL for the globally-first row, matching
     the window semantics.  ``op='max'`` works for any orderable type
     (timestamps included); ``op='sum'`` for numeric.
+
+    Exactness caveat: the two-phase sum re-associates the addition
+    (partition subtotal + local prefix), which is bit-identical for
+    integer/decimal values but NOT for floating point, where addition
+    order matters at the ulp level.  Every catalog caller sums exact
+    integers (counts, µs gaps, token counts, +1/−1 deltas) — keep it
+    that way, or route float sums through a scaled-decimal column
+    first (the catalog's standard order-free-arithmetic discipline).
     """
     if op not in ("sum", "max"):
         raise ValueError(f"unsupported prefix op: {op!r}")
