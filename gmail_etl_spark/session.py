@@ -42,6 +42,15 @@ ENGINE_CONF: dict[str, str] = {
     # maintains via advisoryPartitionSizeInBytes.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+    # AQE shuffles START wide and coalesce down to the advisory size, so
+    # a large frame is never trapped at shuffle.partitions-way
+    # parallelism just because the static conf is sized for small
+    # inputs.  Measured on the two-phase distributed window: 50M-row
+    # global rank 10x faster at 256 range partitions than at 32
+    # (DEVNOTES r7); tiny frames coalesce back, so small queries are
+    # unaffected.  On a cluster this is the standard initialPartitionNum
+    # >= 2-3x total cores posture.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
     # Broadcast anything under 64 MB: region/nation/supplier-class dims
     # stay broadcast even at sf100k, eliminating the shuffle for the
     # star-join pattern (SURVEY §2.3).
