@@ -869,9 +869,12 @@ def q213_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score is assembled from two exact-integer square roots (IEEE
     sqrt is correctly rounded) and one division — engine-stable at 4dp;
     U₁ itself is reported at its native half-integer resolution.
-    Shape: one shuffle to (value, type) grain, a global run-length
-    window over distinct values (≤56k rows — the cents domain, not the
-    corpus), broadcastable scalars, a per-type fold."""
+    Shape: one shuffle to (value, type) grain, a run-length prefix over
+    distinct values via the two-phase distributed form
+    (operators/distributed_window.py — no single-partition sort even if
+    the value domain grows), broadcastable scalars, a per-type fold."""
+    from gmail_etl_spark.operators.distributed_window import attach_prefix_agg
+
     e = load_table(spark, sf_dir, "events")
     vals = e.select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
@@ -879,20 +882,17 @@ def q213_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain = vals.groupBy("cents", "event_type").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    wv = Window.orderBy("cents")
-    vtot = (
-        grain.groupBy("cents")
-        .agg(F.sum("cnt").cast("long").alias("t"))
-        .select(
-            "cents",
-            "t",
-            F.coalesce(
-                F.sum("t").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("c_before"),
-        )
+    vtot = attach_prefix_agg(
+        grain.groupBy("cents").agg(F.sum("cnt").cast("long").alias("t")),
+        ["cents"],
+        "t",
+        "__cb",
+        op="sum",
+        inclusive=False,
+    ).select(
+        "cents",
+        "t",
+        F.coalesce(F.col("__cb"), F.lit(0)).cast("long").alias("c_before"),
     )
     glob = vtot.agg(
         F.sum("t").cast("long").alias("n"),

@@ -359,7 +359,6 @@ def test_no_unjustified_nested_loop_joins_anywhere(all_plans):
 _SINGLE_PARTITION_WINDOW_JUSTIFIED = {
     "q107_source_mixing_weights": "source grain — enumerated corpus sources",
     "q170_daily_value_deltas": "day grain — one row per calendar day",
-    "q213_mann_whitney_u": "cents value grain — bounded by the price domain",
     "q214_churn_hazard": "week grain — one row per calendar week",
     "q218_roc_auc": "score grain — bounded by the integer score domain",
     "q230_best_stump_threshold": "threshold grain — bounded n_chars domain",
