@@ -691,3 +691,21 @@ def test_pipeline_bench_materializer_is_not_column_pruned(spark):
         "bench.py pipeline entry must materialize via the all-column "
         "checksum, not count()"
     )
+
+
+def test_engine_conf_pins_wide_shuffle_start():
+    """Round-7 parallelism posture: AQE shuffles must START wide and
+    coalesce to the byte advisory, or large two-phase window frames
+    fall back to shuffle.partitions-way parallelism (measured 10x
+    slower at 50M rows — DEVNOTES r7).  Pins the conf trio against
+    accidental removal."""
+    from gmail_etl_spark.session import ENGINE_CONF
+
+    assert ENGINE_CONF["spark.sql.adaptive.enabled"] == "true"
+    assert (
+        ENGINE_CONF["spark.sql.adaptive.coalescePartitions.enabled"] == "true"
+    )
+    assert (
+        int(ENGINE_CONF["spark.sql.adaptive.coalescePartitions.initialPartitionNum"])
+        >= 256
+    )
