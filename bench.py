@@ -43,6 +43,14 @@ LOAD_GATE_MAX_WAIT_SEC = float(
 LOAD_GATE_POLL_SEC = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_POLL", "15"))
 LOAD_GATE_CONFIRM_SEC = 5.0  # spacing of the two quiet samples
 
+# noisy-entry retry (VERDICT r7 #7): the start gate can pass and
+# co-tenant load still arrive mid-run; per-entry loadavg attributes it,
+# and this pass RE-MEASURES any entry whose pre-entry loadavg exceeded
+# the gate ratio — once, at the end, and only if the host is quiet by
+# then (re-timing under the same noise would learn nothing).  Keeps the
+# min of both measurements; the artifact self-describes every retry.
+REPEAT_NOISY = os.environ.get("SPARK_GRAFT_REPEAT_NOISY", "1") != "0"
+
 
 def _wait_for_quiet_host() -> dict:
     """Block (bounded) until the host is quiet; return gate metadata.
@@ -66,8 +74,11 @@ def _wait_for_quiet_host() -> dict:
                 f"({waited:.0f}/{LOAD_GATE_MAX_WAIT_SEC:.0f}s elapsed)",
                 file=sys.stderr,
             )
-        time.sleep(min(step, LOAD_GATE_MAX_WAIT_SEC - waited))
-        waited += step
+        # clamp BOTH the sleep and the accounting to the remaining
+        # budget, so waited_sec never overstates the actual wait
+        sleep_for = min(step, LOAD_GATE_MAX_WAIT_SEC - waited)
+        time.sleep(sleep_for)
+        waited += sleep_for
         load = os.getloadavg()[0]
         quiet_streak = quiet_streak + 1 if load / cpus <= LOAD_GATE_RATIO else 0
     return {
@@ -112,20 +123,30 @@ def main() -> None:
     # outlier entry to host noise without a re-run.
     times: dict[str, float] = {}
     entry_loadavg: dict[str, float] = {}
+    #: entry -> (repeat count, zero-arg steady-state runner) — collected
+    #: as entries are timed so the noisy-entry retry pass at the end can
+    #: re-measure any of them generically
+    runners: dict[str, tuple[int, object]] = {}
 
     def _mark(name: str) -> None:
         entry_loadavg[name] = round(os.getloadavg()[0], 2)
 
-    for name, cq in sorted(headline.items()):
+    def _time_best(name: str, repeats: int, run) -> None:
         _mark(name)
+        runners[name] = (repeats, run)
         best = float("inf")
-        for _ in range(REPEATS_HEADLINE):
+        for _ in range(repeats):
             t0 = time.perf_counter()
-            df = cq.builder(spark, sf_dir)
-            n = df.count()
-            assert n >= 0
+            run()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+
+    for name, cq in sorted(headline.items()):
+
+        def _headline_run(cq=cq) -> None:
+            assert cq.builder(spark, sf_dir).count() >= 0
+
+        _time_best(name, REPEATS_HEADLINE, _headline_run)
 
     # Gmail-pipeline throughput: the reference's whole workload is ~300
     # messages per serial run (resources/gmail_functions.py:151); here
@@ -158,16 +179,11 @@ def main() -> None:
         ).collect()[0]
         return row["n"]
 
-    n_msgs = _pipeline_run()  # warm
-    assert n_msgs == 20000
-    _mark("gmail_pipeline_20k_msgs")
-    best = float("inf")
-    for _ in range(REPEATS_PIPELINE):
-        t0 = time.perf_counter()
-        n_msgs = _pipeline_run()
-        best = min(best, time.perf_counter() - t0)
-    assert n_msgs == 20000
-    times["gmail_pipeline_20k_msgs"] = round(best, 3)
+    def _pipeline_timed() -> None:
+        assert _pipeline_run() == 20000
+
+    _pipeline_timed()  # warm
+    _time_best("gmail_pipeline_20k_msgs", REPEATS_PIPELINE, _pipeline_timed)
 
     # --- scale-path entries (same methodology as the headline queries:
     # one warm-up run for JIT/codegen, then best-of-5 steady state; the
@@ -202,13 +218,7 @@ def main() -> None:
         assert n == 80
 
     _knn_run()  # warm
-    _mark("knn_100k_vectorized")
-    best = float("inf")
-    for _ in range(REPEATS_KNN):
-        t0 = time.perf_counter()
-        _knn_run()
-        best = min(best, time.perf_counter() - t0)
-    times["knn_100k_vectorized"] = round(best, 3)
+    _time_best("knn_100k_vectorized", REPEATS_KNN, _knn_run)
 
     # 100k docs in planted near-dup groups of 10: MinHash+LSH candidate
     # pairs -> connected components -> exactly 10,000 clusters.
@@ -236,16 +246,41 @@ def main() -> None:
         assert n_clusters == 10_000, n_clusters
 
     _dedup_run()  # warm
-    _mark("near_dedup_100k_docs")
-    best = float("inf")
     # 7 repeats (vs 5 for the sub-second entries): this is the only
     # multi-second entry, so a single co-tenant noise burst can shadow
     # several repeats; the minimum over 7 is the steady-state estimator
-    for _ in range(REPEATS_NEAR_DEDUP):
-        t0 = time.perf_counter()
-        _dedup_run()
-        best = min(best, time.perf_counter() - t0)
-    times["near_dedup_100k_docs"] = round(best, 3)
+    _time_best("near_dedup_100k_docs", REPEATS_NEAR_DEDUP, _dedup_run)
+
+    # --- noisy-entry retry pass (VERDICT r7 #7): re-measure, once and
+    # only on a by-now-quiet host, any entry whose pre-entry loadavg
+    # exceeded the gate ratio; keep the min and self-describe ---
+    cpus = load_gate["cpus"]
+    noisy_entry_retries: dict[str, dict] = {}
+    if REPEAT_NOISY:
+        for name, la in entry_loadavg.items():
+            if la / cpus <= LOAD_GATE_RATIO:
+                continue
+            now = os.getloadavg()[0]
+            info = {
+                "entry_loadavg1": la,
+                "retry_loadavg1": round(now, 2),
+                "before_sec": times[name],
+            }
+            if now / cpus > LOAD_GATE_RATIO:
+                # still noisy: a retry would just measure the same
+                # co-tenancy — record the attempt, keep the figure
+                info["retried"] = False
+            else:
+                repeats, run = runners[name]
+                best = times[name]
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    run()
+                    best = min(best, time.perf_counter() - t0)
+                times[name] = round(best, 3)
+                info["retried"] = True
+                info["after_sec"] = times[name]
+            noisy_entry_retries[name] = info
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -265,6 +300,9 @@ def main() -> None:
         # 1-min loadavg sampled immediately before each timed entry
         # (VERDICT r6 #2): attributes per-entry noise without a re-run
         "queries_loadavg": entry_loadavg,
+        # entries re-measured by the end-of-run quiet retry pass
+        # (VERDICT r7 #7); empty when every entry started quiet
+        "noisy_entry_retries": noisy_entry_retries,
         # the gate's verdict: ok == quiet at start.  end_loadavg1 is
         # informational only — it necessarily includes the bench's own
         # local[32] Spark work (a quiet-start run legitimately ends at

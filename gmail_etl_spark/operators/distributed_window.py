@@ -28,6 +28,21 @@ ranges, so partition ids stay ordered by the range keys and the
 carry fold stays correct.  Ordering keys must form a total order
 (callers always pass a unique tie-break column), which all six catalog
 users do.
+
+Cross-consumer PID consistency: both phases read the SAME range
+exchange in separate stages, and each recomputes ``PID`` via
+``spark_partition_id()`` — correctness therefore assumes AQE derives
+*identical* coalesce specs for the two shuffle reads.  Spark derives
+the spec from the shuffle's map-output statistics, which are shared,
+so the specs match today (and the AQE-on/off + shuffle-conf invariance
+tests pin it), but the invariant is not guaranteed by any API
+contract.  It is therefore also enforced at RUNTIME: the broadcast
+join back is a LEFT join guarded by ``raise_error`` — a local-frame
+PID missing from the carry frame, or a local partition holding more
+rows than the carry pass recorded for that PID, fails the job loudly
+instead of dropping rows or mis-carrying.  (Equal grand totals + every
+local count ≤ recorded count ⇒ the two reads split identically, so
+the per-row guard is a complete reconciliation, not a spot check.)
 """
 
 from __future__ import annotations
@@ -45,10 +60,29 @@ _TOT = "__dw_tot"
 _CARRY = "__dw_carry"
 _OFF = "__dw_off"
 _CNT = "__dw_cnt"
+_IDX = "__dw_idx"
 
 
 def _order_cols(order_by: Sequence[Column | str]) -> list[Column | str]:
     return list(order_by)
+
+
+def _checked(bad: Column, value: Column, what: str) -> Column:
+    """Runtime reconciliation of the cross-consumer PID assumption (see
+    module docstring): evaluate ``value``, but fail the job loudly if
+    ``bad`` — the two reads of the range exchange disagreed on the
+    partition split, which would otherwise silently drop rows or
+    mis-carry.  Per-row codegen cost is one null/compare check."""
+    return F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                "distributed_window: range-exchange partition split "
+                f"diverged between phases ({what}) — AQE coalesce specs "
+                "differed across the two shuffle reads"
+            )
+        ),
+    ).otherwise(value)
 
 
 def _with_range_pid(
@@ -73,6 +107,26 @@ def _with_range_pid(
     else:
         ranged = df.repartitionByRange(*_order_cols(order_by))
     return ranged.withColumn(PID, F.spark_partition_id())
+
+
+def local_mode_partitions(spark, per_core: int = 8) -> int | None:
+    """Explicit partition count for CPU-bound LOCAL two-phase windows;
+    ``None`` (= let AQE size the exchange) everywhere else.
+
+    The bytes-bounded AQE default is the right 100 TB posture — the
+    advisory size keeps partitions spill-safe on a cluster — but in
+    local mode a big frame coalesces to ~frame_bytes/128 MB partitions
+    regardless of cores, and the rank phase is CPU-bound there: at 50M
+    local rows an explicit 256 read ~10 s where the dynamic sizing read
+    42-54 s (DEVNOTES r7).  cores×8 gives every core several waves
+    without over-sharding the tiny carry frame.  Callers opt in; the
+    primitives never apply this silently, so cluster plans keep the
+    bytes-bounded shape."""
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        return None
+    cores = spark.sparkContext.defaultParallelism
+    return max(1, cores * per_core)
 
 
 def attach_row_number(
@@ -107,6 +161,7 @@ def attach_row_number(
     w_off = Window.orderBy(PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         PID,
+        _CNT,
         F.coalesce(F.sum(_CNT).over(w_off), F.lit(0)).alias(_OFF),
         F.sum(_CNT)
         .over(
@@ -117,8 +172,13 @@ def attach_row_number(
         .alias(_TOT),
     )
 
-    joined = local.join(F.broadcast(offsets), PID)
-    result = joined.withColumn(out, (F.col(_LOC) + F.col(_OFF)).cast("long"))
+    # LEFT join + runtime guard, not a bare inner join: see the
+    # cross-consumer PID consistency note in the module docstring.
+    joined = local.join(F.broadcast(offsets), PID, "left")
+    bad = F.col(_OFF).isNull() | (F.col(_LOC) > F.col(_CNT))
+    result = joined.withColumn(
+        out, _checked(bad, (F.col(_LOC) + F.col(_OFF)).cast("long"), "row_number")
+    )
     if total_out is not None:
         result = result.withColumn(total_out, F.col(_TOT).cast("long"))
     return result.drop(PID, _LOC, _OFF, _TOT, _CNT)
@@ -133,6 +193,7 @@ def attach_prefix_agg(
     inclusive: bool = True,
     total_out: str | None = None,
     num_partitions: int | None = None,
+    allow_float: bool = False,
 ) -> DataFrame:
     """Global running sum/max of ``value_col`` over ``order_by``.
 
@@ -142,33 +203,49 @@ def attach_prefix_agg(
     the window semantics.  ``op='max'`` works for any orderable type
     (timestamps included); ``op='sum'`` for numeric.
 
-    Exactness caveat: the two-phase sum re-associates the addition
-    (partition subtotal + local prefix), which is bit-identical for
-    integer/decimal values but NOT for floating point, where addition
-    order matters at the ulp level.  Every catalog caller sums exact
-    integers (counts, µs gaps, token counts, +1/−1 deltas) — keep it
-    that way, or route float sums through a scaled-decimal column
-    first (the catalog's standard order-free-arithmetic discipline).
+    Exactness contract (ENFORCED): the two-phase sum re-associates the
+    addition (partition subtotal + local prefix), which is bit-identical
+    for integer/decimal values but NOT for floating point, where
+    addition order matters at the ulp level.  A float/double
+    ``value_col`` with ``op='sum'`` therefore raises ``TypeError`` —
+    route float sums through a scaled-decimal column first (the
+    catalog's standard order-free-arithmetic discipline), or pass
+    ``allow_float=True`` to explicitly accept ulp-level divergence from
+    the single-window form.  Every catalog caller sums exact integers
+    (counts, µs gaps, token counts, +1/−1 deltas).
     """
     if op not in ("sum", "max"):
         raise ValueError(f"unsupported prefix op: {op!r}")
     agg = F.sum if op == "sum" else F.max
+    if op == "sum" and not allow_float:
+        vtype = df.select(F.col(value_col)).schema[0].dataType.typeName()
+        if vtype in ("float", "double"):
+            raise TypeError(
+                f"attach_prefix_agg: op='sum' over {vtype} column "
+                f"{value_col!r} re-associates addition and is not "
+                "bit-identical to the single-window form; cast to "
+                "decimal/integer first or pass allow_float=True"
+            )
 
     ranged = _with_range_pid(df, order_by, num_partitions)
 
     upper = 0 if inclusive else -1
-    w_local = (
-        Window.partitionBy(PID)
-        .orderBy(*_order_cols(order_by))
-        .rowsBetween(Window.unboundedPreceding, upper)
+    w_order = Window.partitionBy(PID).orderBy(*_order_cols(order_by))
+    w_local = w_order.rowsBetween(Window.unboundedPreceding, upper)
+    # The local row index rides the same sort as the agg window — it
+    # exists only to feed the PID reconciliation guard below.
+    local = ranged.withColumn(_LOC, agg(value_col).over(w_local)).withColumn(
+        _IDX, F.row_number().over(w_order)
     )
-    local = ranged.withColumn(_LOC, agg(value_col).over(w_local))
 
     # Tiny carry frame: per-partition totals, exclusive prefix over pid.
-    totals = ranged.groupBy(PID).agg(agg(value_col).alias(_TOT))
+    totals = ranged.groupBy(PID).agg(
+        agg(value_col).alias(_TOT), F.count(F.lit(1)).alias(_CNT)
+    )
     w_carry = Window.orderBy(PID).rowsBetween(Window.unboundedPreceding, -1)
     carry_cols = [
         F.col(PID),
+        F.col(_CNT),
         agg(_TOT).over(w_carry).alias(_CARRY),
     ]
     if total_out is not None:
@@ -183,7 +260,11 @@ def attach_prefix_agg(
         )
     carries = totals.select(*carry_cols)
 
-    joined = local.join(F.broadcast(carries), PID)
+    # LEFT join + runtime guard, not a bare inner join: see the
+    # cross-consumer PID consistency note in the module docstring.
+    # (_CARRY is legitimately NULL for pid 0, so the guard keys on the
+    # per-pid count, which the carry frame always materializes.)
+    joined = local.join(F.broadcast(carries), PID, "left")
     if op == "max":
         # greatest() skips NULLs; NULL only when both sides are (the
         # globally-first row of an exclusive frame).
@@ -194,15 +275,21 @@ def attach_prefix_agg(
         ).otherwise(
             F.coalesce(F.col(_LOC), F.lit(0)) + F.coalesce(F.col(_CARRY), F.lit(0))
         )
-    return joined.withColumn(out, combined).drop(PID, _LOC, _CARRY, _TOT)
+    bad = F.col(_CNT).isNull() | (F.col(_IDX) > F.col(_CNT))
+    return joined.withColumn(out, _checked(bad, combined, "prefix_agg")).drop(
+        PID, _LOC, _CARRY, _TOT, _CNT, _IDX
+    )
 
 
 def _floor_div(numer: Column, denom: Column) -> Column:
-    """Non-negative integer floor division without double rounding
-    error: subtract the remainder so the division is of an exact
-    multiple (always exactly representable), then restore the integer
-    type."""
-    return ((numer - F.pmod(numer, denom)) / denom).cast("long")
+    """Non-negative integer floor division that stays exact over the
+    FULL long range: subtract the remainder so the division is of an
+    exact multiple, then divide in decimal(38,0) arithmetic (double
+    division would lose exactness once the multiple exceeds 2^53 —
+    latent at today's row counts, but ntile totals at the 100 TB
+    ambition approach it)."""
+    exact_multiple = (numer - F.pmod(numer, denom)).cast("decimal(38,0)")
+    return (exact_multiple / denom.cast("decimal(38,0)")).cast("long")
 
 
 def _ceil_div(a: Column, b: Column) -> Column:

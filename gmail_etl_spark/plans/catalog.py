@@ -173,41 +173,20 @@ def rows_only_reason_map() -> dict[str, str]:
 #: budget.  Policy: never-driver-tested entries first, then the rows the
 #: driver has not re-checked for the longest time — so evidence coverage
 #: grows every round and stale rows rotate back into the budget.
-#: Round-7 order (every oracled query now driver-green at least once):
-#: stalest-first rotation — rows last verified in round 1 lead, then
-#: rounds 2-6.  The 18 rows-only queries (oracle=None) go LAST: a
+#: Round-8 order (every oracled query driver-green at least once):
+#: stalest-first rotation — rows last verified in round 2 lead, then
+#: rounds 3-7.  The 18 rows-only queries (oracle=None) go LAST: a
 #: driver visit can only ever record ``err: no_oracle`` for them (their
 #: evidence is the local tolerance/recall gates), so spending any of
 #: the ~50-row budget on them is pure waste — r6 burned 2 samples on
-#: q83/q84 this way.  Generated from CORRECTNESS_r0{1..6}.json by
+#: q83/q84 this way.  Generated from CORRECTNESS_r0{1..7}.json by
 #: tools/gen_sweep_priority.py.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # -- (0) never driver-tested (1): new round-7 row goes first --
-    "q255_stream_stream_join",
-    # -- (2) last verified round 1 (10) --
-    "q108_small_qty_revenue", "q109_dormant_customers",
-    "q20_string_kernels", "q21_regex_sanitize", "q22_base64_roundtrip",
-    "q23_date_kernels", "q24_json_extract", "q25_header_pivot",
-    "q27_array_hof", "q28_regexp_extract",
-    # -- (3) last verified round 2 (44) --
-    "q103_grouping_sets", "q31_token_stats", "q32_token_freq",
-    "q33_quality_score", "q34_fingerprint", "q35_langid_features",
-    "q36_token_count_bpe", "q37_rolling_hash", "q38_levenshtein",
-    "q93_tfidf_top_terms", "q55_quality_filter_rules",
-    "q69_approx_top_tokens", "q71_chunk_documents",
-    "q98_repetition_score", "q103_winnow_fingerprint",
-    "q102_token_edit_pairs", "q105_unigram_lm_nll",
-    "q112_tfidf_cosine_pairs", "q40_dedup_exact",
-    "q41_dedup_canonical_rows", "q42_ledger_anti_join",
-    "q43_jaccard_pairs", "q47_near_dup_clusters", "q48_near_dedup",
-    "q74_source_overlap", "q104_winnow_near_dup_pairs",
-    "q113_incremental_near_dup", "q50_knn_exact", "q51_knn_ivf",
-    "q53_knn_vectorized", "q46_embedding_near_dup", "q52_label_centroids",
-    "q60_tumbling_window", "q61_sliding_window", "q62_session_window",
-    "q63_first_event_per_key", "q67_event_funnel", "q73_value_outliers",
-    "q111_event_transitions", "q26_multimodal_features",
-    "q29_frame_sample", "q64_asof_join", "q65_range_join",
-    "q66_time_rollup",
+    # -- (0) never driver-tested (1): new round-8 row goes first --
+    "q256_persisted_ivf_topk",
+    # -- (3) last verified round 2 (5) --
+    "q26_multimodal_features", "q29_frame_sample", "q64_asof_join",
+    "q65_range_join", "q66_time_rollup",
     # -- (4) last verified round 3 (42) --
     "q120_volume_shipping", "q121_market_share", "q122_supplier_profit",
     "q123_part_supplier_counts", "q124_custdist",
@@ -294,6 +273,26 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q228_activity_bitmask_streaks", "q229_capped_running_balance",
     "q230_best_stump_threshold", "q231_sorted_group_concat",
     "q245_levenshtein_linkage",
+    # -- (8) last verified round 7 (50) --
+    "q103_grouping_sets", "q108_small_qty_revenue",
+    "q109_dormant_customers", "q20_string_kernels", "q21_regex_sanitize",
+    "q22_base64_roundtrip", "q23_date_kernels", "q24_json_extract",
+    "q25_header_pivot", "q27_array_hof", "q28_regexp_extract",
+    "q31_token_stats", "q32_token_freq", "q33_quality_score",
+    "q34_fingerprint", "q35_langid_features", "q36_token_count_bpe",
+    "q37_rolling_hash", "q38_levenshtein", "q93_tfidf_top_terms",
+    "q55_quality_filter_rules", "q69_approx_top_tokens",
+    "q71_chunk_documents", "q98_repetition_score",
+    "q103_winnow_fingerprint", "q102_token_edit_pairs",
+    "q105_unigram_lm_nll", "q112_tfidf_cosine_pairs", "q40_dedup_exact",
+    "q41_dedup_canonical_rows", "q42_ledger_anti_join",
+    "q43_jaccard_pairs", "q47_near_dup_clusters", "q48_near_dedup",
+    "q74_source_overlap", "q104_winnow_near_dup_pairs",
+    "q113_incremental_near_dup", "q50_knn_exact", "q51_knn_ivf",
+    "q53_knn_vectorized", "q46_embedding_near_dup", "q52_label_centroids",
+    "q60_tumbling_window", "q61_sliding_window", "q62_session_window",
+    "q63_first_event_per_key", "q67_event_funnel", "q73_value_outliers",
+    "q111_event_transitions", "q255_stream_stream_join",
     # -- (last) rows-only by design (18) — a driver visit yields only err:no_oracle; never spend budget here --
     "q83_approx_count_distinct", "q84_approx_percentile",
     "q146_compression_ratio", "q44_minhash_lsh", "q45_simhash",

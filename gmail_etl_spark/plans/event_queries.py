@@ -1630,6 +1630,7 @@ def q255_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the only catalog entry that executes a streaming query
     inside the driver's correctness gate — the other streaming legs are
     batch-oracled in tests; the join leg is driver-hashed here."""
+    import os
     import uuid
 
     from gmail_etl_spark.plans.catalog import normalize_nano_ts
@@ -1638,9 +1639,34 @@ def q255_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # testdata tables are single parquet FILES: the file-stream source
     # derives basePath from the path and requires a directory, so load
     # via a glob that matches exactly the one file — globs make the
-    # source treat the parent directory as the base
+    # source treat the parent directory as the base.  The rewrite is
+    # only sound when sf_dir itself is glob-inert: metacharacters in
+    # the directory would make the source match nothing and silently
+    # stream zero rows, so fail loudly instead.
+    if any(ch in sf_dir for ch in "*?[]{}"):
+        raise ValueError(
+            f"q255: sf_dir {sf_dir!r} contains glob metacharacters — the "
+            "single-file stream-source glob rewrite would silently match "
+            "nothing; point sf_dir at a glob-inert path"
+        )
+    batch_file = f"{sf_dir}/events.parquet"
+    if not os.path.isfile(batch_file):
+        raise FileNotFoundError(f"q255: {batch_file} missing")
+    # The memory sink below materializes every joined pair on the
+    # driver — the right shape for the ~sf0.01 correctness gate, NOT
+    # for scale.  The operator itself is sink-agnostic (the 1M-event
+    # harness writes parquet: tools/stream_join_scale.py); this guard
+    # keeps the gate form from being lifted to a big corpus unmodified.
+    size = os.path.getsize(batch_file)
+    if size > 256 * 1024 * 1024:
+        raise RuntimeError(
+            f"q255: events.parquet is {size >> 20} MiB — the driver-gate "
+            "memory sink would buffer every joined pair in driver memory; "
+            "at scale run stream_stream_attribution with a parquet sink "
+            "(see tools/stream_join_scale.py)"
+        )
     path = f"{sf_dir}/events.parque[t]"
-    probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    probed = spark.read.parquet(batch_file).schema
     events = normalize_nano_ts(
         spark.readStream.schema(probed).parquet(path), "ts"
     )

@@ -977,3 +977,68 @@ def q196_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q256 — persisted IVF index, end-to-end (save → load → probe → rank)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q256_persisted_ivf_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_vec FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               round(list_cosine_similarity(q.q_vec, c.c_vec), 6) AS sim
+        FROM q CROSS JOIN c
+        WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    survey="X1",
+)
+def q256_persisted_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index lifecycle driven end-to-end INSIDE the hash
+    gate: train the coarse quantizer, write the corpus as a
+    cluster-partitioned parquet table plus centroid sidecar
+    (save_ivf_index), re-open it cold, probe, and rank
+    (query_ivf_index).  Probing with nprobe = k_cells is exhaustive, so
+    the ANN result coincides with exact brute-force top-k — which the
+    DuckDB oracle computes — making the save/load/probe/rank plumbing
+    hash-verifiable even though a pruned probe is approximate.  The
+    pruned-probe behavior itself (PartitionFilters reaching the reader,
+    recall at nprobe < k_cells) is pinned by the operator tests; q51
+    hash-gates the probed-cell semantics via the label-as-cell trick.
+    At 100 TB the only change is nprobe: the layout already IS the
+    partition-pruned index this query wrote."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from gmail_etl_spark.operators.similarity import (
+        query_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # mkdtemp per call keeps concurrent runs race-free; the result plan
+    # is LAZY and scans the index at collect time, so the directory is
+    # reclaimed at process exit, not here (bounded: one tiny dir per
+    # builder call per process lifetime)
+    path = tempfile.mkdtemp(prefix="q256_ivf_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    save_ivf_index(spark, emb, path, k_cells=8, iters=3)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return query_ivf_index(spark, path, queries, k=5, nprobe=8).orderBy(
+        "query_id", "rank"
+    )

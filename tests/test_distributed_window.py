@@ -140,9 +140,61 @@ def test_empty_frame(spark, orders):
     empty = orders.filter(F.lit(False))
     assert attach_row_number(empty, ["o_orderkey"], out="rn").count() == 0
     assert (
-        attach_prefix_agg(empty, ["o_orderkey"], "o_totalprice", "s").count()
+        attach_prefix_agg(empty, ["o_orderkey"], "o_orderkey", "s").count()
         == 0
     )
+
+
+def test_prefix_sum_enforces_integer_exactness_contract(spark, orders):
+    """op='sum' over float/double re-associates addition, so it must
+    raise loudly (VERDICT r7 #1) — unless the caller opts in, or routes
+    through decimal, which IS order-free and must keep working."""
+    with pytest.raises(TypeError, match="re-associates addition"):
+        attach_prefix_agg(orders, ["o_orderkey"], "o_totalprice", "s")
+    # the decimal route is the sanctioned fix and stays exact
+    as_dec = orders.withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+    exact = as_dec.select(
+        "o_orderkey", F.sum("price_dec").over(w).alias("s")
+    )
+    mine = attach_prefix_agg(as_dec, ["o_orderkey"], "price_dec", "s")
+    assert _rows(exact, "o_orderkey", "s") == _rows(mine, "o_orderkey", "s")
+    # explicit opt-in still runs (ulp-level divergence accepted)
+    assert (
+        attach_prefix_agg(
+            orders, ["o_orderkey"], "o_totalprice", "s", allow_float=True
+        ).count()
+        == orders.count()
+    )
+    # op='max' is order-free for any type: no guard, doubles fine
+    assert (
+        attach_prefix_agg(
+            orders, ["o_orderkey"], "o_totalprice", "m", op="max"
+        ).count()
+        == orders.count()
+    )
+
+
+def test_floor_div_exact_beyond_double_precision(spark):
+    """_floor_div must stay exact past 2^53, where the old double
+    division rounded (ADVICE r7): 2^60 div 7 and (2^63-1) div 1."""
+    from gmail_etl_spark.operators.distributed_window import _floor_div
+
+    big = 1 << 60
+    row = (
+        spark.range(1)
+        .select(
+            _floor_div(F.lit(big), F.lit(7)).alias("a"),
+            _floor_div(F.lit((1 << 63) - 1), F.lit(1)).alias("b"),
+            _floor_div(F.lit(big - 1), F.lit(big)).alias("c"),
+        )
+        .collect()[0]
+    )
+    assert row.a == big // 7
+    assert row.b == (1 << 63) - 1
+    assert row.c == 0
 
 
 # ---------------------------------------------------------------------------
@@ -398,3 +450,75 @@ def test_distributed_window_invariant_to_runtime_conf(spark):
     finally:
         conf.set("spark.sql.adaptive.enabled", saved_aqe)
         conf.set("spark.sql.shuffle.partitions", saved_parts)
+
+
+def test_local_mode_partitions_helper(spark):
+    """cores×8 in local mode, None (bytes-bounded AQE default — the
+    cluster posture) when the master is not local."""
+    from gmail_etl_spark.operators.distributed_window import (
+        local_mode_partitions,
+    )
+
+    n = local_mode_partitions(spark)
+    assert n == spark.sparkContext.defaultParallelism * 8
+
+    class _FakeConf:
+        def get(self, key, default=""):
+            return "spark://host:7077"
+
+    class _FakeSpark:
+        conf = _FakeConf()
+
+    assert local_mode_partitions(_FakeSpark()) is None
+
+
+def test_local_mode_partitions_ab_at_5m_rows(spark):
+    """A/B gate (VERDICT r7 #8): at 5M CPU-bound local rows the helper's
+    explicit count must not lose to the dynamic AQE sizing — and both
+    legs stay checksum-identical.  Slow; run with
+    SPARK_GRAFT_SCALE_TESTS=1."""
+    import os
+    import time
+
+    import pytest
+
+    if os.environ.get("SPARK_GRAFT_SCALE_TESTS") != "1":
+        pytest.skip("scale gate: set SPARK_GRAFT_SCALE_TESTS=1 to run")
+
+    from gmail_etl_spark.operators.distributed_window import (
+        attach_row_number,
+        local_mode_partitions,
+    )
+
+    df = (
+        spark.range(5_000_000)
+        .select(
+            (F.xxhash64("id") % 1_000_003).alias("k"),
+            F.col("id").alias("tie"),
+        )
+        .repartition(32)
+        .cache()
+    )
+    df.count()
+
+    def _leg(num_partitions):
+        t0 = time.perf_counter()
+        out = attach_row_number(
+            df, ["k", "tie"], out="rn", num_partitions=num_partitions
+        )
+        chk = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("k", "tie", "rn")).alias("x"),
+        ).collect()[0]
+        return time.perf_counter() - t0, (chk["n"], chk["x"])
+
+    # warm both shapes once (JIT/codegen), then time
+    _leg(None), _leg(local_mode_partitions(spark))
+    t_dyn, chk_dyn = _leg(None)
+    t_loc, chk_loc = _leg(local_mode_partitions(spark))
+    df.unpersist()
+    assert chk_dyn == chk_loc
+    # "picks the faster leg" with slack for host noise: the helper must
+    # not be a regression (5M rows fits well under the advisory size,
+    # so the two legs are close here; the gap opens at 50M+)
+    assert t_loc <= t_dyn * 1.5, (t_loc, t_dyn)

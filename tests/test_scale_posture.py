@@ -364,6 +364,66 @@ _SINGLE_PARTITION_WINDOW_JUSTIFIED = {
     "q230_best_stump_threshold": "threshold grain — bounded n_chars domain",
 }
 
+#: Measured tripwire for the whitelist above (VERDICT r7 #6): each
+#: data-dependent grain's countDistinct must stay under a documented
+#: domain bound, so "domain-bounded" is measured at test time, not
+#: asserted.  Bounds are domain-shaped ceilings, far above the fixture
+#: values (sources 20, days 30, weeks 5, n_chars≤577 at every SF —
+#: flat across 100× data, which is the point), but tight enough that a
+#: fixture change making a grain scale with corpus size fails loudly.
+#: q218 is absent by design: its score is snapped to a 1e-6 grid, so
+#: the grain is ≤ 1,000,001 by CONSTRUCTION, independent of any data.
+_WHITELIST_GRAIN_BOUNDS = {
+    "q107_source_mixing_weights": (
+        "documents",
+        lambda F: F.col("source"),
+        64,
+    ),
+    "q170_daily_value_deltas": (
+        "events",
+        lambda F: F.floor(F.unix_timestamp("ts") / 86400),
+        3700,  # ~10 years of calendar days
+    ),
+    "q214_churn_hazard": (
+        "events",
+        lambda F: F.floor(F.unix_timestamp("ts") / 604800),
+        550,  # ~10 years of calendar weeks
+    ),
+    "q230_best_stump_threshold": (
+        "documents",
+        lambda F: F.col("n_chars"),
+        4096,  # doc-length cap, not corpus size
+    ),
+}
+
+
+def test_whitelisted_window_grains_measured_within_bounds(spark):
+    """Every data-dependent whitelisted grain stays under its
+    documented bound on the live fixtures — if a fixture change ever
+    unbounds one (e.g. n_chars becomes a corpus-scale id), this fails
+    and the query must be rewritten onto
+    operators/distributed_window.py the way q213 was."""
+    from pyspark.sql import functions as F
+
+    from gmail_etl_spark.plans.catalog import load_table
+
+    unknown = set(_WHITELIST_GRAIN_BOUNDS) - set(
+        _SINGLE_PARTITION_WINDOW_JUSTIFIED
+    )
+    assert not unknown, f"grain bounds for non-whitelisted queries: {unknown}"
+    for name, (table, grain, bound) in _WHITELIST_GRAIN_BOUNDS.items():
+        n = (
+            load_table(spark, SF_DIR, table)
+            .select(grain(F).alias("g"))
+            .agg(F.countDistinct("g").alias("n"))
+            .collect()[0]["n"]
+        )
+        assert n <= bound, (
+            f"{name}: grain cardinality {n} exceeds documented domain "
+            f"bound {bound} — no longer domain-bounded; rewrite onto "
+            "operators/distributed_window.py"
+        )
+
 
 def _single_partition_windows(plan: str) -> list[str]:
     """Window nodes fed by ``Exchange SinglePartition`` (possibly via a
@@ -647,7 +707,7 @@ def test_sweep_priority_covers_catalog_and_frontloads_backlog():
     )
 
     tested: set[str] = set()
-    for r in (1, 2, 3, 4, 5, 6):
+    for r in (1, 2, 3, 4, 5, 6, 7):
         tested |= set(json.load(open(f"CORRECTNESS_r0{r}.json")))
     seen_tested = False
     for name in order:
