@@ -22,27 +22,40 @@ row-identical to the single-window form — proven by
 queries built on top (q82, q165, q220, q227, q251, q254).
 
 Determinism notes: ``repartitionByRange`` samples with deterministic
-per-partition seeds, so the boundary set is stable across recomputes;
-AQE may coalesce shuffle partitions, but coalescing merges *adjacent*
-ranges, so partition ids stay ordered by the range keys and the
-carry fold stays correct.  Ordering keys must form a total order
-(callers always pass a unique tie-break column), which all six catalog
-users do.
+per-partition seeds, so the boundary set is stable across recomputes.
+Ordering keys must form a total order (callers always pass a unique
+tie-break column), which all catalog users do.
 
-Cross-consumer PID consistency: both phases read the SAME range
-exchange in separate stages, and each recomputes ``PID`` via
-``spark_partition_id()`` — correctness therefore assumes AQE derives
-*identical* coalesce specs for the two shuffle reads.  Spark derives
-the spec from the shuffle's map-output statistics, which are shared,
-so the specs match today (and the AQE-on/off + shuffle-conf invariance
-tests pin it), but the invariant is not guaranteed by any API
-contract.  It is therefore also enforced at RUNTIME: the broadcast
-join back is a LEFT join guarded by ``raise_error`` — a local-frame
-PID missing from the carry frame, or a local partition holding more
-rows than the carry pass recorded for that PID, fails the job loudly
-instead of dropping rows or mis-carrying.  (Equal grand totals + every
-local count ≤ recorded count ⇒ the two reads split identically, so
-the per-row guard is a complete reconciliation, not a spot check.)
+Cross-consumer PID consistency (the round-8 corruption find): the
+local and carry phases are two CONSUMERS of the ranged frame, and
+nothing in Spark guarantees they observe the same row→partition
+mapping.  Two independent mechanisms break it in practice:
+
+1. ``RangePartitioner`` seeds its reservoir sampler with the RDD id,
+   so two materializations of the "same" range exchange sample
+   DIFFERENT boundaries — and the branches do materialize it twice
+   whenever exchange reuse fails (DeduplicateRelations re-aliases the
+   carry branch; AQE materializes sibling stages concurrently, so
+   both can miss the stage cache).
+2. When the exchange is AQE-sized (``REPARTITION_BY_COL``), each
+   read additionally coalesces independently.
+
+Observed consequence at 5M rows / 4 cores: the round-7 inner-join
+form silently produced a DIFFERENT wrong global rank on every run.
+The fix is a materialization BARRIER: the ranged frame (pid already
+attached) is ``localCheckpoint``-ed, so the partitioning and the pid
+column are computed exactly once and both phases read the same pinned
+blocks — the same lineage-truncation precedent ``operators/dedup.py``
+uses for connected components.  Cluster caveat (documented there
+too): localCheckpoint blocks are not recomputable after executor
+loss; the job fails and reruns instead of silently degrading.  On top
+of the barrier, a RUNTIME reconciliation guard stays armed: the
+broadcast join back is a LEFT join guarded by ``raise_error`` — a
+local-frame PID missing from the carry frame, or a local partition
+holding more rows than the carry pass recorded, fails loudly instead
+of dropping rows or mis-carrying.  (Equal grand totals + every local
+count ≤ recorded count ⇒ identical splits, so the per-row guard is a
+complete reconciliation, not a spot check.)
 """
 
 from __future__ import annotations
@@ -93,40 +106,43 @@ def _with_range_pid(
     order, so ``PID`` is a coarse, explicit version of the global
     order — the pivot both phases share.
 
-    ``num_partitions=None`` leaves the count to the planner: under AQE
-    the exchange starts at ``coalescePartitions.initialPartitionNum``
-    (the engine session raises it to 512) and coalesces small outputs
-    back down, so big frames rank wide and tiny frames stay cheap.
-    Pinning the count instead (the old behavior: shuffle.partitions)
-    was the measured bottleneck at scale — 50M rows ranked 10x faster
-    at 256 partitions than at 32, identical checksums (DEVNOTES r7).
-    AQE coalescing merges ADJACENT ranges, so pid order — and with it
-    the carry fold — survives any coalesce decision."""
-    if num_partitions is not None:
-        ranged = df.repartitionByRange(int(num_partitions), *_order_cols(order_by))
-    else:
-        ranged = df.repartitionByRange(*_order_cols(order_by))
-    return ranged.withColumn(PID, F.spark_partition_id())
+    The partition count is ALWAYS explicit (caller's value, else
+    cores × 8) — never left to AQE.  This is the round-8 PID-consistency
+    fix: ``spark_partition_id()`` is evaluated by whoever READS the
+    range exchange, and the local and carry branches read it as two
+    SEPARATE materializations (DeduplicateRelations re-aliases the
+    carry branch, so the exchanges never canonically match and
+    ReusedExchange cannot fire).  Under an AQE-sized exchange
+    (REPARTITION_BY_COL) each read coalesces independently, and the
+    specs were OBSERVED to diverge — the r7 inner-join form silently
+    corrupted at 5M rows / 4 cores, nondeterministic checksums run to
+    run; the runtime guard below turned it loud.  An explicit count
+    makes the exchange REPARTITION_BY_NUM, which AQE never coalesces:
+    both reads see the raw reduce partitions, and the row→pid mapping
+    is a pure function of the (deterministically sampled) range
+    boundaries, identical across materializations.
 
+    cores × 8 is also the FASTER default: the rank phase is CPU-bound,
+    so partitions should scale with cores, not bytes — AQE's
+    advisory-size coalesce trapped a 100M-row local rank at ~19
+    partitions (158.8 s) where an explicit 256 read ~10 s at 50M
+    (DEVNOTES r7).  On a cluster defaultParallelism is total executor
+    cores, so the count scales with the fleet; the per-partition carry
+    frame stays ≤ count rows — bounded by configuration.
 
-def local_mode_partitions(spark, per_core: int = 8) -> int | None:
-    """Explicit partition count for CPU-bound LOCAL two-phase windows;
-    ``None`` (= let AQE size the exchange) everywhere else.
-
-    The bytes-bounded AQE default is the right 100 TB posture — the
-    advisory size keeps partitions spill-safe on a cluster — but in
-    local mode a big frame coalesces to ~frame_bytes/128 MB partitions
-    regardless of cores, and the rank phase is CPU-bound there: at 50M
-    local rows an explicit 256 read ~10 s where the dynamic sizing read
-    42-54 s (DEVNOTES r7).  cores×8 gives every core several waves
-    without over-sharding the tiny carry frame.  Callers opt in; the
-    primitives never apply this silently, so cluster plans keep the
-    bytes-bounded shape."""
-    master = spark.conf.get("spark.master", "")
-    if not master.startswith("local"):
-        return None
-    cores = spark.sparkContext.defaultParallelism
-    return max(1, cores * per_core)
+    The ``localCheckpoint`` is the PID-consistency barrier (module
+    docstring): it pins the partitioning AND the pid column so the two
+    downstream phases cannot observe different range boundaries.  Cost:
+    one materialization of the frame to block storage; the runtime
+    ``_checked`` guards stay armed as the enforcement backstop."""
+    if num_partitions is None:
+        num_partitions = max(
+            1, df.sparkSession.sparkContext.defaultParallelism * 8
+        )
+    ranged = df.repartitionByRange(int(num_partitions), *_order_cols(order_by))
+    return ranged.withColumn(PID, F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
 
 
 def attach_row_number(

@@ -452,30 +452,36 @@ def test_distributed_window_invariant_to_runtime_conf(spark):
         conf.set("spark.sql.shuffle.partitions", saved_parts)
 
 
-def test_local_mode_partitions_helper(spark):
-    """cores×8 in local mode, None (bytes-bounded AQE default — the
-    cluster posture) when the master is not local."""
+def test_ranged_frame_is_pinned_with_explicit_count(spark, orders):
+    """The ranged frame must be (a) an explicit cores x 8 partition
+    count — partitions scale with cores, never trapped by an
+    advisory-size coalesce — and (b) a localCheckpoint barrier, so the
+    pid column is computed exactly once and the local/carry phases can
+    never observe different range boundaries (the round-8 corruption
+    find: RangePartitioner seeds its sampler with the RDD id, so two
+    materializations sample different boundaries)."""
     from gmail_etl_spark.operators.distributed_window import (
-        local_mode_partitions,
+        PID,
+        _with_range_pid,
     )
 
-    n = local_mode_partitions(spark)
-    assert n == spark.sparkContext.defaultParallelism * 8
-
-    class _FakeConf:
-        def get(self, key, default=""):
-            return "spark://host:7077"
-
-    class _FakeSpark:
-        conf = _FakeConf()
-
-    assert local_mode_partitions(_FakeSpark()) is None
+    ranged = _with_range_pid(orders, ["o_orderkey"], None)
+    expected = spark.sparkContext.defaultParallelism * 8
+    assert ranged.rdd.getNumPartitions() == expected
+    # barrier: the logical plan is a pinned scan, not a live lineage
+    # back through the exchange — re-reads cannot re-sample boundaries
+    plan = ranged._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan, plan[:400]
+    assert PID in ranged.columns
 
 
-def test_local_mode_partitions_ab_at_5m_rows(spark):
-    """A/B gate (VERDICT r7 #8): at 5M CPU-bound local rows the helper's
-    explicit count must not lose to the dynamic AQE sizing — and both
-    legs stay checksum-identical.  Slow; run with
+def test_pid_consistency_no_corruption_at_5m_rows(spark):
+    """Regression gate for the round-8 corruption find: at 5M rows in
+    the 4-core test session, the r7 AQE-sized form produced a DIFFERENT
+    wrong global rank on every run (the two range-exchange reads
+    coalesced differently, so the branches disagreed on pids; the
+    inner join silently mis-carried).  The fixed form must match the
+    naive single-window checksum on repeated runs.  Slow; run with
     SPARK_GRAFT_SCALE_TESTS=1."""
     import os
     import time
@@ -484,11 +490,6 @@ def test_local_mode_partitions_ab_at_5m_rows(spark):
 
     if os.environ.get("SPARK_GRAFT_SCALE_TESTS") != "1":
         pytest.skip("scale gate: set SPARK_GRAFT_SCALE_TESTS=1 to run")
-
-    from gmail_etl_spark.operators.distributed_window import (
-        attach_row_number,
-        local_mode_partitions,
-    )
 
     df = (
         spark.range(5_000_000)
@@ -501,24 +502,23 @@ def test_local_mode_partitions_ab_at_5m_rows(spark):
     )
     df.count()
 
-    def _leg(num_partitions):
-        t0 = time.perf_counter()
-        out = attach_row_number(
-            df, ["k", "tie"], out="rn", num_partitions=num_partitions
-        )
-        chk = out.agg(
+    def chk(out):
+        r = out.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("k", "tie", "rn")).alias("x"),
         ).collect()[0]
-        return time.perf_counter() - t0, (chk["n"], chk["x"])
+        return (r["n"], r["x"])
 
-    # warm both shapes once (JIT/codegen), then time
-    _leg(None), _leg(local_mode_partitions(spark))
-    t_dyn, chk_dyn = _leg(None)
-    t_loc, chk_loc = _leg(local_mode_partitions(spark))
+    w = Window.orderBy("k", "tie")
+    # cast: row_number() is int, the distributed form emits long, and
+    # xxhash64 is type-sensitive — the comparison is about VALUES
+    truth = chk(df.withColumn("rn", F.row_number().over(w).cast("long")))
+    t0 = time.perf_counter()
+    for i in range(3):
+        got = chk(attach_row_number(df, ["k", "tie"], out="rn"))
+        assert got == truth, (i, got, truth)
+    elapsed = time.perf_counter() - t0
     df.unpersist()
-    assert chk_dyn == chk_loc
-    # "picks the faster leg" with slack for host noise: the helper must
-    # not be a regression (5M rows fits well under the advisory size,
-    # so the two legs are close here; the gap opens at 50M+)
-    assert t_loc <= t_dyn * 1.5, (t_loc, t_dyn)
+    # and the fixed form is not a perf cliff: 3 distributed runs of a
+    # 5M rank should not take minutes on 4 cores
+    assert elapsed < 300, elapsed
