@@ -199,10 +199,14 @@ def write_jsonl_shards(
     ``rows_per_shard`` bounds every output file via Spark's
     ``maxRecordsPerFile`` — enforcement is per-writer-task, no extra
     shuffle.  With ``order_col`` the export first range-partitions on
-    that column, making shard *contents* deterministic and globally
-    ordered across shards (reproducible dataset releases); without it,
-    existing partitioning is kept (cheapest path).  Returns the number
-    of shard files written.
+    that column, so shards are globally ordered by key (shard i's keys
+    all precede shard i+1's).  Note the exact shard BOUNDARIES are not
+    bit-reproducible across runs: RangePartitioner seeds its boundary
+    sampler with the RDD id (the round-8 distributed-window finding),
+    so re-exports can split the same ordered rows at slightly different
+    file offsets — the row SET and the global order are what's
+    deterministic.  Without ``order_col``, existing partitioning is
+    kept (cheapest path).  Returns the number of shard files written.
 
     Scale posture: range partitioning samples the key distribution, so
     shards stay balanced under skew; JSON encoding is JVM-side
