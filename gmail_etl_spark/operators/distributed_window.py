@@ -6,10 +6,13 @@ whole frame is sorted and scanned by a single core.  Fine at sf0.1,
 an OOM/straggler at 100 TB.  These helpers compute the same *exact*
 results with a scale-safe shape:
 
-1. ``repartitionByRange`` on the ordering keys — partitions are
-   range-disjoint and ordered by ``spark_partition_id()``, so a global
-   order statistic decomposes into a partition-local statistic plus a
-   carry from the preceding partitions;
+1. a partition-id column whose ranges are disjoint and ascend with
+   the sort order — by default a deterministic equi-depth HISTOGRAM
+   cut of the leading key (a pure data function, no physical
+   partitioning involved), falling back to ``repartitionByRange`` +
+   ``spark_partition_id`` behind a ``localCheckpoint`` barrier for
+   non-numeric keys — so a global order statistic decomposes into a
+   partition-local statistic plus a carry from preceding partitions;
 2. a *partitioned* window (one hash shuffle, all partitions in
    parallel) computes the local statistic;
 3. the per-partition carries form a tiny frame (≤ ``num_partitions``
@@ -21,8 +24,6 @@ row-identical to the single-window form — proven by
 ``tests/test_distributed_window.py`` and by the DuckDB oracles of the
 queries built on top (q82, q165, q220, q227, q251, q254).
 
-Determinism notes: ``repartitionByRange`` samples with deterministic
-per-partition seeds, so the boundary set is stable across recomputes.
 Ordering keys must form a total order (callers always pass a unique
 tie-break column), which all catalog users do.
 
@@ -42,14 +43,23 @@ mapping.  Two independent mechanisms break it in practice:
 
 Observed consequence at 5M rows / 4 cores: the round-7 inner-join
 form silently produced a DIFFERENT wrong global rank on every run.
-The fix is a materialization BARRIER: the ranged frame (pid already
-attached) is ``localCheckpoint``-ed, so the partitioning and the pid
-column are computed exactly once and both phases read the same pinned
-blocks — the same lineage-truncation precedent ``operators/dedup.py``
-uses for connected components.  Cluster caveat (documented there
-too): localCheckpoint blocks are not recomputable after executor
-loss; the job fails and reruns instead of silently degrading.  On top
-of the barrier, a RUNTIME reconciliation guard stays armed: the
+Two fixes, chosen per input (see ``_with_range_pid``):
+
+- HISTOGRAM pid (default for plain asc/desc numeric/timestamp/date
+  leading keys): pid becomes a pure DATA function — an equi-depth cut
+  of a 64k-bucket histogram of the leading key — so every consumer
+  computes the identical mapping by construction, with no range
+  exchange and no barrier at all.
+- CHECKPOINT barrier (fallback for everything else): the ranged frame
+  (pid already attached) is ``localCheckpoint``-ed, so partitioning
+  and pid are computed exactly once and both phases read the same
+  pinned blocks — the lineage-truncation precedent
+  ``operators/dedup.py`` uses for connected components.  Cluster
+  caveat (documented there too): localCheckpoint blocks are not
+  recomputable after executor loss; the job fails and reruns instead
+  of silently degrading.
+
+On top of either path, a RUNTIME reconciliation guard stays armed: the
 broadcast join back is a LEFT join guarded by ``raise_error`` — a
 local-frame PID missing from the carry frame, or a local partition
 holding more rows than the carry pass recorded, fails loudly instead
@@ -98,48 +108,200 @@ def _checked(bad: Column, value: Column, what: str) -> Column:
     ).otherwise(value)
 
 
+#: equi-width micro-buckets the histogram path quantizes the leading
+#: sort key into before the driver cuts them into equi-depth pids;
+#: 64k keeps the histogram collect ≤64k rows and the pid→bucket map a
+#: trivially broadcastable frame
+_MICRO_BUCKETS = 1 << 16
+#: micro-bucket codes outside width_bucket's [0, n+1] range
+_MB_NULL = -1  # null leading key (sorts FIRST asc, LAST desc)
+_MB_NAN = _MICRO_BUCKETS + 8  # NaN (Spark: greater than any value)
+
+
+def _leading_sort_info(leading: Column | str) -> tuple[str, bool] | None:
+    """(column name, is_descending) for the leading order key, or None
+    when it can't be established safely.  Plain strings are ascending
+    by contract; Column reprs are parsed only for the two standard
+    direction forms (``ASC NULLS FIRST`` / ``DESC NULLS LAST``, i.e.
+    what ``F.asc``/``F.desc``/``.desc()`` produce) — anything else
+    (expressions, custom null ordering) falls back to the
+    checkpoint-barrier path rather than guessing."""
+    import re
+
+    if isinstance(leading, str):
+        return leading, False
+    m = re.fullmatch(
+        r"Column<'([A-Za-z_][A-Za-z0-9_]*)"
+        r"(?: (ASC NULLS FIRST|DESC NULLS LAST))?'>",
+        str(leading),
+    )
+    if not m:
+        return None
+    return m.group(1), (m.group(2) or "").startswith("DESC")
+
+
+def _histogram_pid(
+    df: DataFrame, order_by: Sequence[Column | str], n_parts: int
+) -> DataFrame | None:
+    """Deterministic equi-depth PID from a histogram of the leading
+    sort key — a pure DATA function, so every consumer of the frame
+    computes the identical row→pid mapping with no materialization
+    barrier and no range exchange at all (the partitioned window's own
+    hash exchange on pid becomes the only corpus shuffle).
+
+    Shape: one min/max aggregate and one ≤64k-row histogram aggregate
+    (both prune the scan to the single leading-key column), a driver
+    prefix-sum that cuts micro-buckets into ≤``n_parts`` contiguous
+    equi-depth pids, and a broadcast join of the tiny bucket→pid map.
+    Rows equal on the leading key always share a micro-bucket, hence a
+    pid, so pid ranges are disjoint under the total order and the
+    carry fold stays exact.  Key quantization casts through double —
+    two longs that collide in double land in the SAME bucket, which
+    only coarsens the split, never reorders it.
+
+    Returns None (caller falls back to the checkpoint barrier) when
+    the leading key is not a plain asc/desc numeric, timestamp, or
+    date column, or when the frame is empty/degenerate in a way the
+    fallback handles more simply."""
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        FloatType,
+        NumericType,
+        TimestampType,
+    )
+
+    info = _leading_sort_info(order_by[0])
+    if info is None:
+        return None
+    name, desc = info
+    try:
+        dtype = df.select(name).schema[0].dataType
+    except Exception:  # noqa: BLE001 — unresolvable name: let the fallback try
+        return None
+    col = F.col(name)
+    if isinstance(dtype, TimestampType):
+        keyd = F.unix_micros(col).cast("double")
+    elif isinstance(dtype, DateType):
+        keyd = F.unix_date(col).cast("double")
+    elif isinstance(dtype, NumericType):
+        keyd = col.cast("double")
+    else:
+        return None
+    floating = isinstance(dtype, (FloatType, DoubleType))
+
+    # histogram bounds must be FINITE: NaN would poison min/max (Spark
+    # sorts it greater than everything), and ±inf bounds make
+    # width_bucket return null.  ±inf VALUES need no bounds — they land
+    # in the underflow (0) / overflow (n+1) buckets, which order
+    # correctly against every finite bucket.
+    if floating:
+        finite = (~F.isnan(keyd)) & (F.abs(keyd) != F.lit(float("inf")))
+        bounded = F.when(finite, keyd)
+    else:
+        bounded = keyd
+    stats = df.agg(
+        F.min(bounded).alias("mn"), F.max(bounded).alias("mx")
+    ).collect()[0]
+    mn, mx = stats["mn"], stats["mx"]
+
+    if mn is None or mx is None or not mn < mx:
+        # empty frame, all-null keys, or a single key value: one bucket
+        inner = F.lit(1)
+    else:
+        inner = F.width_bucket(
+            keyd, F.lit(mn), F.lit(mx), F.lit(_MICRO_BUCKETS)
+        )
+    mb = F.when(col.isNull(), F.lit(_MB_NULL))
+    if floating:
+        mb = mb.when(F.isnan(keyd), F.lit(_MB_NAN))
+    mb = mb.otherwise(inner)
+
+    rows = (
+        df.groupBy(mb.alias("__dw_mb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    if not rows:
+        return None  # empty frame: the fallback's empty path is fine
+    if any(r["__dw_mb"] is None for r in rows):
+        # a null bucket code means an unanticipated width_bucket edge —
+        # take the type-agnostic barrier path rather than guessing
+        return None
+    hist = sorted((r["__dw_mb"], r["cnt"]) for r in rows)
+    if desc:
+        # ascending code order is [null, values..., NaN]; descending
+        # sort order is exactly its reverse (NaN greatest → first,
+        # NULLS LAST → last)
+        hist.reverse()
+    total = sum(c for _, c in hist)
+    target = -(-total // n_parts)  # ceil: equi-depth cut size
+    mapping, cum = [], 0
+    for code, cnt in hist:
+        mapping.append((code, min(cum // target, n_parts - 1)))
+        cum += cnt
+    map_df = df.sparkSession.createDataFrame(
+        mapping, f"__dw_mb long, {PID} int"
+    )
+    return (
+        df.withColumn("__dw_mb", mb)
+        .join(F.broadcast(map_df), "__dw_mb")
+        .drop("__dw_mb")
+    )
+
+
 def _with_range_pid(
-    df: DataFrame, order_by: Sequence[Column | str], num_partitions: int | None
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    num_partitions: int | None,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Range-partition on the ordering keys and materialize the
-    partition id as a column.  Partition ids ascend with the sort
-    order, so ``PID`` is a coarse, explicit version of the global
-    order — the pivot both phases share.
+    """Attach a partition-id column that ascends with the sort order —
+    ``PID`` is a coarse, explicit version of the global order, the
+    pivot both phases share.  Cross-consumer consistency of the pid is
+    the load-bearing property (module docstring): the round-7 form
+    derived it from physical partitioning and silently corrupted.
 
-    The partition count is ALWAYS explicit (caller's value, else
-    cores × 8) — never left to AQE.  This is the round-8 PID-consistency
-    fix: ``spark_partition_id()`` is evaluated by whoever READS the
-    range exchange, and the local and carry branches read it as two
-    SEPARATE materializations (DeduplicateRelations re-aliases the
-    carry branch, so the exchanges never canonically match and
-    ReusedExchange cannot fire).  Under an AQE-sized exchange
-    (REPARTITION_BY_COL) each read coalesces independently, and the
-    specs were OBSERVED to diverge — the r7 inner-join form silently
-    corrupted at 5M rows / 4 cores, nondeterministic checksums run to
-    run; the runtime guard below turned it loud.  An explicit count
-    makes the exchange REPARTITION_BY_NUM, which AQE never coalesces:
-    both reads see the raw reduce partitions, and the row→pid mapping
-    is a pure function of the (deterministically sampled) range
-    boundaries, identical across materializations.
+    ``strategy``:
 
-    cores × 8 is also the FASTER default: the rank phase is CPU-bound,
-    so partitions should scale with cores, not bytes — AQE's
-    advisory-size coalesce trapped a 100M-row local rank at ~19
-    partitions (158.8 s) where an explicit 256 read ~10 s at 50M
-    (DEVNOTES r7).  On a cluster defaultParallelism is total executor
-    cores, so the count scales with the fleet; the per-partition carry
-    frame stays ≤ count rows — bounded by configuration.
+    - ``"auto"`` (default): the HISTOGRAM path when the leading order
+      key is a plain asc/desc numeric/timestamp/date column — pid is a
+      pure data function (equi-depth cut of a 64k-bucket histogram),
+      so no barrier and no range exchange at all; otherwise the
+      checkpoint barrier.
+    - ``"histogram"``: force the data-function path; raises if the
+      leading key is ineligible (caller asserts eligibility).
+    - ``"checkpoint"``: force the barrier path —
+      ``repartitionByRange`` with an EXPLICIT partition count (an
+      AQE-sized exchange lets each consumer coalesce its read
+      independently) + ``spark_partition_id`` + ``localCheckpoint`` so
+      partitioning and pid are computed exactly once.  Type-agnostic;
+      pays one materialization of the frame to block storage.
 
-    The ``localCheckpoint`` is the PID-consistency barrier (module
-    docstring): it pins the partitioning AND the pid column so the two
-    downstream phases cannot observe different range boundaries.  Cost:
-    one materialization of the frame to block storage; the runtime
-    ``_checked`` guards stay armed as the enforcement backstop."""
+    The partition count is always explicit (caller's value, else
+    cores × 8): the rank phase is CPU-bound, so partitions scale with
+    cores — AQE's advisory-size coalesce trapped a 100M-row local rank
+    at ~19 partitions (158.8 s, DEVNOTES r7) — and the per-partition
+    carry frame stays ≤ count rows, bounded by configuration.  The
+    runtime ``_checked`` guards stay armed on both paths."""
+    if strategy not in ("auto", "histogram", "checkpoint"):
+        raise ValueError(f"unknown boundary strategy: {strategy!r}")
     if num_partitions is None:
         num_partitions = max(
             1, df.sparkSession.sparkContext.defaultParallelism * 8
         )
-    ranged = df.repartitionByRange(int(num_partitions), *_order_cols(order_by))
+    num_partitions = int(num_partitions)
+    if strategy in ("auto", "histogram"):
+        fast = _histogram_pid(df, order_by, num_partitions)
+        if fast is not None:
+            return fast
+        if strategy == "histogram":
+            raise ValueError(
+                "boundary_strategy='histogram' requires a plain asc/desc "
+                "numeric, timestamp, or date leading order column; got "
+                f"{order_by[0]!r}"
+            )
+    ranged = df.repartitionByRange(num_partitions, *_order_cols(order_by))
     return ranged.withColumn(PID, F.spark_partition_id()).localCheckpoint(
         eager=False
     )
@@ -151,6 +313,7 @@ def attach_row_number(
     out: str = "rn",
     total_out: str | None = None,
     num_partitions: int | None = None,
+    boundary_strategy: str = "auto",
 ) -> DataFrame:
     """Global 1-based row_number over ``order_by`` without a
     single-partition sort.
@@ -161,7 +324,7 @@ def attach_row_number(
     derivations) — computed from the same tiny per-partition counts
     frame, no extra pass over the data.
     """
-    ranged = _with_range_pid(df, order_by, num_partitions)
+    ranged = _with_range_pid(df, order_by, num_partitions, boundary_strategy)
 
     # Phase 1: partition-local row number — a *partitioned* window, so
     # every range partition ranks in parallel.
@@ -210,6 +373,7 @@ def attach_prefix_agg(
     total_out: str | None = None,
     num_partitions: int | None = None,
     allow_float: bool = False,
+    boundary_strategy: str = "auto",
 ) -> DataFrame:
     """Global running sum/max of ``value_col`` over ``order_by``.
 
@@ -243,7 +407,7 @@ def attach_prefix_agg(
                 "decimal/integer first or pass allow_float=True"
             )
 
-    ranged = _with_range_pid(df, order_by, num_partitions)
+    ranged = _with_range_pid(df, order_by, num_partitions, boundary_strategy)
 
     upper = 0 if inclusive else -1
     w_order = Window.partitionBy(PID).orderBy(*_order_cols(order_by))
@@ -352,12 +516,18 @@ def attach_ntile(
     n: int,
     out: str,
     num_partitions: int | None = None,
+    boundary_strategy: str = "auto",
 ) -> DataFrame:
     """Global ``NTILE(n)`` over ``order_by`` via the two-phase row
     number — exact, no single-partition sort."""
     rn_col, tot_col = "__dw_rn", "__dw_total"
     ranked = attach_row_number(
-        df, order_by, out=rn_col, total_out=tot_col, num_partitions=num_partitions
+        df,
+        order_by,
+        out=rn_col,
+        total_out=tot_col,
+        num_partitions=num_partitions,
+        boundary_strategy=boundary_strategy,
     )
     return ranked.withColumn(
         out, ntile_from_rn(F.col(rn_col), F.col(tot_col), n)

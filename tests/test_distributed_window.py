@@ -452,27 +452,96 @@ def test_distributed_window_invariant_to_runtime_conf(spark):
         conf.set("spark.sql.shuffle.partitions", saved_parts)
 
 
-def test_ranged_frame_is_pinned_with_explicit_count(spark, orders):
-    """The ranged frame must be (a) an explicit cores x 8 partition
-    count — partitions scale with cores, never trapped by an
-    advisory-size coalesce — and (b) a localCheckpoint barrier, so the
-    pid column is computed exactly once and the local/carry phases can
-    never observe different range boundaries (the round-8 corruption
-    find: RangePartitioner seeds its sampler with the RDD id, so two
-    materializations sample different boundaries)."""
+def test_pid_strategy_routing_and_shapes(spark, orders):
+    """PID consistency is load-bearing (the round-8 corruption find),
+    so pin both strategies' shapes: a numeric asc leading key routes to
+    the HISTOGRAM path (pid = pure data function: broadcast map join,
+    no range exchange, no barrier — live lineage, deterministic by
+    construction); anything else routes to the CHECKPOINT barrier
+    (explicit cores x 8 range partitioning pinned behind a
+    localCheckpoint so boundaries can never be re-sampled)."""
     from gmail_etl_spark.operators.distributed_window import (
         PID,
         _with_range_pid,
     )
 
-    ranged = _with_range_pid(orders, ["o_orderkey"], None)
-    expected = spark.sparkContext.defaultParallelism * 8
-    assert ranged.rdd.getNumPartitions() == expected
-    # barrier: the logical plan is a pinned scan, not a live lineage
-    # back through the exchange — re-reads cannot re-sample boundaries
-    plan = ranged._jdf.queryExecution().optimizedPlan().toString()
+    n_parts = spark.sparkContext.defaultParallelism * 8
+
+    # numeric asc leading key -> histogram path.  The corpus must stay
+    # LIVE lineage (a join against the tiny bucket->pid map, which is
+    # itself a local frame); only the CHECKPOINT path collapses the
+    # corpus columns into a LogicalRDD scan.
+    fast = _with_range_pid(orders, ["o_orderkey"], None)
+    assert PID in fast.columns
+    plan = fast._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan, plan[:400]
+    assert "LogicalRDD [o_orderkey" not in plan, (
+        "histogram path must not checkpoint the corpus"
+    )
+    pid_stats = fast.agg(
+        F.min(PID).alias("mn"), F.max(PID).alias("mx")
+    ).collect()[0]
+    assert 0 <= pid_stats["mn"] and pid_stats["mx"] < n_parts
+    # pid ranges must be disjoint and ascend with the key
+    per_pid = (
+        fast.groupBy(PID)
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .orderBy(PID)
+        .collect()
+    )
+    for prev, cur in zip(per_pid, per_pid[1:]):
+        assert prev["hi"] <= cur["lo"], (prev, cur)
+
+    # string-typed leading key -> checkpoint barrier fallback
+    strs = orders.select(
+        F.col("o_orderkey").cast("string").alias("s"), "o_totalprice"
+    )
+    slow = _with_range_pid(strs, ["s"], None)
+    assert slow.rdd.getNumPartitions() == n_parts
+    plan = slow._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan, plan[:400]
-    assert PID in ranged.columns
+    assert PID in slow.columns
+
+    # forcing histogram on an ineligible key must refuse loudly
+    with pytest.raises(ValueError, match="histogram"):
+        _with_range_pid(strs, ["s"], None, strategy="histogram")
+
+    # desc Column leading key stays on the histogram path and the
+    # pid order REVERSES with the key
+    fast_desc = _with_range_pid(
+        orders, [F.col("o_orderkey").desc(), "o_totalprice"], None
+    )
+    plan = fast_desc._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD [o_orderkey" not in plan
+    per_pid = (
+        fast_desc.groupBy(PID)
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .orderBy(PID)
+        .collect()
+    )
+    for prev, cur in zip(per_pid, per_pid[1:]):
+        assert prev["lo"] >= cur["hi"], (prev, cur)
+
+
+def test_distributed_forms_match_on_desc_and_null_keys(spark):
+    """Histogram-path edge semantics vs the naive window: desc leading
+    key with nulls (asc NULLS FIRST / desc NULLS LAST are what the
+    catalog uses), plus a float key with NaN — NaN sorts greater than
+    everything in Spark, and the histogram codes it explicitly."""
+    rows = [(None, 1), (3.5, 2), (float("nan"), 3), (0.25, 4), (3.5, 5),
+            (None, 6), (float("-inf"), 7), (float("inf"), 8), (0.25, 9)]
+    df = spark.createDataFrame(rows, "v double, tie long")
+
+    for order in (
+        ["v", "tie"],
+        [F.col("v").desc(), F.asc("tie")],
+        [F.desc("v"), "tie"],
+    ):
+        exact = df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
+        mine = attach_row_number(df, order, out="rn")
+        assert _rows(exact, "tie", "rn") == _rows(mine, "tie", "rn"), order
 
 
 def test_pid_consistency_no_corruption_at_5m_rows(spark):
