@@ -100,9 +100,12 @@ def _checked(bad: Column, value: Column, what: str) -> Column:
         bad,
         F.raise_error(
             F.lit(
-                "distributed_window: range-exchange partition split "
-                f"diverged between phases ({what}) — AQE coalesce specs "
-                "differed across the two shuffle reads"
+                "distributed_window: two consumers observed different "
+                f"row→pid mappings ({what}) — the cross-consumer PID "
+                "consistency invariant broke (RangePartitioner boundary "
+                "resampling on an exchange-reuse miss, independent AQE "
+                "coalesce of the two shuffle reads, or an unmapped "
+                "histogram bucket code)"
             )
         ),
     ).otherwise(value)
@@ -243,9 +246,22 @@ def _histogram_pid(
     map_df = df.sparkSession.createDataFrame(
         mapping, f"__dw_mb long, {PID} int"
     )
+    # LEFT join + runtime guard, not a bare inner join: the map covers
+    # only bucket codes observed in the driver-side histogram collect.
+    # If the leading-key expression or input re-evaluated differently
+    # at execution time (nondeterministic column, re-read source), an
+    # inner join would silently drop the unseen-code rows from BOTH
+    # phases — the exact silent-corruption class this module exists to
+    # eliminate, and one the downstream _checked guards cannot see
+    # because the row vanishes before they run.  The guard here turns
+    # an unmapped code into a loud failure instead.
     return (
         df.withColumn("__dw_mb", mb)
-        .join(F.broadcast(map_df), "__dw_mb")
+        .join(F.broadcast(map_df), "__dw_mb", "left")
+        .withColumn(
+            PID,
+            _checked(F.col(PID).isNull(), F.col(PID), "histogram_pid_map"),
+        )
         .drop("__dw_mb")
     )
 
@@ -283,9 +299,26 @@ def _with_range_pid(
     cores — AQE's advisory-size coalesce trapped a 100M-row local rank
     at ~19 partitions (158.8 s, DEVNOTES r7) — and the per-partition
     carry frame stays ≤ count rows, bounded by configuration.  The
-    runtime ``_checked`` guards stay armed on both paths."""
+    runtime ``_checked`` guards stay armed on both paths.
+
+    EAGER at plan-build time: the histogram path runs two driver
+    actions on ``df`` (a min/max aggregate and a ≤64k-row histogram
+    aggregate, both pruned to the leading-key column) BEFORE the
+    returned plan executes, and the checkpoint path materializes the
+    frame on first action.  Batch-only by construction — a streaming
+    ``df`` can neither run build-time actions nor localCheckpoint, so
+    it raises here rather than failing obscurely inside Spark (route
+    streaming global ranks through ``foreachBatch``)."""
     if strategy not in ("auto", "histogram", "checkpoint"):
         raise ValueError(f"unknown boundary strategy: {strategy!r}")
+    if df.isStreaming:
+        raise TypeError(
+            "distributed_window helpers are batch-only: the histogram "
+            "path runs driver actions at plan-build time and the "
+            "checkpoint fallback requires localCheckpoint, neither of "
+            "which a streaming DataFrame supports — apply them inside "
+            "foreachBatch instead"
+        )
     if num_partitions is None:
         num_partitions = max(
             1, df.sparkSession.sparkContext.defaultParallelism * 8
@@ -323,6 +356,11 @@ def attach_row_number(
     row count as ``total_out`` (needed by ntile/percent_rank/cume_dist
     derivations) — computed from the same tiny per-partition counts
     frame, no extra pass over the data.
+
+    NOT lazy: building the plan runs bounded driver actions on ``df``
+    (histogram path: pruned min/max + ≤64k-row histogram) or
+    materializes it (checkpoint path).  Batch-only; a streaming input
+    raises (see ``_with_range_pid``).
     """
     ranged = _with_range_pid(df, order_by, num_partitions, boundary_strategy)
 
@@ -393,6 +431,11 @@ def attach_prefix_agg(
     ``allow_float=True`` to explicitly accept ulp-level divergence from
     the single-window form.  Every catalog caller sums exact integers
     (counts, µs gaps, token counts, +1/−1 deltas).
+
+    NOT lazy: building the plan runs bounded driver actions on ``df``
+    (histogram path: pruned min/max + ≤64k-row histogram) or
+    materializes it (checkpoint path).  Batch-only; a streaming input
+    raises (see ``_with_range_pid``).
     """
     if op not in ("sum", "max"):
         raise ValueError(f"unsupported prefix op: {op!r}")
@@ -519,7 +562,8 @@ def attach_ntile(
     boundary_strategy: str = "auto",
 ) -> DataFrame:
     """Global ``NTILE(n)`` over ``order_by`` via the two-phase row
-    number — exact, no single-partition sort."""
+    number — exact, no single-partition sort.  NOT lazy / batch-only
+    (see ``attach_row_number``)."""
     rn_col, tot_col = "__dw_rn", "__dw_total"
     ranked = attach_row_number(
         df,

@@ -11,6 +11,7 @@ were rewritten onto them (q82, q165, q220, q227, q251, q254).
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -591,3 +592,76 @@ def test_pid_consistency_no_corruption_at_5m_rows(spark):
     # and the fixed form is not a perf cliff: 3 distributed runs of a
     # 5M rank should not take minutes on 4 cores
     assert elapsed < 300, elapsed
+
+
+def test_streaming_input_raises_batch_only(spark, tmp_path):
+    """ADVICE r8 (low): the helpers are EAGER at plan-build time (the
+    histogram path runs two driver actions; the fallback needs
+    localCheckpoint) — neither works on a stream, so a streaming input
+    must refuse loudly up front instead of failing obscurely inside
+    Spark."""
+    src = str(tmp_path / "stream_src")
+    spark.range(10).select(F.col("id").alias("k")).write.parquet(src)
+    stream = spark.readStream.schema("k long").parquet(src)
+    with pytest.raises(TypeError, match="batch-only"):
+        attach_row_number(stream, ["k"], out="rn")
+
+
+def test_histogram_unmapped_bucket_code_fails_loudly(spark, tmp_path):
+    """ADVICE r8 (medium): the bucket->pid map covers only codes seen in
+    the build-time histogram collect.  If the leading-key expression
+    re-evaluates differently at execution time (nondeterministic
+    column, re-read source), the former bare INNER join silently
+    dropped the unseen-code rows from BOTH phases — invisible to the
+    downstream guards because the rows vanish before they run.
+    Reproduce that exact scenario: a key UDF whose value derives from a
+    mutable file — build the plan (histogram collected under the old
+    value), mutate the file, execute.  The left-join guard must raise,
+    never return a silently smaller or mis-ranked result."""
+    marker = tmp_path / "base.txt"
+    marker.write_text("0")
+    path = str(marker)
+
+    @F.pandas_udf("double")
+    def shifting_key(idx: pd.Series) -> pd.Series:
+        base = float(open(path).read())
+        return idx.astype("float64") + base
+
+    df = spark.range(1000).withColumn("k", shifting_key("id"))
+    # build-time: histogram observes keys 0..999
+    ranked = attach_row_number(df, ["k", "id"], out="rn")
+    # execution-time: every key lands in the UNDERFLOW bucket (code 0),
+    # which build time never observed (the min key maps to bucket 1)
+    marker.write_text("-1e12")
+    with pytest.raises(Exception, match="pid mappings"):
+        ranked.collect()
+
+
+def test_q257_takes_checkpoint_barrier_and_matches_exact_window(spark):
+    """q257 exists to keep the checkpoint-barrier fallback exercised in
+    the driver sweep (VERDICT r8 #3) — so pin that it actually TAKES
+    the barrier (string leading key → LogicalRDD scan in the optimized
+    plan; the histogram path would show a broadcast map join over live
+    lineage instead), and that its summary matches the naive
+    single-window form."""
+    q = CATALOG["q257_string_key_global_rank"]
+    df = q.builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan, (
+        "q257 must route through the checkpoint barrier; plan:\n" + plan[:600]
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("lang", "doc_id")
+    w = Window.orderBy("lang", "doc_id")
+    naive = (
+        d.withColumn("rn", F.row_number().over(w).cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.min("rn").alias("first_rn"),
+            F.max("rn").alias("last_rn"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("rn").alias("rn_sum"),
+        )
+    )
+    cols = ["lang", "first_rn", "last_rn", "n_docs", "rn_sum"]
+    assert _rows(df, *cols) == _rows(naive, *cols)
