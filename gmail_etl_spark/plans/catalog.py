@@ -173,40 +173,18 @@ def rows_only_reason_map() -> dict[str, str]:
 #: budget.  Policy: never-driver-tested entries first, then the rows the
 #: driver has not re-checked for the longest time — so evidence coverage
 #: grows every round and stale rows rotate back into the budget.
-#: Round-8 order (every oracled query driver-green at least once):
-#: stalest-first rotation — rows last verified in round 2 lead, then
-#: rounds 3-7.  The 18 rows-only queries (oracle=None) go LAST: a
+#: Round-9 order (every oracled query driver-green at least once):
+#: stalest-first rotation — rows last verified in round 4 lead (the r8
+#: sample re-greened everything older), then rounds 5-8.  The 18 rows-only queries (oracle=None) go LAST: a
 #: driver visit can only ever record ``err: no_oracle`` for them (their
 #: evidence is the local tolerance/recall gates), so spending any of
 #: the ~50-row budget on them is pure waste — r6 burned 2 samples on
-#: q83/q84 this way.  Generated from CORRECTNESS_r0{1..7}.json by
+#: q83/q84 this way.  Generated from CORRECTNESS_r0{1..8}.json by
 #: tools/gen_sweep_priority.py.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # -- (0) never driver-tested (1): new round-8 row goes first --
-    "q256_persisted_ivf_topk",
-    # -- (3) last verified round 2 (5) --
-    "q26_multimodal_features", "q29_frame_sample", "q64_asof_join",
-    "q65_range_join", "q66_time_rollup",
-    # -- (4) last verified round 3 (42) --
-    "q120_volume_shipping", "q121_market_share", "q122_supplier_profit",
-    "q123_part_supplier_counts", "q124_custdist",
-    "q126_priority_linestatus", "q127_disjunctive_revenue",
-    "q128_dominant_suppliers", "q129_waiting_suppliers",
-    "q130_min_cost_supplier", "q131_important_parts",
-    "q87_grouped_agg_udaf", "q88_grouped_map_sequence", "q30_lang_stats",
-    "q39_langid_classify", "q101_encode_tokens", "q116_pii_redact",
-    "q117_url_domains", "q118_boilerplate_lines",
-    "q125_quality_classifier", "q153_source_token_entropy",
-    "q133_repeated_ngram_spans", "q139_remove_dup_spans", "q156_pagerank",
-    "q157_jaccard_prefix_join", "q119_int8_quantize",
-    "q135_jl_projection", "q68_winsorized_stats", "q79_arrow_histogram",
-    "q114_mad_outliers", "q138_salted_skew_join", "q147_two_phase_agg",
-    "q70_gmail_stage1", "q106_media_resize", "q115_audio_features",
-    "q142_image_dhash", "q143_image_near_dup_pairs",
-    "q144_audio_fingerprint", "q94_hash_split", "q95_per_class_cap",
-    "q97_contamination", "q107_source_mixing_weights",
-    # -- (5) last verified round 4 (42) --
-    "q158_zorder_layout", "q179_join_key_skew_audit",
+    # -- (0) never driver-tested (1): new round-9 row goes first --
+    "q257_string_key_global_rank",
+    # -- (5) last verified round 4 (40) --
     "q185_ansi_sql_parity", "q140_profile_columns",
     "q134_bpe_merge_candidates", "q137_domain_quality_rollup",
     "q145_feature_hashing", "q160_langid_confusion",
@@ -293,6 +271,28 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q60_tumbling_window", "q61_sliding_window", "q62_session_window",
     "q63_first_event_per_key", "q67_event_funnel", "q73_value_outliers",
     "q111_event_transitions", "q255_stream_stream_join",
+    # -- (9) last verified round 8 (50) --
+    "q120_volume_shipping", "q121_market_share", "q122_supplier_profit",
+    "q123_part_supplier_counts", "q124_custdist",
+    "q126_priority_linestatus", "q127_disjunctive_revenue",
+    "q128_dominant_suppliers", "q129_waiting_suppliers",
+    "q130_min_cost_supplier", "q131_important_parts",
+    "q158_zorder_layout", "q179_join_key_skew_audit",
+    "q87_grouped_agg_udaf", "q88_grouped_map_sequence", "q30_lang_stats",
+    "q39_langid_classify", "q101_encode_tokens", "q116_pii_redact",
+    "q117_url_domains", "q118_boilerplate_lines",
+    "q125_quality_classifier", "q153_source_token_entropy",
+    "q133_repeated_ngram_spans", "q139_remove_dup_spans", "q156_pagerank",
+    "q157_jaccard_prefix_join", "q119_int8_quantize",
+    "q135_jl_projection", "q256_persisted_ivf_topk",
+    "q68_winsorized_stats", "q79_arrow_histogram", "q114_mad_outliers",
+    "q138_salted_skew_join", "q147_two_phase_agg", "q70_gmail_stage1",
+    "q26_multimodal_features", "q29_frame_sample", "q106_media_resize",
+    "q115_audio_features", "q142_image_dhash",
+    "q143_image_near_dup_pairs", "q144_audio_fingerprint",
+    "q94_hash_split", "q95_per_class_cap", "q97_contamination",
+    "q107_source_mixing_weights", "q64_asof_join", "q65_range_join",
+    "q66_time_rollup",
     # -- (last) rows-only by design (18) — a driver visit yields only err:no_oracle; never spend budget here --
     "q83_approx_count_distinct", "q84_approx_percentile",
     "q146_compression_ratio", "q44_minhash_lsh", "q45_simhash",

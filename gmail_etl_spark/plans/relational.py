@@ -2608,3 +2608,60 @@ def q185_ansi_sql_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "nation", "region"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q185_SHARED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q257 — string-keyed global rank (checkpoint-barrier fallback gate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q257_string_key_global_rank",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (ORDER BY lang, doc_id) AS rn
+        FROM documents
+    )
+    SELECT lang,
+           CAST(MIN(rn) AS BIGINT) AS first_rn,
+           CAST(MAX(rn) AS BIGINT) AS last_rn,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(rn) AS BIGINT) AS rn_sum
+    FROM ranked
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    survey="2.5-window,X6",
+)
+def q257_string_key_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row_number under a STRING leading sort key — per-language
+    contiguous rank blocks over the corpus, summarized per language so
+    the full rank assignment is hash-pinned (first/last/sum of ranks
+    catch any mis-carry, not just counts).
+
+    Catalog role (VERDICT r8 #3): every other distributed-window caller
+    has a numeric/timestamp leading key and routes to the histogram-PID
+    path, which left the CHECKPOINT-BARRIER fallback
+    (operators/distributed_window.py — repartitionByRange +
+    spark_partition_id pinned behind a localCheckpoint) exercised only
+    by unit tests.  Dead-in-production correctness paths rot; this
+    entry makes the fallback a first-class, driver-hashed sweep row.
+    tests/test_distributed_window.py asserts the plan actually took the
+    barrier (LogicalRDD scan), so the gate cannot silently migrate to
+    the histogram path.  ASCII language codes keep Spark/DuckDB string
+    collation identical (the q185 precedent)."""
+    from gmail_etl_spark.operators.distributed_window import attach_row_number
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    ranked = attach_row_number(d, ["lang", "doc_id"], out="rn")
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.min("rn").cast("long").alias("first_rn"),
+            F.max("rn").cast("long").alias("last_rn"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("rn").cast("long").alias("rn_sum"),
+        )
+        .orderBy("lang")
+    )

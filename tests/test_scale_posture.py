@@ -371,9 +371,30 @@ _SINGLE_PARTITION_WINDOW_JUSTIFIED = {
 #: values (sources 20, days 30, weeks 5, n_chars≤577 at every SF —
 #: flat across 100× data, which is the point), but tight enough that a
 #: fixture change making a grain scale with corpus size fails loudly.
-#: q218 is absent by design: its score is snapped to a 1e-6 grid, so
-#: the grain is ≤ 1,000,001 by CONSTRUCTION, independent of any data.
+#: q218's 1e-6-snapped score grid bounds its grain at 1,000,001 by
+#: CONSTRUCTION, independent of any data — but the assert costs one
+#: countDistinct, so it is MEASURED here like its four siblings
+#: (VERDICT r8 #7) rather than argued.
+
+
+def _q218_score_grain(F):
+    """q218's window grain: the q125 quality score snapped to a 1e-6
+    grid (mirrors the score_u expression in
+    plans/feature_queries.py::q218_roc_auc)."""
+    toks = F.split(F.col("text"), " ")
+    ntd = F.size(toks).cast("double")
+    stop = F.size(F.filter(toks, lambda t: (t == "a") | (t == "the"))) / ntd
+    uniq = F.size(F.array_distinct(toks)) / ntd
+    z = F.lit(-1.0) + 0.8 * F.log(ntd) - 2.5 * stop + 1.5 * uniq
+    return F.round(F.lit(1000000.0) / (1.0 + F.exp(-z))).cast("long")
+
+
 _WHITELIST_GRAIN_BOUNDS = {
+    "q218_roc_auc": (
+        "documents",
+        _q218_score_grain,
+        1_000_001,  # the 1e-6 score grid, bounded by construction
+    ),
     "q107_source_mixing_weights": (
         "documents",
         lambda F: F.col("source"),
@@ -707,7 +728,7 @@ def test_sweep_priority_covers_catalog_and_frontloads_backlog():
     )
 
     tested: set[str] = set()
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         tested |= set(json.load(open(f"CORRECTNESS_r0{r}.json")))
     seen_tested = False
     for name in order:

@@ -79,6 +79,15 @@ def main() -> int:
     from gmail_etl_spark.session import get_spark
 
     _ensure_loaded()
+    # smoke-tier q255 state sizing (VERDICT r8 #8): at the sf0.001 tier
+    # the stream-stream join's fixed state-store setup (2 stores per
+    # shuffle partition, cores-scaled) dominates its wall-clock; cap it
+    # there.  Physical knob only — the result is partition-invariant —
+    # and the sf0.01 driver-gate tier keeps the production shape.
+    import os
+
+    if args.sf.rstrip("/").endswith("sf0.001"):
+        os.environ.setdefault("SPARK_GRAFT_Q255_STATE_PARTITIONS", "4")
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
