@@ -86,6 +86,23 @@ def shingles(text: Column, k: int = 3) -> Column:
 _MH_P = (1 << 31) - 1
 
 
+def _sha_base31(s: Column) -> Column:
+    """Portable base hash: first 8 hex nibbles of sha256 as an int in
+    [0, 2^32), reduced mod 2^31−1.
+
+    This is the cross-engine hash recipe (see q145's feature hashing):
+    DuckDB recomputes the identical value with
+    ``strpos('0123456789abcdef', substr(sha256(s), i, 1))`` nibble
+    arithmetic, so a MinHash pipeline built on this base is exactly
+    replayable by a SQL oracle.  ~40× slower per shingle than xxhash64
+    (crypto hash + hex parse), so it is the ORACLE family, not the
+    production default."""
+    return F.pmod(
+        F.conv(F.substring(F.sha2(s, 256), 1, 8), 16, 10).cast("long"),
+        F.lit(_MH_P),
+    )
+
+
 def _mh_ab(i: int) -> tuple[int, int]:
     """Deterministic (a, b) for permutation i: golden-ratio / xxhash
     avalanche constants spread over [1, p) — fixed, no random state."""
@@ -94,18 +111,30 @@ def _mh_ab(i: int) -> tuple[int, int]:
     return a, b
 
 
-def minhash_signature(sh: Column, n_hashes: int = 32) -> Column:
+def minhash_signature(
+    sh: Column, n_hashes: int = 32, hash_family: str = "xxhash64"
+) -> Column:
     """MinHash signature via one base hash + linear permutations.
 
-    Each shingle is string-hashed ONCE (xxhash64 → [0, p), p = 2^31−1),
-    then permutation i is the universal-hash map h ↦ (a_i·h + b_i) mod p
+    Each shingle is string-hashed ONCE (→ [0, p), p = 2^31−1), then
+    permutation i is the universal-hash map h ↦ (a_i·h + b_i) mod p
     (Carter–Wegman; the standard MinHash family, e.g. Broder 1997) —
     integer ops over the pre-hashed array instead of re-hashing every
     string n_hashes times, which profiling showed dominated the LSH
     stage.  a_i·h < 2^31·2^31 = 2^62 keeps the product inside long
     range, so ANSI arithmetic never overflows.  Constants are fixed
-    avalanche mixes of i — deterministic across sessions."""
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P)))
+    avalanche mixes of i — deterministic across sessions.
+
+    ``hash_family`` picks the base hash: ``"xxhash64"`` (default, the
+    JVM-codegen production family) or ``"sha256"`` (the portable
+    cross-engine family of :func:`_sha_base31`, exactly replayable by a
+    DuckDB oracle — the hash-oracled catalog gate q44 runs on it)."""
+    if hash_family == "sha256":
+        base = F.transform(sh, _sha_base31)
+    elif hash_family == "xxhash64":
+        base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P)))
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     cols = []
     for i in range(n_hashes):
         a, b = _mh_ab(i)
@@ -289,7 +318,12 @@ def lsh_params_for_recall(
 
 
 def _lsh_sigs(
-    df: DataFrame, id_col: str, text_col: str, k: int, n_hashes: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n_hashes: int,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, shingles, sig, hsh) per doc — the per-row stage of the LSH
     pipeline.  Module-level (not inlined in ``minhash_lsh_pairs``) so
@@ -299,13 +333,22 @@ def _lsh_sigs(
     The shingle array is materialized once, then the signature derives
     from the column — otherwise the shingle expression is inlined into
     all n_hashes aggregates and evaluated n_hashes times per row.
+
+    ``hash_family="sha256"`` swaps both hash kernels for the portable
+    cross-engine family (signature base = :func:`_sha_base31`; verify
+    set elements = the first 16 sha256 hex chars per shingle) so a SQL
+    oracle can replay the whole pipeline value-for-value.
     """
+    if hash_family == "sha256":
+        hsh = "array_distinct(transform(shingles, s -> substring(sha2(s, 256), 1, 16)))"
+    else:
+        hsh = "array_distinct(transform(shingles, s -> xxhash64(s)))"
     return (
         df.select(
             F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shingles")
         )
-        .withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
-        .withColumn("hsh", F.expr("array_distinct(transform(shingles, s -> xxhash64(s)))"))
+        .withColumn("sig", minhash_signature(F.col("shingles"), n_hashes, hash_family))
+        .withColumn("hsh", F.expr(hsh))
     )
 
 
@@ -365,6 +408,7 @@ def minhash_lsh_pairs(
     broadcast_verify: bool = False,
     target_recall: float | None = None,
     max_hashes: int = 256,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
 
@@ -395,12 +439,22 @@ def minhash_lsh_pairs(
     within the ``max_hashes`` signature budget (so the caller's compute
     ceiling passes through instead of being silently replaced by the
     library default; ``max_hashes`` is only consulted on this path).
+
+    ``hash_family="sha256"`` swaps the signature base hash and the
+    verify-set hash for the portable cross-engine family (see
+    :func:`_sha_base31`): every value in the pipeline is then exactly
+    recomputable by a DuckDB oracle, which is how catalog row q44 is
+    hash-oracled.  The band-bucket fusion stays xxhash64 — grouping by
+    the fused hash equals grouping by the (band, signature-slice) tuple
+    itself absent a 64-bit collision among the corpus' band keys
+    (~n_keys²/2⁶⁵, and deterministic per corpus), so the oracle replays
+    it as tuple equality.
     """
     if target_recall is not None:
         n_hashes, bands = lsh_params_for_recall(
             threshold, target_recall, max_hashes=max_hashes
         )
-    sigs = _lsh_sigs(df, id_col, text_col, k, n_hashes)
+    sigs = _lsh_sigs(df, id_col, text_col, k, n_hashes, hash_family)
     buckets = _lsh_buckets(sigs, n_hashes, bands)
     candidates = capped_pair_candidates(buckets, max_bucket)
     # Verify-join strategy.  Default: the verify side is corpus-sized,
@@ -685,6 +739,63 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseOR(term)
     return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_signatures_portable(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """64-bit SimHash on the portable cross-engine hash family:
+    bit b of a token's hash is the PARITY of hex nibble b of its sha256
+    (64 nibbles ↔ 64 bits), so a DuckDB oracle recomputes every vote,
+    every bit, and the packed signature value-for-value — the
+    hash-oracled form of :func:`simhash_signatures` (catalog row q45).
+
+    Emits the signature as two 32-bit halves ``(sim_hi, sim_lo)``
+    instead of one BIGINT: packing bit 63 into an int64 wraps negative
+    in Spark but overflows (raises) in DuckDB HUGEINT shift semantics —
+    split halves are the portable representation (the q142 dHash
+    discipline).  Hamming distance is ``bit_count(xor(hi_a, hi_b)) +
+    bit_count(xor(lo_a, lo_b))`` over the halves, so downstream pairing
+    loses nothing.
+
+    Scale shape: explode to (doc, token, bit) votes — three narrow
+    integer aggregations, all map-side combinable; no Python, no
+    windows.  sha256 is evaluated per (token, nibble) by codegen
+    (CollapseProject re-inlines the hex column into the 64-way
+    transform — the r1 MinHash lesson), which is acceptable for the
+    bounded catalog gate; the throughput path stays
+    :func:`simhash_signatures` on xxhash64."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("token"),
+    )
+    nib = toks.select(
+        "id",
+        F.posexplode(
+            F.expr("transform(sequence(1, 64), i -> substring(sha2(token, 256), i, 1))")
+        ).alias("b", "nibble"),
+    )
+    parity = (F.instr(F.lit("0123456789abcdef"), F.col("nibble")) - 1) % 2
+    votes = (
+        nib.withColumn("vote", F.when(parity == 1, F.lit(1)).otherwise(F.lit(-1)))
+        .groupBy("id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    bits = votes.select(
+        "id",
+        "b",
+        F.when(F.col("v") > 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bit"),
+    )
+    return bits.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("b") >= 32, F.expr("shiftleft(bit, b - 32)")).otherwise(F.lit(0))
+        ).alias("sim_hi"),
+        F.sum(
+            F.when(F.col("b") < 32, F.expr("shiftleft(bit, b)")).otherwise(F.lit(0))
+        ).alias("sim_lo"),
+    )
 
 
 def jaccard_pairs_prefix(

@@ -133,25 +133,130 @@ def q43_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q44 — MinHash + LSH near-dup pairs (D2 scale path; rows-only check)
+# q44 — MinHash + LSH near-dup pairs (D2 scale path), HASH-ORACLED on the
+# portable sha256 hash family.
+#
+# Rows-only until round 9.  The old rationale ("banding is probabilistic,
+# so no SQL oracle reproduces the candidate set") conflated approximate-
+# vs-TRUTH with oracle-ABILITY: the output is a deterministic function of
+# the fixtures, and an oracle only has to REPLAY the algorithm, not prove
+# it exact.  The one genuine blocker was xxhash64 (no DuckDB equivalent);
+# swapping the base hash for the portable sha256-nibble family (the q145
+# recipe) makes every value in the pipeline — base hash, Carter–Wegman
+# permutations, band keys, verify sets, Jaccard — recomputable in SQL.
+# The band-bucket fusion is replayed as (band, signature-slice) tuple
+# equality (see minhash_lsh_pairs' docstring for why that's identical),
+# and max_bucket is lifted above the slice size so the salted
+# chunk-capping (an xxhash64 ordering no oracle can replay) never
+# triggers on this bounded gate; the capped path stays exercised by the
+# 100k-doc bench and its boundary fuzz tests.
 # ---------------------------------------------------------------------------
+
+#: Carter–Wegman (a, b) per permutation — same constants the operator
+#: derives via _mh_ab, precomputed here in exact Python arithmetic (the
+#: i * 0x9E37… products overflow int64, so they cannot live in the SQL).
+_Q44_N_HASHES, _Q44_BANDS = 32, 16
+_Q44_ROWS_PER_BAND = _Q44_N_HASHES // _Q44_BANDS
+
+_Q44_HEX = "0123456789abcdef"
+#: first-8-hex-nibbles value of sha256(shingle), as DuckDB arithmetic —
+#: equals Spark's conv(substring(sha2(s,256),1,8),16,10)
+_Q44_BASE8 = " + ".join(
+    f"(strpos('{_Q44_HEX}', substr(hx, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+def _q44_oracle() -> str:
+    from gmail_etl_spark.operators.dedup import _MH_P, _mh_ab
+
+    seeds = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in ((i, _mh_ab(i)) for i in range(_Q44_N_HASHES))
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 2000
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(
+                       generate_series(1, len(toks) - 2),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                   ELSE [array_to_string(toks, ' ')] END) AS shingle
+        FROM docs
+    ),
+    hashed AS (
+        SELECT doc_id, shingle, sha256(shingle) AS hx FROM sh
+    ),
+    base AS (
+        SELECT doc_id,
+               ({_Q44_BASE8}) % {_MH_P} AS h,
+               substr(hx, 1, 16) AS h16
+        FROM hashed
+    ),
+    seeds(i, a, b) AS (VALUES {seeds}),
+    sig AS (
+        SELECT doc_id, s.i AS i, MIN((s.a * base.h + s.b) % {_MH_P}) AS mh
+        FROM base CROSS JOIN seeds s
+        GROUP BY doc_id, s.i
+    ),
+    bandkeys AS (
+        SELECT doc_id, i // {_Q44_ROWS_PER_BAND} AS band,
+               string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
+        FROM sig GROUP BY doc_id, i // {_Q44_ROWS_PER_BAND}
+    ),
+    cand AS (
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bandkeys x
+        JOIN bandkeys y ON x.band = y.band AND x.bkey = y.bkey
+                       AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(DISTINCT h16) AS n_h FROM base GROUP BY doc_id),
+    common AS (
+        SELECT c.a_id, c.b_id, COUNT(DISTINCT xa.h16) AS n_common
+        FROM cand c
+        JOIN base xa ON xa.doc_id = c.a_id
+        JOIN base xb ON xb.doc_id = c.b_id AND xb.h16 = xa.h16
+        GROUP BY c.a_id, c.b_id
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(n_common AS DOUBLE)
+               / CAST(sa.n_h + sb.n_h - n_common AS DOUBLE) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.a_id
+    JOIN sizes sb ON sb.doc_id = c.b_id
+    WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_h + sb.n_h - n_common AS DOUBLE) >= 0.5
+    ORDER BY c.a_id, c.b_id
+    """
 
 
 @query(
     "q44_minhash_lsh",
-    oracle=None,  # approximate recall — verified against q43 in tests
+    oracle=_q44_oracle(),
     survey="D2",
-    rows_only_reason=(
-        "MinHash banding is probabilistic (recall < 1 by design), so no "
-        "SQL oracle reproduces the candidate set; gated locally by "
-        "recall>=0.9 vs the exact-Jaccard q43 pairs and a "
-        "no-false-positive property test"
-    ),
 )
 def q44_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH + exact verify on the portable sha256 hash
+    family — the full near-dup pipeline (shingle → signature → band
+    buckets → candidate pairs → hashed-set Jaccard verify) replayed
+    value-for-value by the DuckDB oracle.  The banding recall contract
+    (the approximate part) stays pinned by the recall/no-FP property
+    tests against exact Jaccard in tests/test_operators.py."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     return minhash_lsh_pairs(
-        d, "doc_id", "text", k=3, n_hashes=32, bands=16, threshold=0.5
+        d,
+        "doc_id",
+        "text",
+        k=3,
+        n_hashes=_Q44_N_HASHES,
+        bands=_Q44_BANDS,
+        threshold=0.5,
+        max_bucket=1_000_000,
+        hash_family="sha256",
     ).orderBy("a_id", "b_id")
 
 
@@ -249,26 +354,57 @@ def q48_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q45 — SimHash signatures (D2 alternate; rows-only — xxhash64 bit votes
-# have no DuckDB equivalent; properties verified in tests/test_operators.py)
+# q45 — SimHash signatures (D2 alternate), HASH-ORACLED on the portable
+# sha256 hash family: bit b of a token's hash = parity of sha256 hex
+# nibble b, so DuckDB recomputes every vote, bit, and packed half.
+# Rows-only until round 9 — the xxhash64 bit votes were the only blocker
+# (the Hamming-recall property of downstream pairing was never the
+# oracle's job); the xxhash64 production form stays covered by the
+# recall/no-FP property tests in tests/test_operators.py.
 # ---------------------------------------------------------------------------
 
 
 @query(
     "q45_simhash",
-    oracle=None,
-    survey="D2",
-    rows_only_reason=(
-        "SimHash near-dup candidates are probabilistic (Hamming-ball "
-        "recall < 1); gated by recall/no-false-positive property tests "
-        "against exact similarity"
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents WHERE doc_id < 500
     ),
+    nib AS (
+        SELECT doc_id, bb.b AS b, substr(sha256(token), bb.b + 1, 1) AS nibble
+        FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+    ),
+    votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (strpos('0123456789abcdef', nibble) - 1) % 2 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM nib GROUP BY doc_id, b
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               CASE WHEN v > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM votes
+    )
+    SELECT doc_id AS id,
+           CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT)
+               AS sim_hi,
+           CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT)
+               AS sim_lo
+    FROM bits GROUP BY doc_id ORDER BY id
+    """,
+    survey="D2",
 )
 def q45_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gmail_etl_spark.operators.dedup import simhash_signatures
+    """Portable-family SimHash signatures as (id, sim_hi, sim_lo) 32-bit
+    halves — value-replayed by the DuckDB oracle (see
+    simhash_signatures_portable).  Near-dup pairing downstream is
+    Hamming distance over the halves; its recall properties are pinned
+    against exact similarity in tests/test_operators.py."""
+    from gmail_etl_spark.operators.dedup import simhash_signatures_portable
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return simhash_signatures(d, "doc_id", "text").orderBy("id")
+    return simhash_signatures_portable(d, "doc_id", "text").orderBy("id")
 
 
 # ---------------------------------------------------------------------------

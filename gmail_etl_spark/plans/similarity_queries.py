@@ -122,35 +122,109 @@ def q53_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q54 — sign-random-projection LSH near-dup pairs (X1/D2 scale path;
-# rows-only — banding recall is probabilistic; verified in tests)
+# q54 — sign-random-projection LSH near-dup pairs (X1/D2 scale path),
+# HASH-ORACLED as of round 9.
+#
+# Rows-only until round 9 on a "banding is probabilistic" rationale that
+# conflated approximate-vs-truth with oracle-ability: the output is a
+# deterministic function of the fixtures, and the oracle only has to
+# REPLAY the algorithm.  Everything here replays exactly:
+#   * the hyperplanes are deterministic splitmix64-derived double
+#     LITERALS (operators.similarity._hyperplane) — the oracle embeds the
+#     same constants, generated at import by the same function;
+#   * each sign bit is a LEFT-ASSOCIATED 64-term dot product — Spark's
+#     zip_with + aggregate fold (init 0.0) and the oracle's explicit
+#     `0.0 + v[1]*c1 + …` chain execute the identical IEEE-754 op
+#     sequence, so the bits agree bit-for-bit;
+#   * the band bucket is xxhash64 over the band's r=4 bit columns — only
+#     16 possible inputs per band, proven collision-free by
+#     tests/test_operators.py::test_srp_band_bucket_hash_collision_free,
+#     so grouping by the hash IS grouping by the bit tuple, which the
+#     oracle replays as string-key equality;
+#   * the exact-cosine verify mirrors q46's oracle form
+#     (list_cosine_similarity + round 6), already proven green on the
+#     SUPERSET of these pairs (q46 is the full O(n²) join on the same
+#     seeded corpus at the same 0.99 threshold).
+# The recall contract of banding stays pinned by the property tests and
+# srp_params_for_recall.
 # ---------------------------------------------------------------------------
+
+_Q54_N_PLANES, _Q54_BANDS, _Q54_DIM = 16, 4, 64
+_Q54_R = _Q54_N_PLANES // _Q54_BANDS
+
+
+def _q54_oracle() -> str:
+    from gmail_etl_spark.operators.similarity import _hyperplane
+
+    bits = []
+    for p in range(_Q54_N_PLANES):
+        coeffs = _hyperplane(p, _Q54_DIM)
+        dot = " + ".join(f"v[{j + 1}]*({c!r})" for j, c in enumerate(coeffs))
+        bits.append(f"CASE WHEN (0.0 + {dot}) > 0 THEN 1 ELSE 0 END")
+    bits_list = ",\n               ".join(bits)
+    bkey = " || ',' || ".join(
+        f"bits[{_Q54_R} * bb.band + {r + 1}]::VARCHAR" for r in range(_Q54_R)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 100
+        UNION ALL
+        SELECT vec_id + 1000, embedding::DOUBLE[]
+        FROM embeddings WHERE vec_id < 100
+    ),
+    sig AS (
+        SELECT vec_id,
+               [{bits_list}] AS bits
+        FROM corpus
+    ),
+    banded AS (
+        SELECT vec_id, bb.band AS band, {bkey} AS bkey
+        FROM sig CROSS JOIN (SELECT unnest(range(0, {_Q54_BANDS})) AS band) bb
+    ),
+    cand AS (
+        SELECT x.vec_id AS a_id, y.vec_id AS b_id
+        FROM banded x
+        JOIN banded y ON x.band = y.band AND x.bkey = y.bkey
+                     AND x.vec_id < y.vec_id
+        GROUP BY x.vec_id, y.vec_id
+    )
+    SELECT c.a_id, c.b_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM cand c
+    JOIN corpus a ON a.vec_id = c.a_id
+    JOIN corpus b ON b.vec_id = c.b_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+    ORDER BY a_id, b_id
+    """
 
 
 @query(
     "q54_hyperplane_lsh",
-    oracle=None,
+    oracle=_q54_oracle(),
     survey="X1,D2",
-    rows_only_reason=(
-        "sign-random-projection LSH candidates are probabilistic; gated "
-        "by recall + no-false-positive tests vs exact cosine, with the "
-        "recall contract parameterized via srp_params_for_recall "
-        "(S-curve-derived n_planes/bands for a stated target_recall)"
-    ),
 )
 def q54_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs without the O(n²) cross join: hyperplane
     LSH bucket join + exact-cosine verify (no false positives).  Corpus
     seeded with exact copies (ids +1000, as in q46) so the ≥0.99 band is
     the planted pairs — identical vectors collide in every band, so the
-    banding loses none of them."""
+    banding loses none of them.  The DuckDB oracle replays the full
+    pipeline (literal hyperplanes, left-associated sign dots, band
+    buckets as bit tuples, exact-cosine verify) value-for-value."""
     from gmail_etl_spark.operators.similarity import hyperplane_lsh_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     copies = emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
     corpus = emb.select("vec_id", "embedding").unionByName(copies)
     return hyperplane_lsh_pairs(
-        corpus, "vec_id", "embedding", dim=64, n_planes=16, bands=4, threshold=0.99
+        corpus,
+        "vec_id",
+        "embedding",
+        dim=_Q54_DIM,
+        n_planes=_Q54_N_PLANES,
+        bands=_Q54_BANDS,
+        threshold=0.99,
     ).orderBy("a_id", "b_id")
 
 

@@ -617,6 +617,122 @@ def test_simhash_locality(spark):
 
 
 # ---------------------------------------------------------------------------
+# portable (sha256) hash family — the round-9 hash-oracle conversions
+# ---------------------------------------------------------------------------
+
+
+def test_sha_base31_matches_reference_arithmetic(spark):
+    """The portable MinHash base hash (q44's oracle-replayable family)
+    equals the reference computation — int(sha256_hex[:8], 16) mod
+    2^31−1 — for representative shingles.  This is the Python-side pin
+    of the cross-engine recipe: DuckDB recomputes the same value via
+    strpos nibble arithmetic (q44's oracle), Spark via
+    conv(substring(sha2(...), 1, 8), 16, 10)."""
+    import hashlib
+
+    from gmail_etl_spark.operators.dedup import _MH_P, _sha_base31
+
+    samples = ["alpha beta gamma", "", "x", "the the the", "ünïcode towel", "a b"]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", _sha_base31(F.col("s")).alias("h")).collect()
+    }
+    for s in samples:
+        want = int(hashlib.sha256(s.encode("utf-8")).hexdigest()[:8], 16) % _MH_P
+        assert got[s] == want, s
+
+
+def test_minhash_portable_family_signature_reference(spark):
+    """hash_family='sha256' signatures equal a pure-Python replay of the
+    pipeline (sha256-nibble base hash + Carter–Wegman permutations +
+    min), so the oracle arithmetic in q44 is pinned from this side too."""
+    import hashlib
+
+    from gmail_etl_spark.operators.dedup import _MH_P, _lsh_sigs, _mh_ab
+
+    texts = ["a b c d e f", "a b c d e g", "one two three four"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = {
+        r["id"]: r
+        for r in _lsh_sigs(df, "doc_id", "text", k=3, n_hashes=8, hash_family="sha256")
+        .select("id", "sig", "hsh")
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        sh = list(dict.fromkeys(
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        )) if len(toks) >= 3 else [" ".join(toks)]
+        base = [
+            int(hashlib.sha256(s.encode()).hexdigest()[:8], 16) % _MH_P for s in sh
+        ]
+        want_sig = []
+        for p in range(8):
+            a, b = _mh_ab(p)
+            want_sig.append(min((a * h + b) % _MH_P for h in base))
+        assert list(rows[i]["sig"]) == want_sig
+        want_hsh = {hashlib.sha256(s.encode()).hexdigest()[:16] for s in sh}
+        assert set(rows[i]["hsh"]) == want_hsh
+
+
+def test_simhash_portable_reference(spark):
+    """simhash_signatures_portable (q45) equals a pure-Python replay:
+    bit b = sign of Σ_tokens (±1 by parity of sha256 hex nibble b),
+    packed into (sim_hi, sim_lo) 32-bit halves."""
+    import hashlib
+
+    from gmail_etl_spark.operators.dedup import simhash_signatures_portable
+
+    texts = ["alpha beta gamma alpha", "one", "x y z w"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["id"]: (r["sim_hi"], r["sim_lo"])
+        for r in simhash_signatures_portable(df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(texts):
+        toks = set(t.split(" "))
+        hi = lo = 0
+        for b in range(64):
+            v = 0
+            for tok in toks:
+                nib = int(hashlib.sha256(tok.encode()).hexdigest()[b], 16)
+                v += 1 if nib % 2 == 1 else -1
+            bit = 1 if v > 0 else 0
+            if b >= 32:
+                hi |= bit << (b - 32)
+            else:
+                lo |= bit << b
+        assert got[i] == (hi, lo), i
+
+
+def test_srp_band_bucket_hash_collision_free(spark):
+    """q54's oracle replays the band bucket as BIT-TUPLE equality while
+    the operator groups by xxhash64 over the band's r=4 bit columns —
+    identical groupings iff the 16 possible hash inputs map to 16
+    distinct values.  The hash is a fixed deterministic function, so
+    this enumerates the entire input space and PROVES the equivalence
+    (not a probabilistic argument)."""
+    combos = [
+        ((b >> 3) & 1, (b >> 2) & 1, (b >> 1) & 1, b & 1) for b in range(16)
+    ]
+    df = spark.createDataFrame(combos, ["b0", "b1", "b2", "b3"]).select(
+        *[F.col(c).cast("int").alias(c) for c in ["b0", "b1", "b2", "b3"]]
+    )
+    hashes = [
+        r["h"]
+        for r in df.select(
+            F.xxhash64(F.col("b0"), F.col("b1"), F.col("b2"), F.col("b3")).alias("h")
+        ).collect()
+    ]
+    assert len(set(hashes)) == 16
+
+
+# ---------------------------------------------------------------------------
 # gmail source
 # ---------------------------------------------------------------------------
 
