@@ -109,6 +109,7 @@ def pack_sequences(
     tokens_col: str,
     budget: int = 2048,
     n_buckets: int = 64,
+    bucket_family: str = "xxhash64",
 ) -> DataFrame:
     """Greedy first-fit-decreasing packing of items (chunks/documents)
     into fixed-token training sequences.
@@ -124,6 +125,14 @@ def pack_sequences(
     exceeds ``budget`` (items larger than budget get a singleton
     sequence); byte-identical output across runs (total order + stable
     algorithm, no RNG).
+
+    ``bucket_family="sha256"`` swaps the bucket hash for the portable
+    cross-engine family (first 8 sha256 hex nibbles of the id's string
+    form, mod ``n_buckets``) so a SQL oracle can replay the sharding —
+    and since the in-bucket pack is a pure function of the sorted items,
+    the WHOLE operator then replays (q72's oracle walks the first-fit
+    recurrence as a recursive CTE over list state).  xxhash64 stays the
+    throughput default.
     """
     import pandas as pd
 
@@ -147,10 +156,21 @@ def pack_sequences(
         pdf["seq_id"] = [bucket * 1_000_000_000 + i for i in assigned]
         return pdf[["bucket", "seq_id", "item_id", "n_tokens"]]
 
+    if bucket_family == "sha256":
+        bucket = F.pmod(
+            F.conv(
+                F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(n_buckets),
+        )
+    elif bucket_family == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    else:
+        raise ValueError(f"unknown bucket_family: {bucket_family!r}")
     items = df.select(
         F.col(id_col).alias("item_id"),
         F.col(tokens_col).cast("long").alias("n_tokens"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias("bucket"),
+        bucket.alias("bucket"),
     )
     # item_id keeps the caller's id type (string uuids pack fine — the
     # in-bucket sort is (n_tokens desc, item_id asc) on either type)

@@ -336,6 +336,7 @@ def train_kmeans(
     k: int = 8,
     iters: int = 3,
     assign_strategy: str = "expr",
+    exact_updates: bool = False,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means as a DataFrame iteration — the IVF coarse-quantizer
     trainer (q51's cell assignment, learned instead of given).
@@ -367,11 +368,28 @@ def train_kmeans(
     and are assignment-identical except where distances tie at float
     rounding granularity (test-pinned on the planted corpus).
 
+    ``exact_updates=True`` (expr strategy only) makes the centroid
+    recompute accumulation-order-FREE: per-dim sums go through
+    DECIMAL(20,12) (the q52 centroid discipline) and the mean is one
+    double division at the end, so the trained centroids — and therefore
+    every assignment — are a pure data function, independent of
+    partitioning, and exactly replayable by a SQL oracle as chained
+    per-iteration CTEs (how q75/q110 are hash-oracled).  The default
+    float sums are kept for the throughput paths: decimal aggregation
+    measured ≈2× the codegen cost of double sums (r1 note), and ulp-level
+    centroid drift is irrelevant when the output feeds a recall-gated
+    ANN probe rather than an equality gate.
+
     Returns (assignments DataFrame (id, cluster), final centroids).
     """
     if assign_strategy not in ("expr", "vectorized"):
         raise ValueError(
             f"assign_strategy must be 'expr' or 'vectorized', got {assign_strategy!r}"
+        )
+    if exact_updates and assign_strategy != "expr":
+        raise ValueError(
+            "exact_updates requires assign_strategy='expr' (the vectorized "
+            "path accumulates float sufficient statistics per batch)"
         )
     dim_rows = (
         corpus.orderBy(id_col)
@@ -408,18 +426,23 @@ def train_kmeans(
         # array_min on structs orders by (dist, cluster): deterministic tie-break
         return base.withColumn("cluster", F.array_min(pairs)["cluster"])
 
+    sum_col = (
+        F.sum(F.col("val").cast("decimal(20,12)")) if exact_updates else F.sum("val")
+    )
     for _ in range(iters):
         assigned = _assign(centroids)
         stats = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
             .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(sum_col.alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         new_c = [list(c) for c in centroids]  # empty clusters keep position
         by_cluster: dict[int, dict[int, float]] = {}
         for r in stats:
-            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["s"] / r["n"]
+            # float(Decimal) is correctly rounded, matching the oracle's
+            # CAST(decimal AS DOUBLE); the division is double both ways
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = float(r["s"]) / r["n"]
         for ci, dims in by_cluster.items():
             new_c[ci] = [dims[j] for j in range(len(dims))]
         centroids = new_c
@@ -524,6 +547,7 @@ def semantic_dedup(
     iters: int = 3,
     threshold: float = 0.995,
     assign_strategy: str = "expr",
+    exact_updates: bool = False,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: partition the embedding
     space with the deterministic k-means coarse quantizer, generate
@@ -536,7 +560,8 @@ def semantic_dedup(
     cell), so cost is sum over cells of |cell|^2, never corpus^2; raise
     k so cells stay bounded (``assign_strategy="vectorized"`` keeps the
     quantizer viable at the hundreds of cells that implies — see
-    :func:`train_kmeans`).  Candidate ids expand from ONE shuffle of
+    :func:`train_kmeans`; ``exact_updates`` passes through for the
+    oracle-replayable trainer).  Candidate ids expand from ONE shuffle of
     the narrow (cluster, id) rows (same grouped i<j expansion as the
     LSH paths); vectors re-enter by id only for candidate pairs, with
     shuffle_hash so the corpus side can never be mis-broadcast.
@@ -546,7 +571,7 @@ def semantic_dedup(
 
     assign, _ = train_kmeans(
         corpus, id_col, vec_col, k=k, iters=iters,
-        assign_strategy=assign_strategy,
+        assign_strategy=assign_strategy, exact_updates=exact_updates,
     )
     ids = assign.select(F.col("cluster"), F.col("id"))
     candidates = (

@@ -149,25 +149,98 @@ def q97_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q72 — greedy sequence packing of token chunks (rows-only: FFD packing
-# has no SQL equivalent; invariants tested in tests/test_operators.py)
+# q72 — greedy sequence packing of token chunks, HASH-ORACLED as of
+# round 9.  The old "order-dependent within partitions" rationale
+# contradicted the operator's own contract — pack_sequences is
+# byte-identical across runs (per-bucket total order + stable first-fit,
+# no RNG), i.e. a pure data function.  The real blockers were (a) the
+# xxhash64 bucket hash → swapped for the portable sha256-nibble family
+# on this gate, and (b) the sequential first-fit recurrence → replayed
+# by a DuckDB RECURSIVE CTE that walks one item per step per bucket,
+# carrying the open-sequence remaining-space LIST as state
+# (list_position finds the first fit; list_transform patches it).
+# Capacity/coverage invariants stay tested in tests/test_operators.py.
 # ---------------------------------------------------------------------------
+
+_Q72_HEX = "0123456789abcdef"
+_Q72_NIB8 = " + ".join(
+    f"(strpos('{_Q72_HEX}', substr(sha256(CAST(item_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+_Q72_ORACLE = f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents WHERE doc_id < 100
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, CAST(floor((n - 1) / 15) AS BIGINT))) AS chunk_id
+        FROM t
+    ),
+    items AS (
+        SELECT item_id,
+               len(list_slice(toks, chunk_id * 15 + 1, chunk_id * 15 + 20)) AS n,
+               ({_Q72_NIB8}) % 64 AS bucket
+        FROM (SELECT doc_id * 1000 + chunk_id AS item_id, toks, chunk_id FROM c)
+    ),
+    ord AS (
+        SELECT bucket, item_id, n,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n DESC, item_id)
+                   AS step
+        FROM items
+    ),
+    sizes AS (SELECT bucket, COUNT(*) AS n_items FROM ord GROUP BY bucket),
+    pack(bucket, step, spaces, assigned) AS (
+        SELECT bucket, CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+        FROM sizes
+        UNION ALL
+        SELECT p.bucket, p.step + 1,
+               CASE WHEN NULLIF(list_position(list_transform(p.spaces, s -> s >= o.n), true), 0)
+                         IS NOT NULL
+                    THEN list_transform(p.spaces, (s, i) ->
+                         CASE WHEN i = NULLIF(list_position(
+                                  list_transform(p.spaces, s2 -> s2 >= o.n), true), 0)
+                              THEN s - o.n ELSE s END)
+                    ELSE list_append(p.spaces, greatest(64 - o.n, CAST(0 AS BIGINT)))
+               END,
+               list_append(p.assigned,
+                   CAST(COALESCE(
+                       NULLIF(list_position(list_transform(p.spaces, s -> s >= o.n), true), 0) - 1,
+                       len(p.spaces)) AS BIGINT))
+        FROM pack p
+        JOIN ord o ON o.bucket = p.bucket AND o.step = p.step + 1
+    ),
+    done AS (
+        SELECT p.bucket, p.assigned
+        FROM pack p JOIN sizes s ON s.bucket = p.bucket AND p.step = s.n_items
+    ),
+    expand AS (
+        SELECT bucket, assigned,
+               unnest(range(1, len(assigned) + 1)) AS step
+        FROM done
+    )
+    SELECT e.bucket,
+           e.bucket * 1000000000 + e.assigned[e.step] AS seq_id,
+           o.item_id, o.n AS n_tokens
+    FROM expand e JOIN ord o ON o.bucket = e.bucket AND o.step = e.step
+    ORDER BY e.bucket, seq_id, item_id
+    """
 
 
 @query(
     "q72_pack_sequences",
-    oracle=None,
+    oracle=_Q72_ORACLE,
     survey="X3,2.7-udf",
-    rows_only_reason=(
-        "first-fit-decreasing packing is order-dependent within "
-        "partitions (any valid packing is correct); gated by capacity/ "
-        "coverage invariant tests"
-    ),
 )
 def q72_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk the corpus (q71 shape) then pack chunks into ≤64-token
     training sequences with first-fit-decreasing inside hash buckets —
-    deterministic output (total order + stable algorithm, no RNG)."""
+    deterministic output (total order + stable algorithm, no RNG), which
+    the DuckDB oracle replays step-for-step as a recursive CTE over the
+    per-bucket remaining-space list (portable sha256 bucket family)."""
     from gmail_etl_spark.operators.sampling import pack_sequences
     from gmail_etl_spark.operators.text import chunk_documents
 
@@ -176,9 +249,9 @@ def q72_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
         "n_chunk_tokens",
     )
-    return pack_sequences(chunks, "chunk_key", "n_chunk_tokens", budget=64).orderBy(
-        "bucket", "seq_id", "item_id"
-    )
+    return pack_sequences(
+        chunks, "chunk_key", "n_chunk_tokens", budget=64, bucket_family="sha256"
+    ).orderBy("bucket", "seq_id", "item_id")
 
 
 # ---------------------------------------------------------------------------

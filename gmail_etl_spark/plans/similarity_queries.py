@@ -318,41 +318,144 @@ def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q75 — learned IVF: k-means training + cell assignment (rows-only:
-# Lloyd's iterations aren't SQL-expressible; determinism, nearest-centroid
-# correctness, and inertia descent are tested in tests/test_operators.py)
+# q75 — learned IVF: k-means training + cell assignment, HASH-ORACLED as
+# of round 9.  The old "iterative Lloyd's has no SQL formulation" was
+# half-true: a FIXED number of iterations is just chained CTEs; the real
+# blocker was the float centroid sums, whose value depends on
+# accumulation order.  exact_updates=True makes the recompute order-free
+# (DECIMAL(20,12) per-dim sums, one double division — the q52 centroid
+# discipline), after which every stage replays exactly:
+#   * init = the k lowest-id vectors (ROW_NUMBER/LIMIT);
+#   * each squared distance is a LEFT-ASSOCIATED 64-term chain matching
+#     Spark's zip_with+aggregate fold (init 0.0) bit-for-bit;
+#   * argmin tie-break on cluster index = ORDER BY dist, cluster;
+#   * empty clusters keep their previous centroid (LEFT JOIN+COALESCE).
+# Lloyd-convergence properties stay pinned in tests/test_operators.py.
 # ---------------------------------------------------------------------------
+
+_Q75_K, _Q75_ITERS, _Q75_DIM = 8, 3, 64
+
+
+def _kmeans_ctes(corpus_cte: str, k: int, iters: int, dim: int) -> tuple[str, str]:
+    """CTE-chain fragment replaying train_kmeans(exact_updates=True) over
+    ``corpus_cte`` (vec_id, v DOUBLE[]).  Returns (sql_fragment,
+    final_assign_cte): the fragment defines c0..c{iters} and a1..a{iters+1};
+    the final assignment CTE has (vec_id, v, cluster, dist, rn) with rn=1
+    marking each vector's cell under the final centroids."""
+    dist = "0.0 + " + " + ".join(
+        f"(x.v[{j}]-c.c[{j}])*(x.v[{j}]-c.c[{j}])" for j in range(1, dim + 1)
+    )
+    parts = [
+        f"""c0 AS (
+        SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cluster, v AS c
+        FROM {corpus_cte} ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    for t in range(1, iters + 2):
+        parts.append(f"""a{t} AS (
+        SELECT vec_id, v, cluster, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM (SELECT x.vec_id, x.v, c.cluster, ({dist}) AS dist
+              FROM {corpus_cte} x CROSS JOIN c{t - 1} c)
+    )""")
+        if t == iters + 1:
+            break  # the last assignment is the output; no further update
+        parts.append(f"""m{t} AS (
+        SELECT cluster, d.d AS dim,
+               CAST(SUM(CAST(v[d.d] AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*) AS mu
+        FROM a{t} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS d) d
+        WHERE rn = 1
+        GROUP BY cluster, d.d
+    )""")
+        parts.append(f"""c{t} AS (
+        SELECT o.cluster, COALESCE(n.c, o.c) AS c
+        FROM c{t - 1} o LEFT JOIN (
+            SELECT cluster, list(mu ORDER BY dim) AS c FROM m{t} GROUP BY cluster
+        ) n USING (cluster)
+    )""")
+    return ",\n    ".join(parts), f"a{iters + 1}"
+
+
+def _q75_oracle() -> str:
+    ctes, final = _kmeans_ctes("corpus", _Q75_K, _Q75_ITERS, _Q75_DIM)
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    {ctes}
+    SELECT vec_id, CAST(cluster AS INT) AS cluster
+    FROM {final} WHERE rn = 1 ORDER BY vec_id
+    """
 
 
 @query(
     "q75_kmeans_cells",
-    oracle=None,
+    oracle=_q75_oracle(),
     survey="X1",
-    rows_only_reason=(
-        "iterative Lloyd's k-means has no SQL formulation; gated by "
-        "determinism, nearest-centroid, and inertia-descent tests"
-    ),
 )
 def q75_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the IVF coarse quantizer (deterministic Lloyd's, k=8,
-    3 iterations) and emit each vector's learned cell — the input the
-    cell-probe search (q51) consumes."""
+    3 iterations, order-free exact centroid updates) and emit each
+    vector's learned cell — the input the cell-probe search (q51)
+    consumes.  The DuckDB oracle replays the full training loop as
+    chained CTEs (see the module comment above)."""
     from gmail_etl_spark.operators.similarity import train_kmeans
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assign, _ = train_kmeans(emb, k=8, iters=3)
+    assign, _ = train_kmeans(emb, k=_Q75_K, iters=_Q75_ITERS, exact_updates=True)
     return assign.select(F.col("id").alias("vec_id"), "cluster").orderBy("vec_id")
+
+
+# q110 — HASH-ORACLED as of round 9: the full SemDeDup pipeline replays
+# in SQL once the trainer is exact (see q75's module comment) — k-means
+# CTE chain → within-cell pairs → cosine ≥ 0.995 with the EXACT fold
+# replay (left-assoc dot and norms, so threshold decisions can't flip on
+# engine ulps) → q47's recursive-CTE connected components → keep min id
+# per component plus every unpaired row.
+
+
+def _q110_oracle() -> str:
+    dim = _Q75_DIM
+    ctes, final = _kmeans_ctes("corpus", _Q75_K, _Q75_ITERS, dim)
+    norm = "0.0 + " + " + ".join(f"v[{j}]*v[{j}]" for j in range(1, dim + 1))
+    dot = "0.0 + " + " + ".join(f"va.v[{j}]*vb.v[{j}]" for j in range(1, dim + 1))
+    return f"""
+    WITH RECURSIVE corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding::DOUBLE[]
+        FROM embeddings WHERE vec_id < 100
+    ),
+    {ctes},
+    assign AS (SELECT vec_id, cluster FROM {final} WHERE rn = 1),
+    vecs AS (SELECT vec_id, v, sqrt({norm}) AS nrm FROM corpus),
+    sim_pairs AS (
+        SELECT a.vec_id AS pu, b.vec_id AS pw
+        FROM assign a
+        JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN vecs va ON va.vec_id = a.vec_id
+        JOIN vecs vb ON vb.vec_id = b.vec_id
+        WHERE ({dot}) / (va.nrm * vb.nrm) >= 0.995
+    ),
+    edges AS (SELECT pu AS u, pw AS w FROM sim_pairs
+              UNION SELECT pw, pu FROM sim_pairs),
+    reach(id, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT reach.id, edges.w FROM reach JOIN edges ON reach.r = edges.u
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT c.vec_id
+    FROM corpus c LEFT JOIN comp ON comp.id = c.vec_id
+    WHERE comp.id IS NULL OR comp.component = c.vec_id
+    ORDER BY vec_id
+    """
 
 
 @query(
     "q110_semantic_dedup",
-    oracle=None,
+    oracle=_q110_oracle(),
     survey="D2,X1",
-    rows_only_reason=(
-        "SemDeDup keep-set depends on k-means cell assignment (iterative, "
-        "non-SQL); cosine-component and keep-one-per-cluster invariants "
-        "tested locally"
-    ),
 )
 def q110_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup: k-means cells bound the pairwise
@@ -360,9 +463,10 @@ def q110_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one canonical vector survives per group.  The corpus is the
     embeddings table seeded with exact copies (ids +100000, as in q46)
     so the dedup provably fires: every copy must vanish in favor of its
-    lower-id original, restoring the original row count.  Rows-only for
-    the driver (k-means has no SQL equivalent); the planted-duplicate
-    guarantee is also property-tested in tests/test_operators.py."""
+    lower-id original, restoring the original row count.  The DuckDB
+    oracle replays the entire pipeline — exact-update k-means, fold-exact
+    cosine, recursive-CTE components; the planted-duplicate guarantee is
+    also property-tested in tests/test_operators.py."""
     from gmail_etl_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -370,7 +474,14 @@ def q110_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     return (
-        semantic_dedup(emb.unionByName(copies), "vec_id", "embedding", k=8, iters=3)
+        semantic_dedup(
+            emb.unionByName(copies),
+            "vec_id",
+            "embedding",
+            k=_Q75_K,
+            iters=_Q75_ITERS,
+            exact_updates=True,
+        )
         .select("vec_id")
         .orderBy("vec_id")
     )
