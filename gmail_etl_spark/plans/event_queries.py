@@ -1258,15 +1258,81 @@ def q182_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# HASH-ORACLED as of round 9.  "No DuckDB equivalent" was true of the
+# FUNCTION, not the VALUE: a count-min table is order-free integer
+# counts — cell(i, c) = #rows whose row-i hash lands in column c — and
+# the row hash is pure modular arithmetic (h = hashA[i]*item mod 2^64;
+# h += h>>32; low 31 bits; mod width), which DuckDB replays in HUGEINT
+# (the 127-bit product never overflows; mod 2^64 then mod 2^31 composes
+# because 2^31 | 2^64).  The hashA constants are deterministic for the
+# query's fixed seed 42 (Java Random stream) — embedded as literals and
+# PINNED against the live sketch binary by
+# tests/test_operators.py::test_cms_oracle_constants_pinned, so a Spark
+# version changing its CMS layout fails loudly instead of silently
+# diverging.  Estimates overcounting by design is irrelevant to
+# oracle-ability: both engines compute the same deterministic overcount.
+
+_Q183_DEPTH, _Q183_WIDTH, _Q183_SEED = 7, 2000, 42
+_Q183_HASH_A = (
+    1562431130, 117392763, 1467211248, 102948884,
+    662969970, 2023087525, 595021505,
+)
+_Q183_PROBES = 25
+
+
+def _q183_oracle() -> str:
+    hashes = ", ".join(f"({i}, {a})" for i, a in enumerate(_Q183_HASH_A))
+    probes = ", ".join(f"({i})" for i in range(_Q183_PROBES))
+    # (hashA*item mod 2^64) → u; col = ((u + u>>32) mod 2^31) mod width.
+    # All HUGEINT; user_id is non-negative in the fixture (a negative
+    # item would need Java signed-wrap semantics this replay omits).
+    col = (
+        "CAST(((u + u // 4294967296) % 2147483648)"
+        f" % {_Q183_WIDTH} AS BIGINT)"
+    )
+    u = "(CAST(h.a AS HUGEINT) * x.user_id) % CAST(18446744073709551616 AS HUGEINT)"
+    return f"""
+    WITH hashes(i, a) AS (VALUES {hashes}),
+    probes(user_id) AS (VALUES {probes}),
+    cells AS (
+        SELECT i, col, COUNT(*) AS cnt
+        FROM (
+            SELECT h.i AS i, {col} AS col
+            FROM (SELECT {u} AS u, h.i
+                  FROM events x CROSS JOIN hashes h) AS h
+        ) GROUP BY i, col
+    ),
+    probe_cols AS (
+        SELECT user_id, i, {col} AS col
+        FROM (SELECT x.user_id, h.i, {u} AS u
+              FROM probes x CROSS JOIN hashes h) AS h
+    ),
+    est AS (
+        SELECT pc.user_id, MIN(COALESCE(c.cnt, 0)) AS est_count
+        FROM probe_cols pc
+        LEFT JOIN cells c ON c.i = pc.i AND c.col = pc.col
+        GROUP BY pc.user_id
+    ),
+    exact AS (
+        SELECT user_id, COUNT(*) AS true_count
+        FROM events WHERE user_id < {_Q183_PROBES}
+        GROUP BY user_id
+    )
+    SELECT CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(e.est_count AS BIGINT) AS est_count,
+           CAST(COALESCE(x.true_count, 0) AS BIGINT) AS true_count,
+           CAST(e.est_count - COALESCE(x.true_count, 0) AS BIGINT) AS overcount
+    FROM probes p
+    JOIN est e USING (user_id)
+    LEFT JOIN exact x ON x.user_id = p.user_id
+    ORDER BY user_id
+    """
+
+
 @query(
     "q183_cms_probe_counts",
-    oracle=None,
+    oracle=_q183_oracle(),
     survey="2.5-agg,X5",
-    rows_only_reason=(
-        "count-min sketch estimates overcount by design (no DuckDB "
-        "equivalent); gated by never-undercount + eps*N bound tests vs "
-        "exact counts"
-    ),
 )
 def q183_cms_probe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point lookups: one `count_min_sketch` aggregate
@@ -1280,18 +1346,20 @@ def q183_cms_probe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-probe exact join here is the audit, not the mechanism.
     Partial sketches merge by table addition, so the distributed
     aggregate is order-independent and deterministic under the fixed
-    seed.  Rows-only: the estimate depends on the sketch's hash layout;
-    the CMS bounds (never undercounts, overcount ≤ eps·N w.p. ≥
-    confidence) are gated in tests/test_operators.py."""
+    seed — which is also why it's hash-oracled: the DuckDB oracle
+    rebuilds every probed cell with the same modular row-hash arithmetic
+    (see the module comment above).  The CMS bounds (never undercounts,
+    overcount ≤ eps·N w.p. ≥ confidence) stay gated in
+    tests/test_operators.py."""
     from gmail_etl_spark.operators.sketches import cms_probe_longs
 
-    probe_ids = list(range(25))
+    probe_ids = list(range(_Q183_PROBES))
     e = load_table(spark, sf_dir, "events")
     raw = bytes(
         e.select(
             F.expr(
                 "count_min_sketch(user_id, cast(0.001 as double),"
-                " cast(0.99 as double), 42)"
+                f" cast(0.99 as double), {_Q183_SEED})"
             ).alias("sk")
         ).head()["sk"]
     )

@@ -710,6 +710,35 @@ def test_simhash_portable_reference(spark):
         assert got[i] == (hi, lo), i
 
 
+def test_cms_oracle_constants_pinned(spark):
+    """q183's oracle embeds the CMS geometry (depth, width) and the
+    seed-42 hashA row constants as SQL literals.  Decode a live sketch
+    built by THIS Spark and assert they match — if a Spark upgrade ever
+    changes the CMS layout, seed stream, or eps/confidence sizing, this
+    fails loudly instead of the oracle silently diverging."""
+    from gmail_etl_spark.operators.sketches import decode_count_min_sketch
+    from gmail_etl_spark.plans.event_queries import (
+        _Q183_DEPTH,
+        _Q183_HASH_A,
+        _Q183_SEED,
+        _Q183_WIDTH,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["user_id"])
+    raw = bytes(
+        df.select(
+            F.expr(
+                "count_min_sketch(user_id, cast(0.001 as double),"
+                f" cast(0.99 as double), {_Q183_SEED})"
+            ).alias("sk")
+        ).head()["sk"]
+    )
+    _total, depth, width, hash_a, _table = decode_count_min_sketch(raw)
+    assert depth == _Q183_DEPTH
+    assert width == _Q183_WIDTH
+    assert tuple(hash_a) == _Q183_HASH_A
+
+
 def test_srp_band_bucket_hash_collision_free(spark):
     """q54's oracle replays the band bucket as BIT-TUPLE equality while
     the operator groups by xxhash64 over the band's r=4 bit columns —
