@@ -1377,43 +1377,83 @@ def q175_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# HASH-ORACLED as of round 9 via the q256 exhaustive-parameter trick:
+# a theta sketch is EXACT (theta = 1, every hash retained) while its
+# retained-entry count stays under the nominal 2^lgK, so at lgK=15
+# (32768) — comfortably above the fixture's per-source (≤ ~11k at
+# sf0.1) and pairwise-union (≤ ~21k) shingle cardinalities — every
+# estimate here IS the exact set cardinality and the oracle is plain
+# COUNT(DISTINCT) set algebra (the same replay q74 uses).  The union
+# gadget gets an explicit lgK too: theta_union defaults to a smaller
+# nominal that would re-enter estimation mode even on exact inputs.
+# Estimation-mode behavior (the ≥-nominal regime) stays gated by the
+# ≤5%-error property test in tests/test_operators.py, same as q256
+# keeps pruned-probe semantics pinned by operator tests.  Measured
+# before converting: lgK=15 sketch algebra vs exact SQL = 190/190
+# pairs equal at sf0.01 AND sf0.1 on all five cardinalities.
+
+
 @query(
     "q177_theta_source_overlap",
-    oracle=None,
-    survey="D2,X3",
-    rows_only_reason=(
-        "DuckDB has no theta-sketch set algebra; gated by a <=5%-error "
-        "test against exact set union/intersection/difference"
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
     ),
+    sh AS (
+        SELECT DISTINCT source,
+               unnest(CASE WHEN len(t) >= 3
+                   THEN list_transform(
+                       generate_series(1, len(t) - 2),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                   ELSE [array_to_string(t, ' ')] END) AS s
+        FROM toks
+    ),
+    card AS (SELECT source, COUNT(*) AS c FROM sh GROUP BY source),
+    com AS (
+        SELECT a.source AS sa, b.source AS sb, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT com.sa AS source_a, com.sb AS source_b,
+           CAST(ca.c AS BIGINT) AS est_a,
+           CAST(cb.c AS BIGINT) AS est_b,
+           CAST(ca.c + cb.c - com.c AS BIGINT) AS est_union,
+           CAST(com.c AS BIGINT) AS est_common,
+           CAST(ca.c - com.c AS BIGINT) AS est_only_a,
+           round(CAST(com.c AS DOUBLE) / CAST(ca.c + cb.c - com.c AS DOUBLE), 6)
+               AS jaccard_est
+    FROM com
+    JOIN card ca ON ca.source = com.sa
+    JOIN card cb ON cb.source = com.sb
+    ORDER BY source_a, source_b
+    """,
+    survey="D2,X3",
 )
 def q177_theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-space form of q74's contamination matrix: one theta
     sketch of the distinct 3-shingle set per source
-    (`theta_sketch_agg`, lgK=14), then pairwise |A|, |B|, |A∪B|, |A∩B|
-    and |A\\B| straight off the sketches (`theta_union` /
-    `theta_intersection` / `theta_difference`) plus the implied Jaccard.
-    q74 joins the full shingle postings (cost Σ df²); this touches the
-    raw data ONCE to build per-source state of a few KB, after which
-    every pairwise comparison — and any future source added to the
-    matrix — is sketch algebra on the driver-sized state.  That is the
-    only shape that survives a 100-source × 100 TB corpus, and theta
-    (unlike HLL) supports intersection/difference natively.
-
-    The pairwise inequality self-join runs on one row per source
-    (bounded by contract, like q74's matrix itself).  Rows-only: DuckDB
-    has no theta sketch; estimate error vs q74's exact containment is
-    gated in tests/test_operators.py."""
+    (`theta_sketch_agg`, lgK=15 — exact mode at every fixture scale,
+    which is what makes this hash-oracled; see the comment above), then
+    pairwise |A|, |B|, |A∪B|, |A∩B| and |A\\B| straight off the
+    sketches (`theta_union` / `theta_intersection` /
+    `theta_difference`) plus the implied Jaccard.  q74 joins the full
+    shingle postings (cost Σ df²); this touches the raw data ONCE to
+    build per-source state of a few KB, after which every pairwise
+    comparison — and any future source added to the matrix — is sketch
+    algebra on the driver-sized state.  That is the only shape that
+    survives a 100-source × 100 TB corpus, and theta (unlike HLL)
+    supports intersection/difference natively."""
     d = load_table(spark, sf_dir, "documents")
     sk = (
         d.select("source", F.explode(shingles(F.col("text"), 3)).alias("shingle"))
         .groupBy("source")
-        .agg(F.expr("theta_sketch_agg(shingle, 14)").alias("sk"))
+        .agg(F.expr("theta_sketch_agg(shingle, 15)").alias("sk"))
     )
     a, b = sk.alias("a"), sk.alias("b")
     est = lambda e: F.expr(f"theta_sketch_estimate({e})").cast("long")  # noqa: E731
     pairs = a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
     inter = est("theta_intersection(a.sk, b.sk)")
-    union = est("theta_union(a.sk, b.sk)")
+    union = est("theta_union(a.sk, b.sk, 15)")
     return pairs.select(
         F.col("a.source").alias("source_a"),
         F.col("b.source").alias("source_b"),
