@@ -175,7 +175,7 @@ def rows_only_reason_map() -> dict[str, str]:
 #: grows every round and stale rows rotate back into the budget.
 #: Round-9 order (every oracled query driver-green at least once):
 #: stalest-first rotation — rows last verified in round 4 lead (the r8
-#: sample re-greened everything older), then rounds 5-8.  The 10 rows-only queries (oracle=None) go LAST: a
+#: sample re-greened everything older), then rounds 5-8.  The 6 rows-only queries (oracle=None) go LAST: a
 #: driver visit can only ever record ``err: no_oracle`` for them (their
 #: evidence is the local tolerance/recall gates), so spending any of
 #: the ~50-row budget on them is pure waste — r6 burned 2 samples on
@@ -189,6 +189,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q44_minhash_lsh", "q45_simhash", "q54_hyperplane_lsh",
     "q75_kmeans_cells", "q110_semantic_dedup", "q72_pack_sequences",
     "q183_cms_probe_counts", "q177_theta_source_overlap",
+    "q169_hll_sketch_rollup", "q176_kll_quantile_rollup",
+    "q191_hll_cube_users", "q84_approx_percentile",
     # -- (5) last verified round 4 (40) --
     "q185_ansi_sql_parity", "q140_profile_columns",
     "q134_bpe_merge_candidates", "q137_domain_quality_rollup",
@@ -298,12 +300,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q94_hash_split", "q95_per_class_cap", "q97_contamination",
     "q107_source_mixing_weights", "q64_asof_join", "q65_range_join",
     "q66_time_rollup",
-    # -- (last) rows-only by design (10) — a driver visit yields only err:no_oracle; never spend budget here --
-    "q83_approx_count_distinct", "q84_approx_percentile",
+    # -- (last) rows-only by design (6) — a driver visit yields only err:no_oracle; never spend budget here --
+    "q83_approx_count_distinct",
     "q146_compression_ratio", "q132_pq_adc_topk", "q136_ivf_pq_topk",
-    "q190_pca_project", "q169_hll_sketch_rollup",
-    "q176_kll_quantile_rollup",
-    "q191_hll_cube_users", "q96_stratified_sample",
+    "q190_pca_project", "q96_stratified_sample",
 )
 
 

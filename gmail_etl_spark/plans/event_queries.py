@@ -878,14 +878,42 @@ def q167_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# HASH-ORACLED as of round 9 via the q177/q256 exhaustive-parameter
+# trick: a datasketches HLL sketch is EXACT (coupon list/set mode, no
+# register estimation) while its coupon count stays far below 2^lgK, and
+# lgK=21 clears the fixture's user cardinality (≤1500 at sf0.1) by two
+# orders of magnitude — so every window estimate AND every sketch-union
+# estimate IS the exact distinct count, and the oracle is plain
+# COUNT(DISTINCT) at each grain.  Measured before converting: lgK=21
+# per-day estimates and the all-days union equal exact at sf0.01/sf0.1.
+# Estimation-mode behavior (register maxima, the ≥2^lgK regime) stays
+# gated by the ≤5%-error property test in tests/test_operators.py.
+
+
 @query(
     "q169_hll_sketch_rollup",
-    oracle=None,
-    survey="2.5-agg,X5",
-    rows_only_reason=(
-        "DuckDB cannot build/merge Spark's HLL sketch binaries; gated by "
-        "a <=5%-error test vs exact distinct counts at every grain"
+    oracle="""
+    WITH f AS (
+        SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_start,
+               user_id
+        FROM events
     ),
+    fine AS (SELECT DISTINCT bucket_start FROM f),
+    nw AS (
+        SELECT CAST(floor(bucket_start / 3600) * 3600 AS BIGINT) AS hour_start,
+               COUNT(*) AS n_windows
+        FROM fine GROUP BY 1
+    ),
+    hu AS (
+        SELECT CAST(floor(bucket_start / 3600) * 3600 AS BIGINT) AS hour_start,
+               COUNT(DISTINCT user_id) AS approx_users
+        FROM f GROUP BY 1
+    )
+    SELECT nw.hour_start, nw.n_windows, hu.approx_users
+    FROM nw JOIN hu USING (hour_start)
+    ORDER BY hour_start
+    """,
+    survey="2.5-agg,X5",
 )
 def q169_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch re-aggregation pattern that makes distinct counts
@@ -894,15 +922,13 @@ def q169_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     up to the hour (`hll_union_agg`) and estimate.  A cube/rollup over
     distinct counts re-scans raw data once per grain; sketch union makes
     every coarser grain a cheap merge of the finer one's state (the
-    datasketches property Spark 3.5+ exposes natively).
-
-    Rows-only: DuckDB has no compatible sketch to merge; the estimate's
-    relative error vs exact distinct counts is gated in
-    tests/test_operators.py."""
+    datasketches property Spark 3.5+ exposes natively).  lgK=21 keeps
+    the sketches in exact coupon mode at fixture scale, so the oracle
+    replays every grain as COUNT(DISTINCT) — see the comment above."""
     e = load_table(spark, sf_dir, "events")
     fine = (
         e.groupBy(F.window("ts", "10 minutes").alias("w"))
-        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+        .agg(F.expr("hll_sketch_agg(user_id, 21)").alias("sk"))
         .select(
             F.col("w.start").cast("long").alias("bucket_start"),
             (F.floor(F.col("w.start").cast("long") / 3600) * 3600).alias("hour_start"),
@@ -1030,34 +1056,57 @@ def q171_slo_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# HASH-ORACLED as of round 9, same exhaustive-parameter argument as
+# q177/q169: a KLL sketch below its k never compacts (no randomized
+# compaction path is ever taken), so it holds every value and its
+# quantile read is the EXACT order statistic under datasketches'
+# inclusive-rank rule — sorted[ceil(p·n)] — which plain SQL replays
+# with list_sort + index.  k=8192 clears the fixture's max hourly count
+# (175 at sf0.1) by ~50×.  Measured before converting: 720/720 hour
+# grains × (n, p50, p95, p99) equal at sf0.01 AND sf0.1.  Compacted
+# (estimation-mode) behavior stays gated by the ≤3% rank-error test.
+
+
 @query(
     "q176_kll_quantile_rollup",
-    oracle=None,
-    survey="2.5-agg,X5",
-    rows_only_reason=(
-        "DuckDB has no mergeable KLL quantile sketch; gated by a <=3% "
-        "rank-error test vs exact percentiles"
+    oracle="""
+    WITH f AS (
+        SELECT CAST(floor(floor(epoch(ts) / 600) * 600 / 3600) * 3600 AS BIGINT)
+                   AS hour_start,
+               CAST(value AS DOUBLE) AS v
+        FROM events
     ),
+    g AS (
+        SELECT hour_start, COUNT(*) AS n_events, list_sort(list(v)) AS vs
+        FROM f GROUP BY hour_start
+    )
+    SELECT hour_start,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(vs[CAST(ceil(0.5 * n_events) AS BIGINT)], 6) AS p50,
+           round(vs[CAST(ceil(0.95 * n_events) AS BIGINT)], 6) AS p95,
+           round(vs[CAST(ceil(0.99 * n_events) AS BIGINT)], 6) AS p99
+    FROM g
+    ORDER BY hour_start
+    """,
+    survey="2.5-agg,X5",
 )
 def q176_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quantile companion to q169's HLL rollup: a KLL doubles sketch
-    of `value` per 10-minute window (`kll_sketch_agg_double`, k=400),
-    then MERGE THE SKETCHES — not the data — up to the hour
-    (`kll_merge_agg_double`) and read P50/P95/P99 off the merged state.
-    Exact grouped percentiles (q171) buffer every value per group and
-    re-scan raw data once per grain; KLL state is O(k·log(n/k)) per
-    window and every coarser grain is a cheap merge of the finer one's
-    state, with a proven rank-error bound (~1.65/sqrt(k) ≈ 0.8% at
-    k=400) — the datasketches property Spark 4.1 exposes natively.
-
-    Rows-only: DuckDB has no KLL to merge; the merged estimates'
-    rank error vs exact per-hour quantiles is gated in
-    tests/test_operators.py."""
+    of `value` per 10-minute window (`kll_sketch_agg_double`, k=8192 —
+    exact mode at fixture scale, which is what makes this hash-oracled;
+    see the comment above), then MERGE THE SKETCHES — not the data — up
+    to the hour (`kll_merge_agg_double`) and read P50/P95/P99 off the
+    merged state.  Exact grouped percentiles (q171) buffer every value
+    per group and re-scan raw data once per grain; KLL state is
+    O(k·log(n/k)) per window and every coarser grain is a cheap merge
+    of the finer one's state, with a proven rank-error bound
+    (~1.65/sqrt(k)) — the datasketches property Spark 4.1 exposes
+    natively."""
     e = load_table(spark, sf_dir, "events")
     fine = (
         e.groupBy(F.window("ts", "10 minutes").alias("w"))
         .agg(
-            F.expr("kll_sketch_agg_double(CAST(value AS DOUBLE), 400)").alias("sk"),
+            F.expr("kll_sketch_agg_double(CAST(value AS DOUBLE), 8192)").alias("sk"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
@@ -1593,14 +1642,27 @@ def q189_session_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 
+# HASH-ORACLED as of round 9, same exact-coupon-mode argument as q169
+# (see the comment there): at lgK=21 every per-cell sketch and every
+# union grain is exact at fixture scale, so the oracle is a plain
+# COUNT(DISTINCT) CUBE.  Merged-equals-one-shot stays asserted in tests.
+
+
 @query(
     "q191_hll_cube_users",
-    oracle=None,
+    oracle="""
+    SELECT event_type, day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users
+    FROM (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day,
+               user_id
+        FROM events
+    )
+    GROUP BY CUBE (event_type, day)
+    ORDER BY event_type NULLS LAST, day NULLS LAST
+    """,
     survey="2.5-agg,X5",
-    rows_only_reason=(
-        "sketch-cube grains are HLL binary merges DuckDB cannot "
-        "reproduce; gated by merged-equals-one-shot exactness tests"
-    ),
 )
 def q191_hll_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cube counterpart to q169's rollup: distinct users at all four
@@ -1615,12 +1677,14 @@ def q191_hll_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     days), which is exactly why the state must be sketches; union takes
     register maxima, so merged estimates EQUAL the one-shot estimates
     at every grain — asserted exactly in tests, the q169/q176 merge
-    discipline."""
+    discipline.  lgK=21 keeps every grain in exact coupon mode at
+    fixture scale (see the comment above), which is what lets the
+    oracle replay the cube as COUNT(DISTINCT)."""
     e = load_table(spark, sf_dir, "events")
     leaf = e.groupBy(
         "event_type",
         (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long").alias("day"),
-    ).agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    ).agg(F.expr("hll_sketch_agg(user_id, 21)").alias("sk"))
     est = lambda c: F.expr(f"hll_sketch_estimate({c})").cast("long")  # noqa: E731
 
     leaf_out = leaf.select(
