@@ -182,9 +182,10 @@ def rows_only_reason_map() -> dict[str, str]:
 #: q83/q84 this way.  Generated from CORRECTNESS_r0{1..8}.json by
 #: tools/gen_sweep_priority.py.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # -- (0) never driver-tested as ORACLED rows: the new round-9 row,
+    # -- (0) never driver-tested as ORACLED rows: the new round-9 rows,
     # then the three r9 hash-oracle conversions (q44/q45/q54 had only
     # rows-only visits before their portable-sha256 oracles landed) --
+    "q258_composed_curation",
     "q257_string_key_global_rank",
     "q44_minhash_lsh", "q45_simhash", "q54_hyperplane_lsh",
     "q75_kmeans_cells", "q110_semantic_dedup", "q72_pack_sequences",

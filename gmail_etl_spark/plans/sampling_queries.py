@@ -739,3 +739,300 @@ def q172_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ord_hit.agg(F.count(F.lit(1)).alias("n_orders"))))
         .crossJoin(F.broadcast(li_hit.agg(F.count(F.lit(1)).alias("n_lineitems"))))
     )
+
+
+# ---------------------------------------------------------------------------
+# q258 — the COMPOSED curation pipeline as one hash-oracled row.  Every
+# stage was already individually hash-oracled (q94 split, q97 decontam,
+# q44 sha256-family MinHash LSH, q47/q48 recursive-CTE components, q72
+# recursive-CTE packing); this row chains them on one corpus slice so
+# the driver verifies the COMPOSITION — stage boundaries, not just
+# operators — the same contract tests/test_curation_e2e.py pins locally
+# and tools/curation_scale.py proves at 2M docs.  Output is one summary
+# row per stage (count, id-sum, exact integer metric), so the hash
+# covers every stage's full membership without shipping texts.
+# ---------------------------------------------------------------------------
+
+_Q258_N_HASHES, _Q258_BANDS, _Q258_BUDGET = 32, 16, 128
+
+_Q258_HEX = "0123456789abcdef"
+_Q258_BASE8 = " + ".join(
+    f"(strpos('{_Q258_HEX}', substr(hx, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+_Q258_NIB8 = " + ".join(
+    f"(strpos('{_Q258_HEX}', substr(sha256(CAST(item_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+def _q258_oracle() -> str:
+    from gmail_etl_spark.operators.dedup import _MH_P, _mh_ab
+
+    seeds = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in ((i, _mh_ab(i)) for i in range(_Q258_N_HASHES))
+    )
+    rows_per_band = _Q258_N_HASHES // _Q258_BANDS
+    b = _Q258_BUDGET
+    return f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 1000
+    ),
+    quality AS (SELECT * FROM docs WHERE len(toks) >= 20),
+    canon AS (
+        SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY sha256(text)
+    ),
+    stage2 AS (SELECT q.* FROM quality q JOIN canon USING (doc_id)),
+    -- q44's sha256-family MinHash+LSH pipeline, sourced from stage2
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(
+                       generate_series(1, len(toks) - 2),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                   ELSE [array_to_string(toks, ' ')] END) AS shingle
+        FROM stage2
+    ),
+    hashed AS (SELECT doc_id, shingle, sha256(shingle) AS hx FROM sh),
+    base AS (
+        SELECT doc_id, ({_Q258_BASE8}) % {_MH_P} AS h, substr(hx, 1, 16) AS h16
+        FROM hashed
+    ),
+    seeds(i, a, b) AS (VALUES {seeds}),
+    sig AS (
+        SELECT doc_id, s.i AS i, MIN((s.a * base.h + s.b) % {_MH_P}) AS mh
+        FROM base CROSS JOIN seeds s
+        GROUP BY doc_id, s.i
+    ),
+    bandkeys AS (
+        SELECT doc_id, i // {rows_per_band} AS band,
+               string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
+        FROM sig GROUP BY doc_id, i // {rows_per_band}
+    ),
+    cand AS (
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bandkeys x
+        JOIN bandkeys y ON x.band = y.band AND x.bkey = y.bkey
+                       AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(DISTINCT h16) AS n_h FROM base GROUP BY doc_id),
+    common AS (
+        SELECT c.a_id, c.b_id, COUNT(DISTINCT xa.h16) AS n_common
+        FROM cand c
+        JOIN base xa ON xa.doc_id = c.a_id
+        JOIN base xb ON xb.doc_id = c.b_id AND xb.h16 = xa.h16
+        GROUP BY c.a_id, c.b_id
+    ),
+    pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.a_id
+        JOIN sizes sb ON sb.doc_id = c.b_id
+        WHERE CAST(n_common AS DOUBLE)
+                  / CAST(sa.n_h + sb.n_h - n_common AS DOUBLE) >= 0.5
+    ),
+    -- q47's min-reachable-id connected components over the LSH pairs
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    reach(id, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    stage3 AS (
+        SELECT s.* FROM stage2 s
+        LEFT JOIN comp ON comp.id = s.doc_id
+        WHERE comp.id IS NULL OR comp.component = s.doc_id
+    ),
+    -- q94's content-hash split (first hash byte < 0xcc = floor(256*0.8))
+    train AS (SELECT * FROM stage3 WHERE substr(sha256(text), 1, 2) < 'cc'),
+    evald AS (SELECT * FROM stage3 WHERE substr(sha256(text), 1, 2) >= 'cc'),
+    -- q97's shingle-containment decontamination of eval against train
+    bench_sh AS (
+        SELECT DISTINCT doc_id AS id,
+               array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM evald, UNNEST(range(1, greatest(len(toks) - 1, 2))) AS t(i)
+    ),
+    train_sh AS (
+        SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM train, UNNEST(range(1, greatest(len(toks) - 1, 2))) AS t(i)
+    ),
+    decont AS (
+        SELECT id,
+               SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+        FROM bench_sh bs LEFT JOIN train_sh t USING (shingle)
+        GROUP BY id
+    ),
+    -- q72's recursive first-fit-decreasing packing of the train split
+    items AS (
+        SELECT doc_id AS item_id, len(toks) AS n,
+               ({_Q258_NIB8}) % 64 AS bucket
+        FROM train
+    ),
+    ord AS (
+        SELECT bucket, item_id, n,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n DESC, item_id)
+                   AS step
+        FROM items
+    ),
+    bsizes AS (SELECT bucket, COUNT(*) AS n_items FROM ord GROUP BY bucket),
+    pack(bucket, step, spaces, assigned) AS (
+        SELECT bucket, CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+        FROM bsizes
+        UNION ALL
+        SELECT p.bucket, p.step + 1,
+               CASE WHEN NULLIF(list_position(list_transform(p.spaces, s -> s >= o.n), true), 0)
+                         IS NOT NULL
+                    THEN list_transform(p.spaces, (s, i) ->
+                         CASE WHEN i = NULLIF(list_position(
+                                  list_transform(p.spaces, s2 -> s2 >= o.n), true), 0)
+                              THEN s - o.n ELSE s END)
+                    ELSE list_append(p.spaces, greatest({b} - o.n, CAST(0 AS BIGINT)))
+               END,
+               list_append(p.assigned,
+                   CAST(COALESCE(
+                       NULLIF(list_position(list_transform(p.spaces, s -> s >= o.n), true), 0) - 1,
+                       len(p.spaces)) AS BIGINT))
+        FROM pack p
+        JOIN ord o ON o.bucket = p.bucket AND o.step = p.step + 1
+    ),
+    done AS (
+        SELECT p.bucket, p.assigned
+        FROM pack p JOIN bsizes s ON s.bucket = p.bucket AND p.step = s.n_items
+    ),
+    expand AS (
+        SELECT bucket, assigned, unnest(range(1, len(assigned) + 1)) AS step
+        FROM done
+    ),
+    packed AS (
+        SELECT e.bucket,
+               e.bucket * 1000000000 + e.assigned[e.step] AS seq_id,
+               o.item_id
+        FROM expand e JOIN ord o ON o.bucket = e.bucket AND o.step = e.step
+    )
+    SELECT '1_quality' AS stage, COUNT(*) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum, CAST(NULL AS DOUBLE) AS metric
+    FROM quality
+    UNION ALL
+    SELECT '2_exact_dedup', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM stage2
+    UNION ALL
+    SELECT '3_near_dedup', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM stage3
+    UNION ALL
+    SELECT '4_split_train', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM train
+    UNION ALL
+    SELECT '4_split_eval', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM evald
+    UNION ALL
+    SELECT '5_decontamination', COUNT(*), CAST(SUM(id) AS BIGINT),
+           CAST(SUM(n_cont) AS DOUBLE)
+    FROM decont
+    UNION ALL
+    SELECT '6_pack', COUNT(*), CAST(SUM(item_id) AS BIGINT),
+           CAST(COUNT(DISTINCT seq_id) AS DOUBLE)
+    FROM packed
+    ORDER BY stage
+    """
+
+
+@query(
+    "q258_composed_curation",
+    oracle=_q258_oracle(),
+    survey="D1,D2,X3,sampling",
+)
+def q258_composed_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE driver-verified row:
+    quality gate → exact dedup → sha256-family MinHash-LSH near-dedup →
+    connected components → content-keyed split → decontamination →
+    sequence packing, each stage feeding the next, summarized as one
+    (count, id-sum, exact-metric) row per stage so the value hash pins
+    every stage's full membership.
+
+    The oracle chains the per-stage oracle techniques already proven on
+    q94/q97/q44/q47/q72 — sha256-nibble hash arithmetic, a recursive
+    min-reachable-id component CTE, and a recursive first-fit packing
+    CTE — into one SQL statement over the same bounded slice.
+
+    Scale shape: identical to the component operators' (each is
+    individually posture-audited); the slice bound exists for the
+    oracle's recursive fixpoints, not the Spark plan."""
+    from gmail_etl_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        near_dedup,
+    )
+    from gmail_etl_spark.operators.sampling import pack_sequences
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
+    quality = d.filter(F.size(F.split("text", " ")) >= 20)
+    canon = exact_dedup(quality, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    stage2 = quality.join(canon, "doc_id")
+    pairs = minhash_lsh_pairs(
+        stage2,
+        "doc_id",
+        "text",
+        k=3,
+        n_hashes=_Q258_N_HASHES,
+        bands=_Q258_BANDS,
+        threshold=0.5,
+        max_bucket=1_000_000,
+        hash_family="sha256",
+    )
+    stage3 = near_dedup(stage2, "doc_id", pairs)
+    split = hash_split(stage3, "text", train_pct=80)
+    train = split.filter(F.col("split") == "train")
+    evald = split.filter(F.col("split") == "eval")
+    report = contamination_report(evald, train, "doc_id", "text", k=3)
+    packed = pack_sequences(
+        train.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens")),
+        "doc_id",
+        "n_tokens",
+        budget=_Q258_BUDGET,
+        bucket_family="sha256",
+    )
+
+    def _summ(df_: DataFrame, stage: str, idc: str, metric=None) -> DataFrame:
+        agg = [
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col(idc)).cast("long").alias("id_sum"),
+        ]
+        if metric is not None:
+            agg.append(metric.cast("double").alias("metric"))
+        out = df_.agg(*agg)
+        if metric is None:
+            out = out.withColumn("metric", F.lit(None).cast("double"))
+        return out.select(
+            F.lit(stage).alias("stage"), "n_rows", "id_sum", "metric"
+        )
+
+    return (
+        _summ(quality, "1_quality", "doc_id")
+        .unionByName(_summ(stage2, "2_exact_dedup", "doc_id"))
+        .unionByName(_summ(stage3, "3_near_dedup", "doc_id"))
+        .unionByName(_summ(train, "4_split_train", "doc_id"))
+        .unionByName(_summ(evald, "4_split_eval", "doc_id"))
+        .unionByName(
+            _summ(report, "5_decontamination", "id", metric=F.sum("n_contaminated"))
+        )
+        .unionByName(
+            _summ(packed, "6_pack", "item_id", metric=F.count_distinct("seq_id"))
+        )
+        .orderBy("stage")
+    )
