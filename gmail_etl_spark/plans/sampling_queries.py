@@ -778,8 +778,17 @@ def _q258_oracle() -> str:
     b = _Q258_BUDGET
     return f"""
     WITH RECURSIVE docs AS (
+        -- the fixture plants NO exact-duplicate texts, so the slice is
+        -- augmented with offset-id copies of the first 50 docs: the
+        -- exact-dedup stage must collapse exactly those and min-id
+        -- canonicalization must recover the originals (otherwise the
+        -- stage would be identity-on-this-fixture, an unexercised path
+        -- in the very gate meant to exercise the composition)
         SELECT doc_id, text, string_split(text, ' ') AS toks
         FROM documents WHERE doc_id < 1000
+        UNION ALL
+        SELECT doc_id + 100000, text, string_split(text, ' ')
+        FROM documents WHERE doc_id < 50
     ),
     quality AS (SELECT * FROM docs WHERE len(toks) >= 20),
     canon AS (
@@ -974,10 +983,16 @@ def q258_composed_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from gmail_etl_spark.operators.sampling import pack_sequences
 
-    d = (
+    base = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 1000)
         .select("doc_id", "text")
+    )
+    # planted exact copies — see the oracle's docs CTE comment
+    d = base.unionByName(
+        base.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
     )
     quality = d.filter(F.size(F.split("text", " ")) >= 20)
     canon = exact_dedup(quality, "doc_id", "text").select(
