@@ -790,11 +790,11 @@ def _q258_oracle() -> str:
         SELECT doc_id + 100000, text, string_split(text, ' ')
         FROM documents WHERE doc_id < 50
     ),
-    quality AS (SELECT * FROM docs WHERE len(toks) >= 20),
+    quality AS MATERIALIZED (SELECT * FROM docs WHERE len(toks) >= 20),
     canon AS (
         SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY sha256(text)
     ),
-    stage2 AS (SELECT q.* FROM quality q JOIN canon USING (doc_id)),
+    stage2 AS MATERIALIZED (SELECT q.* FROM quality q JOIN canon USING (doc_id)),
     -- q44's sha256-family MinHash+LSH pipeline, sourced from stage2
     sh AS (
         SELECT DISTINCT doc_id,
@@ -853,14 +853,14 @@ def _q258_oracle() -> str:
         SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u
     ),
     comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
-    stage3 AS (
+    stage3 AS MATERIALIZED (
         SELECT s.* FROM stage2 s
         LEFT JOIN comp ON comp.id = s.doc_id
         WHERE comp.id IS NULL OR comp.component = s.doc_id
     ),
     -- q94's content-hash split (first hash byte < 0xcc = floor(256*0.8))
-    train AS (SELECT * FROM stage3 WHERE substr(sha256(text), 1, 2) < 'cc'),
-    evald AS (SELECT * FROM stage3 WHERE substr(sha256(text), 1, 2) >= 'cc'),
+    train AS MATERIALIZED (SELECT * FROM stage3 WHERE substr(sha256(text), 1, 2) < 'cc'),
+    evald AS MATERIALIZED (SELECT * FROM stage3 WHERE substr(sha256(text), 1, 2) >= 'cc'),
     -- q97's shingle-containment decontamination of eval against train
     bench_sh AS (
         SELECT DISTINCT doc_id AS id,
