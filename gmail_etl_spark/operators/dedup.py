@@ -352,19 +352,17 @@ def _lsh_sigs(
     )
 
 
-def _lsh_buckets(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
-    """(band, bucket, ids) collision buckets from banded signatures —
-    the one LSH shuffle.
+def _banded_keys(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, bucket) band-key rows from banded signatures — one row per
+    (doc, band), the per-doc half of the LSH bucket join.
 
     The band index is FUSED into the bucket hash (the band literal
-    seeds xxhash64), so the shuffle/group key is one long instead of an
+    seeds xxhash64), so a collision key is one long instead of an
     (int, long) pair — cross-band bucket merges need a 64-bit hash
     collision (~n_buckets²/2⁶⁵) and would only add candidates that the
-    exact verify then filters.  The constant band column keeps
-    ``capped_pair_candidates``' (band, bucket, ids) contract; per-band
-    salt independence survives because the bucket value itself differs
-    per band.
-    """
+    exact verify then filters.  Shared by :func:`_lsh_buckets` (batch
+    grouping) and the streaming near-dup index (probe/store keys), so
+    the two can never desync on the key definition."""
     if not 1 <= bands <= n_hashes or n_hashes % bands != 0:
         # bands > n_hashes would give rows_per_band = 0 (every band's
         # bucket a constant — the whole corpus in one bucket per band);
@@ -374,7 +372,7 @@ def _lsh_buckets(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
             f"got n_hashes={n_hashes}, bands={bands}"
         )
     rows_per_band = n_hashes // bands
-    banded = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -388,8 +386,18 @@ def _lsh_buckets(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
             )
         ).alias("bucket"),
     )
+
+
+def _lsh_buckets(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(band, bucket, ids) collision buckets from banded signatures —
+    the one LSH shuffle (see :func:`_banded_keys` for the fused-key
+    rationale).  The constant band column keeps
+    ``capped_pair_candidates``' (band, bucket, ids) contract; per-band
+    salt independence survives because the bucket value itself differs
+    per band.
+    """
     return (
-        banded.groupBy("bucket")
+        _banded_keys(sigs, n_hashes, bands).groupBy("bucket")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
         .select(F.lit(0).alias("band"), "bucket", "ids")

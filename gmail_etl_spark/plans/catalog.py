@@ -185,6 +185,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # -- (0) never driver-tested as ORACLED rows: the new round-9 rows,
     # then the three r9 hash-oracle conversions (q44/q45/q54 had only
     # rows-only visits before their portable-sha256 oracles landed) --
+    "q259_streaming_near_dup_index",
     "q258_composed_curation",
     "q257_string_key_global_rank",
     "q44_minhash_lsh", "q45_simhash", "q54_hyperplane_lsh",

@@ -1607,3 +1607,230 @@ def q247_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# q259 — streaming near-dup index driven through REAL Structured
+# Streaming, hash-oracled by replaying the batch recurrence in SQL.
+#
+# The q255 precedent made stream-stream joins driver-verifiable; this
+# row does the same for the INCREMENTAL near-dedup contract
+# (streaming/jobs.py::maintain_near_dup_index): three deterministic
+# micro-batches (doc_id ranges, file order pinned by mtime under
+# maxFilesPerTrigger=1), each deduped in-batch AND against the
+# retained-corpus index, survivors appended exactly-once.
+#
+# Oracle-ability rests on one reduction: both the history probe
+# (band-bucket collision + exact verify) and the in-batch pairing
+# (minhash_lsh_pairs) ask the SAME question — "do X and Y share a band
+# key AND verify at >= threshold Jaccard?" — so the oracle computes
+# that verified-similar pair relation ONCE over the whole slice (the
+# q44 sha256-family pipeline, band keys replayed as signature-slice
+# tuples) and then replays the three-batch recurrence as pure set
+# logic: dup_b = batch-b docs linked to the retained set; fresh_b =
+# batch_b − dup_b; kept_b = min-id component representatives of
+# simpairs restricted to fresh_b (three recursive-CTE component
+# fixpoints, one per batch, the q47/q48 shape).
+# ---------------------------------------------------------------------------
+
+#: (lo, hi) doc_id range of each micro-batch — the file written per
+#: range IS the batch (mtime-ordered, maxFilesPerTrigger=1)
+_Q259_BATCHES = ((0, 200), (200, 400), (400, 1000))
+_Q259_BATCH_CASE = (
+    "CASE WHEN doc_id < 200 THEN 0 WHEN doc_id < 400 THEN 1 ELSE 2 END"
+)
+
+
+def _q259_oracle() -> str:
+    from gmail_etl_spark.operators.dedup import _MH_P, _mh_ab
+
+    seeds = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in ((i, _mh_ab(i)) for i in range(_Q44_N_HASHES))
+    )
+    # per-batch recurrence blocks: kept{b} depends on retained{b-1}
+    blocks = []
+    for b in range(len(_Q259_BATCHES)):
+        prev_kept = " UNION ALL ".join(
+            f"SELECT doc_id FROM kept{j}" for j in range(b)
+        )
+        if prev_kept:
+            fresh = f"""
+    dup{b} AS (
+        SELECT DISTINCT d.doc_id
+        FROM docs d
+        JOIN simpairs s ON (s.a_id = d.doc_id OR s.b_id = d.doc_id)
+        JOIN ({prev_kept}) r
+          ON r.doc_id = CASE WHEN s.a_id = d.doc_id THEN s.b_id ELSE s.a_id END
+        WHERE d.batch = {b}
+    ),
+    fresh{b} AS (
+        SELECT doc_id FROM docs WHERE batch = {b}
+        AND doc_id NOT IN (SELECT doc_id FROM dup{b})
+    )"""
+        else:
+            fresh = f"""
+    fresh{b} AS (SELECT doc_id FROM docs WHERE batch = {b})"""
+        blocks.append(
+            fresh
+            + f""",
+    edges{b} AS (
+        SELECT s.a_id AS u, s.b_id AS v FROM simpairs s
+        JOIN fresh{b} fa ON fa.doc_id = s.a_id
+        JOIN fresh{b} fb ON fb.doc_id = s.b_id
+        UNION
+        SELECT s.b_id, s.a_id FROM simpairs s
+        JOIN fresh{b} fa ON fa.doc_id = s.a_id
+        JOIN fresh{b} fb ON fb.doc_id = s.b_id
+    ),
+    reach{b}(id, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges{b}) t
+        UNION
+        SELECT reach{b}.id, edges{b}.v
+        FROM reach{b} JOIN edges{b} ON reach{b}.r = edges{b}.u
+    ),
+    comp{b} AS (SELECT id, MIN(r) AS component FROM reach{b} GROUP BY id),
+    kept{b} AS (
+        SELECT f.doc_id FROM fresh{b} f
+        LEFT JOIN comp{b} c ON c.id = f.doc_id
+        WHERE c.id IS NULL OR c.component = f.doc_id
+    )"""
+        )
+    body = ",".join(blocks)
+    retained = " UNION ALL ".join(
+        f"SELECT doc_id FROM kept{j}" for j in range(len(_Q259_BATCHES))
+    )
+    return f"""
+    WITH RECURSIVE docs AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               {_Q259_BATCH_CASE} AS batch
+        FROM documents WHERE doc_id < 1000
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(
+                       generate_series(1, len(toks) - 2),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                   ELSE [array_to_string(toks, ' ')] END) AS shingle
+        FROM docs
+    ),
+    hashed AS (SELECT doc_id, shingle, sha256(shingle) AS hx FROM sh),
+    base AS MATERIALIZED (
+        SELECT doc_id, ({_Q44_BASE8}) % {_MH_P} AS h, substr(hx, 1, 16) AS h16
+        FROM hashed
+    ),
+    seeds(i, a, b) AS (VALUES {seeds}),
+    sig AS (
+        SELECT doc_id, s.i AS i, MIN((s.a * base.h + s.b) % {_MH_P}) AS mh
+        FROM base CROSS JOIN seeds s
+        GROUP BY doc_id, s.i
+    ),
+    bandkeys AS (
+        SELECT doc_id, i // {_Q44_ROWS_PER_BAND} AS band,
+               string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
+        FROM sig GROUP BY doc_id, i // {_Q44_ROWS_PER_BAND}
+    ),
+    cand AS (
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bandkeys x
+        JOIN bandkeys y ON x.band = y.band AND x.bkey = y.bkey
+                       AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(DISTINCT h16) AS n_h FROM base GROUP BY doc_id),
+    common AS (
+        SELECT c.a_id, c.b_id, COUNT(DISTINCT xa.h16) AS n_common
+        FROM cand c
+        JOIN base xa ON xa.doc_id = c.a_id
+        JOIN base xb ON xb.doc_id = c.b_id AND xb.h16 = xa.h16
+        GROUP BY c.a_id, c.b_id
+    ),
+    simpairs AS MATERIALIZED (
+        SELECT c.a_id, c.b_id
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.a_id
+        JOIN sizes sb ON sb.doc_id = c.b_id
+        WHERE CAST(n_common AS DOUBLE)
+                  / CAST(sa.n_h + sb.n_h - n_common AS DOUBLE) >= 0.5
+    ),{body}
+    SELECT {_Q259_BATCH_CASE.replace("doc_id", "r.doc_id")} AS batch,
+           COUNT(*) AS n_kept,
+           CAST(SUM(r.doc_id) AS BIGINT) AS id_sum
+    FROM ({retained}) r
+    GROUP BY 1
+    ORDER BY batch
+    """
+
+
+@query(
+    "q259_streaming_near_dup_index",
+    oracle=_q259_oracle(),
+    survey="D2,ST2,ST5",
+)
+def q259_streaming_near_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup driven through REAL Structured Streaming:
+    the documents slice re-enters as three mtime-ordered micro-batches
+    (availableNow, maxFilesPerTrigger=1); each batch is deduped in-batch
+    and against the persisted survivor index
+    (streaming/jobs.py::maintain_near_dup_index, sha256 hash family),
+    survivors append exactly-once behind the _CURRENT pointer, and the
+    final retained set folds to one (n_kept, id_sum) row per batch.
+    The oracle replays the whole recurrence in SQL — one global
+    verified-similar pair relation (the q44 pipeline), then per-batch
+    set logic with recursive-CTE components (see the comment above).
+
+    Retained-corpus semantics (kept-doc linkage, not transitive
+    closure) are the production dedup contract; the chain-divergence
+    case is pinned in tests/test_streaming.py.
+
+    Scale shape: the probe broadcasts the micro-batch's band keys and
+    streams the index once; survivors append, nothing rewrites.  The
+    driver-gate form materializes the bounded slice to three local
+    files; at 100 TB the same job tails a document lake directory."""
+    import os
+    import tempfile
+
+    from gmail_etl_spark.streaming.jobs import (
+        maintain_near_dup_index,
+        read_near_dup_index,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="q259_stream_")
+    src = os.path.join(tmp, "docs")
+    os.makedirs(src)
+    # one single-file batch per doc_id range, written driver-side (the
+    # slice is bounded) with strictly increasing mtimes: the file source
+    # processes oldest-first, so file order IS batch order
+    pdf = d.toPandas().sort_values("doc_id")
+    for b, (lo, hi) in enumerate(_Q259_BATCHES):
+        path = os.path.join(src, f"b{b}.parquet")
+        pdf[(pdf["doc_id"] >= lo) & (pdf["doc_id"] < hi)].to_parquet(path)
+        os.utime(path, (1_000_000_000 + b, 1_000_000_000 + b))
+    maintain_near_dup_index(
+        spark,
+        src,
+        os.path.join(tmp, "index"),
+        os.path.join(tmp, "ckpt"),
+        k=3,
+        n_hashes=_Q44_N_HASHES,
+        bands=_Q44_BANDS,
+        threshold=0.5,
+        max_bucket=1_000_000,
+        hash_family="sha256",
+    )
+    retained = read_near_dup_index(spark, os.path.join(tmp, "index"))
+    return (
+        retained.select(F.expr(_Q259_BATCH_CASE.replace("doc_id", "id")).alias("batch"), "id")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        .orderBy("batch")
+    )

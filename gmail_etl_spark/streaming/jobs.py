@@ -726,3 +726,218 @@ def read_heavy_hitter_summary(spark: SparkSession, rollup_dir: str) -> DataFrame
     return read_daily_rollup(spark, rollup_dir).orderBy(
         F.col("cnt").desc(), "user_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# D2 × ST5 — streaming near-dup index: dedup new arrivals against the
+# retained corpus (incremental MinHash-LSH)
+# ---------------------------------------------------------------------------
+
+
+def _resolve_index_head(spark: SparkSession, index_dir: str) -> int:
+    """Last published batch_id of the append-only near-dup index, or -1.
+
+    Same pointer-with-fallback discipline as
+    :func:`_resolve_rollup_version`: prefer ``_CURRENT``; fall back to
+    the highest ``_b`` dir (always fully written — data is committed
+    before the pointer moves)."""
+    jvm, fs, base = _rollup_fs(spark, index_dir)
+    ptr = jvm.org.apache.hadoop.fs.Path(index_dir, "_CURRENT")
+    if fs.exists(ptr):
+        stream = fs.open(ptr)
+        try:
+            raw = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        return int(raw.decode("utf-8").strip())
+    if fs.exists(base):
+        batches = sorted(
+            s.getPath().getName()
+            for s in fs.listStatus(base)
+            if s.isDirectory() and s.getPath().getName().startswith("_b")
+        )
+        if batches:
+            return int(batches[-1][2:])
+    return -1
+
+
+def _index_batch_dirs(spark: SparkSession, index_dir: str, head: int) -> list[str]:
+    """Published batch dirs (``_b<id>`` with id ≤ head), oldest first."""
+    if head < 0:
+        return []
+    jvm, fs, base = _rollup_fs(spark, index_dir)
+    if not fs.exists(base):
+        return []
+    out = []
+    for s in fs.listStatus(base):
+        name = s.getPath().getName()
+        if s.isDirectory() and name.startswith("_b") and int(name[2:]) <= head:
+            out.append(f"{index_dir.rstrip('/')}/{name}")
+    return sorted(out)
+
+
+def _publish_index_batch(
+    spark: SparkSession, index_dir: str, survivors: DataFrame, batch_id: int
+) -> None:
+    """Write ``survivors`` as ``_b<batch_id>`` then advance the
+    ``_CURRENT`` pointer — the append-log variant of
+    :func:`_publish_rollup_version` (no whole-index rewrite: unlike the
+    rollups, the index grows with the retained corpus, so each batch
+    publishes only its own survivors)."""
+    new_dir = f"{index_dir.rstrip('/')}/_b{batch_id:015d}"
+    survivors.write.mode("overwrite").parquet(new_dir)
+    jvm, fs, base = _rollup_fs(spark, index_dir)
+    ptr = jvm.org.apache.hadoop.fs.Path(index_dir, "_CURRENT")
+    tmp = jvm.org.apache.hadoop.fs.Path(index_dir, f"_CURRENT.{batch_id}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(str(batch_id).encode("utf-8"))
+    finally:
+        out.close()
+    if fs.exists(ptr):
+        fs.delete(ptr, False)
+    fs.rename(tmp, ptr)
+
+
+def maintain_near_dup_index(
+    spark: SparkSession,
+    docs_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 512,
+    hash_family: str = "xxhash64",
+) -> None:
+    """Incremental near-duplicate curation: each micro-batch is deduped
+    IN-BATCH (MinHash-LSH pairs → connected components, exactly the
+    batch operator) and AGAINST THE RETAINED CORPUS (LSH probe of the
+    persisted signature index + exact hashed-shingle Jaccard verify);
+    survivors append their (buckets, shingle-hash set) rows to the
+    index.  The streaming form of ``near_dedup`` — what a continuously
+    ingesting training-data pipeline actually runs: "is this new doc a
+    near-copy of anything we already kept?"
+
+    SEMANTICS — retained-corpus, not transitive closure: a doc is
+    dropped iff it is within ``threshold`` of a KEPT doc (or loses the
+    in-batch canonicalization).  Batch CC additionally merges chains
+    A~B~C where A≁C; here, if B arrives after A (dropped as A's dup),
+    a later C~B but C≁A is KEPT — there is no retained doc it
+    duplicates.  That asymmetry is deliberate (dedup-against-kept is
+    the production contract; a dropped doc cannot contaminate) and is
+    pinned by tests/test_streaming.py; on corpora where every cluster
+    member is within threshold of the cluster's first arrival (e.g.
+    all-pairs-similar duplicate groups), the retained set equals the
+    batch operator's canonical set exactly.
+
+    Exactly-once: the index is an append-only log of per-batch survivor
+    dirs (``_b<batch_id>``) behind a ``_CURRENT`` pointer; a replayed
+    batch (crash after publish, before checkpoint commit) is detected
+    by ``batch_id <= head`` and skipped, and readers only see dirs ≤
+    head, so a crash between data write and pointer advance leaves an
+    invisible (and then idempotently rewritten) dir.  Same contract as
+    :func:`maintain_daily_rollup`: index and checkpoint move together.
+
+    Scale shape: the probe broadcasts the MICRO-BATCH's band keys and
+    streams the index exactly once (never the reverse — the index is
+    the 100 TB side); the verify join pulls shingle-hash arrays only
+    for candidate pairs.  Per batch the index grows by the survivors
+    only; nothing is rewritten.  String content never enters the index
+    — buckets and 64-bit shingle hashes only."""
+    from gmail_etl_spark.operators.dedup import (
+        _banded_keys,
+        _lsh_sigs,
+        minhash_lsh_pairs,
+        near_dedup,
+    )
+
+    # schema sniff off the batch footer (readStream needs one up front)
+    docs = (
+        spark.readStream.schema(spark.read.parquet(docs_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        head = _resolve_index_head(spark_l, index_dir)
+        if batch_id <= head:
+            return  # at-least-once replay of an already-published batch
+        sigs = _lsh_sigs(batch_df, id_col, text_col, k, n_hashes, hash_family)
+        keys = _banded_keys(sigs, n_hashes, bands)
+        hist_dirs = _index_batch_dirs(spark_l, index_dir, head)
+        if hist_dirs:
+            hist = spark_l.read.parquet(*hist_dirs)
+            cand = (
+                hist.select(
+                    F.col("id").alias("h_id"), F.explode("buckets").alias("bucket")
+                )
+                .join(
+                    F.broadcast(keys.select(F.col("id").alias("b_id"), "bucket")),
+                    "bucket",
+                )
+                .select("b_id", "h_id")
+                .distinct()
+            )
+            inter = F.size(F.array_intersect("b_hsh", "h_hsh"))
+            union = F.size("b_hsh") + F.size("h_hsh") - inter
+            dup_ids = (
+                cand.join(
+                    F.broadcast(
+                        sigs.select(
+                            F.col("id").alias("b_id"), F.col("hsh").alias("b_hsh")
+                        )
+                    ),
+                    "b_id",
+                )
+                .join(
+                    hist.select(
+                        F.col("id").alias("h_id"), F.col("hsh").alias("h_hsh")
+                    ),
+                    "h_id",
+                )
+                .filter(
+                    inter.cast("double") / union.cast("double") >= threshold
+                )
+                .select(F.col("b_id").alias(id_col))
+                .distinct()
+            )
+            fresh = batch_df.join(dup_ids, id_col, "left_anti")
+        else:
+            fresh = batch_df
+        pairs = minhash_lsh_pairs(
+            fresh, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands,
+            threshold=threshold, max_bucket=max_bucket,
+            hash_family=hash_family,
+        )
+        kept = near_dedup(fresh, id_col, pairs)
+        kept_sigs = _lsh_sigs(kept, id_col, text_col, k, n_hashes, hash_family)
+        survivors = (
+            _banded_keys(kept_sigs, n_hashes, bands)
+            .groupBy("id")
+            .agg(F.collect_list("bucket").alias("buckets"))
+            .join(kept_sigs.select("id", "hsh"), "id")
+        )
+        _publish_index_batch(spark_l, index_dir, survivors, batch_id)
+
+    q = (
+        docs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_near_dup_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Current retained set: (id, buckets, hsh) of every survivor
+    published by :func:`maintain_near_dup_index`."""
+    head = _resolve_index_head(spark, index_dir)
+    dirs = _index_batch_dirs(spark, index_dir, head)
+    if not dirs:
+        raise FileNotFoundError(f"no near-dup index published under {index_dir}")
+    return spark.read.parquet(*dirs)

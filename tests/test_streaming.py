@@ -613,3 +613,88 @@ def test_heavy_hitter_summary_guarantee_across_batches(spark, tmp_path):
         spark, str(src), rollup, str(tmp_path / "ck2"), k=k
     )
     assert state() == got
+
+
+def test_streaming_near_dup_index_matches_batch(spark, tmp_path):
+    """Streaming the planted corpus through in id-ordered micro-batches
+    sized so duplicate groups STRADDLE batch boundaries, the retained
+    set must equal the batch operator's canonical set — every planted
+    group is all-pairs similar, so first-arrival == min-id and the
+    retained-corpus semantics coincide with batch CC.  Then the two
+    exactly-once restarts of the rollup contract."""
+    import pandas as pd
+
+    from gmail_etl_spark.operators.dedup import minhash_lsh_pairs, near_dedup
+    from gmail_etl_spark.streaming.jobs import (
+        maintain_near_dup_index,
+        read_near_dup_index,
+    )
+    from gmail_etl_spark.synthetic import planted_near_dup_corpus
+
+    n, group = 380, 10
+    corpus = planted_near_dup_corpus(spark, n, group=group)
+    pdf = corpus.toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = tmp_path / "docs"
+    src.mkdir()
+    # chunks of 95: every second group of 10 straddles a batch boundary,
+    # so its tail members must dedup AGAINST HISTORY, not in-batch
+    for i in range(4):
+        pdf.iloc[i * 95 : (i + 1) * 95].to_parquet(src / f"{i}.parquet")
+
+    index = str(tmp_path / "ndindex")
+    maintain_near_dup_index(spark, str(src), index, str(tmp_path / "ckpt"))
+
+    expected = {
+        r["doc_id"]
+        for r in near_dedup(
+            corpus,
+            "doc_id",
+            minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.5,
+                              n_hashes=16, bands=8),
+        ).select("doc_id").collect()
+    }
+    assert expected == set(range(0, n, group))  # the planted heads
+
+    def retained():
+        return {r["id"] for r in read_near_dup_index(spark, index).collect()}
+
+    assert retained() == expected
+    # idempotent restart with the same checkpoint: nothing new
+    maintain_near_dup_index(spark, str(src), index, str(tmp_path / "ckpt"))
+    assert retained() == expected
+    # fresh checkpoint replays batch_ids from zero; the head pointer
+    # must reject each replayed publish (duplicates would double rows)
+    maintain_near_dup_index(spark, str(src), index, str(tmp_path / "ckpt2"))
+    assert retained() == expected
+
+
+def test_streaming_near_dup_retained_corpus_semantics(spark, tmp_path):
+    """The documented divergence from batch CC on similarity CHAINS:
+    A~B and B~C but A≁C, arriving in three batches.  B drops (near the
+    retained A); C is near only the DROPPED B, duplicates nothing that
+    was kept, and must be RETAINED — batch CC would transitively merge
+    all three.  Dedup-against-kept is the production contract: a
+    dropped doc cannot contaminate the corpus."""
+    import pandas as pd
+
+    from gmail_etl_spark.streaming.jobs import (
+        maintain_near_dup_index,
+        read_near_dup_index,
+    )
+
+    words = [f"w{i}" for i in range(50)]
+    mk = lambda lo, hi: " ".join(words[lo:hi])
+    # token-set Jaccard (k=1): A∩B = 24/36 ≈ 0.67, B∩C ≈ 0.67, A∩C = 18/42 ≈ 0.43
+    rows = [(0, mk(0, 30)), (1, mk(6, 36)), (2, mk(12, 42))]
+    src = tmp_path / "chain"
+    src.mkdir()
+    for i, row in enumerate(rows):
+        pd.DataFrame([row], columns=["doc_id", "text"]).to_parquet(
+            src / f"{i}.parquet"
+        )
+    index = str(tmp_path / "ndindex")
+    maintain_near_dup_index(
+        spark, str(src), index, str(tmp_path / "ckpt"),
+        k=1, n_hashes=16, bands=16, threshold=0.5,
+    )
+    assert {r["id"] for r in read_near_dup_index(spark, index).collect()} == {0, 2}
