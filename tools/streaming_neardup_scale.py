@@ -1,0 +1,121 @@
+"""Streaming near-dup index at scale: the incremental probe against a
+GROWING persisted index, measured and exactness-checked.
+
+`tests/test_streaming.py` pins maintain_near_dup_index's contract at
+380 docs; `tools/curation_scale.py` proves the batch near-dup chain at
+2M/10M.  What neither shows is the incremental path's behavior when the
+index it probes is itself large: per-batch cost as history accumulates,
+and zero recall loss across batch boundaries.  This tool streams the
+planted corpus through in micro-batches whose boundaries deliberately
+SPLIT duplicate groups (chunk size coprime to the group size), so a
+group's tail members must dedup against the persisted index, not
+in-batch — at every batch after the first.
+
+Exactness: ``--n-tokens 60`` + single-row bands give the same per-doc
+isolation margin as curation_scale ((1-J)^bands ~ 3e-12), and planted
+groups are all-pairs similar, so first-arrival == min-id and the
+retained set must equal the planted heads EXACTLY — count and id-sum
+both asserted.
+
+Usage: PYTHONPATH=. python tools/streaming_neardup_scale.py
+       [--n 500000] [--batches 5] [--out STREAMING_NEARDUP_SCALE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=500_000)
+    ap.add_argument("--group", type=int, default=10)
+    ap.add_argument("--batches", type=int, default=5)
+    ap.add_argument("--n-tokens", type=int, default=60)
+    ap.add_argument("--workdir", type=str, default=None)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gmail_etl_spark.session import get_spark
+    from gmail_etl_spark.streaming.jobs import (
+        maintain_near_dup_index,
+        read_near_dup_index,
+    )
+    from gmail_etl_spark.synthetic import planted_near_dup_corpus
+
+    spark = get_spark("streaming-neardup-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    n, group = args.n, args.group
+
+    work = args.workdir or tempfile.mkdtemp(prefix="stream_nd_scale_")
+    src = os.path.join(work, "docs")
+    os.makedirs(src, exist_ok=True)
+    # chunk size ends in 5 (coprime to group=10), so every batch
+    # boundary splits a duplicate group across batches
+    chunk = (n // args.batches // 10) * 10 + 5
+    pdf = (
+        planted_near_dup_corpus(spark, n, group=group, n_tokens=args.n_tokens)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n_files = 0
+    for i in range(0, n, chunk):
+        path = os.path.join(src, f"b{n_files:04d}.parquet")
+        pdf.iloc[i : i + chunk].to_parquet(path)
+        os.utime(path, (1_000_000_000 + n_files, 1_000_000_000 + n_files))
+        n_files += 1
+
+    index = os.path.join(work, "index")
+    t0 = time.perf_counter()
+    maintain_near_dup_index(
+        spark, src, index, os.path.join(work, "ckpt"),
+        k=3, n_hashes=16, bands=16, threshold=0.5,
+    )
+    wall = round(time.perf_counter() - t0, 2)
+
+    retained = read_near_dup_index(spark, index)
+    agg = retained.agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("id").alias("s")
+    ).collect()[0]
+    heads = list(range(0, n, group))
+    assert agg["cnt"] == len(heads), (agg["cnt"], len(heads))
+    assert agg["s"] == sum(heads), (agg["s"], sum(heads))
+    index_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(index) for f in fs
+    )
+    print(
+        f"[ok] retained={agg['cnt']} == planted heads, id_sum exact; "
+        f"{n_files} batches, {wall}s, index {index_bytes >> 20} MiB"
+    )
+    result = {
+        "metric": "streaming_neardup_scale",
+        "n_docs": n,
+        "group": group,
+        "n_tokens": args.n_tokens,
+        "batches": n_files,
+        "chunk": chunk,
+        "retained": agg["cnt"],
+        "retained_id_sum_exact": True,
+        "wall_s": wall,
+        "docs_per_sec": round(n / wall, 1),
+        "index_bytes": index_bytes,
+        "loadavg": list(os.getloadavg()),
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
