@@ -313,12 +313,80 @@ def _audit_streaming_stateful(spark, F, runs: int, n_events: int) -> dict:
     }
 
 
+def _audit_streaming_neardup(spark, F, runs: int, n_docs: int) -> dict:
+    """maintain_near_dup_index derives state from BATCH BOUNDARIES (the
+    survivor index a batch probes is whatever previous batches kept) —
+    squarely the physical-layout-feeds-state class this forensic
+    audits.  Each run streams the planted corpus from a FRESH work dir
+    in group-straddling micro-batches (chunk size coprime to the group
+    size, file order mtime-pinned) and checksums the retained id set
+    against the planted-heads truth: all-pairs-similar groups +
+    first-arrival == min-id make batch-operator equality exact (the
+    60-token/single-row-band margin of tools/curation_scale.py)."""
+    from gmail_etl_spark.streaming.jobs import (
+        maintain_near_dup_index,
+        read_near_dup_index,
+    )
+    from gmail_etl_spark.synthetic import planted_near_dup_corpus
+
+    group, chunk = 10, (n_docs // 4 // 10) * 10 + 5
+    pdf = (
+        planted_near_dup_corpus(spark, n_docs, group=group, n_tokens=60)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    heads = list(range(0, n_docs, group))
+    truth_chk = (len(heads), sum(heads))
+
+    work = tempfile.mkdtemp(prefix="forensic_nd_")
+    checksums, walls = [], []
+    try:
+        for run in range(runs):
+            rundir = os.path.join(work, f"run{run}")
+            src = os.path.join(rundir, "docs")
+            os.makedirs(src)
+            n_files = 0
+            for i in range(0, n_docs, chunk):
+                path = os.path.join(src, f"b{n_files:04d}.parquet")
+                pdf.iloc[i : i + chunk].to_parquet(path)
+                os.utime(path, (1_000_000_000 + n_files,) * 2)
+                n_files += 1
+            index = os.path.join(rundir, "index")
+            t0 = time.perf_counter()
+            maintain_near_dup_index(
+                spark, src, index, os.path.join(rundir, "ckpt"),
+                k=3, n_hashes=16, bands=16, threshold=0.5,
+            )
+            walls.append(round(time.perf_counter() - t0, 2))
+            r = (
+                read_near_dup_index(spark, index)
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+                .collect()[0]
+            )
+            checksums.append((r["n"], r["s"]))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {
+        "operator": "streaming_neardup_index",
+        "docs": n_docs,
+        "batches": n_files,
+        "runs": runs,
+        "truth_checksum": list(truth_chk),
+        "run_checksums": [list(c) for c in checksums],
+        "distinct_checksums": len(set(checksums)),
+        "all_match_truth": all(c == truth_chk for c in checksums),
+        "walls_s": walls,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--cc-nodes", type=int, default=300_000)
     ap.add_argument("--knn-rows", type=int, default=200_000)
     ap.add_argument("--stream-events", type=int, default=200_000)
+    ap.add_argument("--neardup-docs", type=int, default=20_000)
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
@@ -335,6 +403,7 @@ def main() -> None:
         _audit_connected_components(spark, F, args.runs, args.cc_nodes),
         _audit_topk_batch_shapes(spark, F, max(args.runs, 3), args.knn_rows),
         _audit_streaming_stateful(spark, F, args.runs, args.stream_events),
+        _audit_streaming_neardup(spark, F, args.runs, args.neardup_docs),
     ]
     def _ok(a: dict) -> bool:
         if a["operator"] == "streaming_dedup_and_rollup":
