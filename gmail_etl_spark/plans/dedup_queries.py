@@ -167,17 +167,43 @@ _Q44_BASE8 = " + ".join(
 )
 
 
-def _q44_oracle() -> str:
+def _sha_minhash_pair_ctes(
+    source_cte: str,
+    threshold: float,
+    out_cte: str = "simpairs",
+    with_jaccard: bool = False,
+    materialized_out: bool = False,
+    n_hashes: int = _Q44_N_HASHES,
+    bands: int = _Q44_BANDS,
+) -> str:
+    """THE single emitter of the sha256-family MinHash+LSH+verify oracle
+    CTE block — shared by q44 (the pair query itself), q258 (the
+    composed curation row), and q259 (the streaming-index recurrence),
+    so a threshold/shingle/nibble tweak can never desync the three (the
+    same rationale as operators.dedup._banded_keys on the Spark side).
+
+    Emits ``sh → hashed → base → seeds → sig → bandkeys → cand → sizes
+    → common → <out_cte>`` sourced from ``source_cte`` (must expose
+    ``doc_id`` and ``toks``); ``<out_cte>`` holds the verified pairs
+    (a_id, b_id[, jaccard]) at ``threshold``.  ``base`` is MATERIALIZED
+    (three consumers); mark ``materialized_out`` when the caller
+    references ``<out_cte>`` more than once (the q258 CTE-inlining
+    lesson: DuckDB re-executes multiply-referenced CTEs otherwise).
+    Internal CTE names are fixed — callers must not reuse them."""
     from gmail_etl_spark.operators.dedup import _MH_P, _mh_ab
 
     seeds = ", ".join(
-        f"({i}, {a}, {b})" for i, (a, b) in ((i, _mh_ab(i)) for i in range(_Q44_N_HASHES))
+        f"({i}, {a}, {b})"
+        for i, (a, b) in ((i, _mh_ab(i)) for i in range(n_hashes))
     )
+    rows_per_band = n_hashes // bands
+    jac = (
+        "CAST(n_common AS DOUBLE)"
+        " / CAST(sa.n_h + sb.n_h - n_common AS DOUBLE)"
+    )
+    jcol = f",\n           {jac} AS jaccard" if with_jaccard else ""
+    mat = "MATERIALIZED " if materialized_out else ""
     return f"""
-    WITH docs AS (
-        SELECT doc_id, string_split(text, ' ') AS toks
-        FROM documents WHERE doc_id < 2000
-    ),
     sh AS (
         SELECT DISTINCT doc_id,
                unnest(CASE WHEN len(toks) >= 3
@@ -185,15 +211,11 @@ def _q44_oracle() -> str:
                        generate_series(1, len(toks) - 2),
                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
                    ELSE [array_to_string(toks, ' ')] END) AS shingle
-        FROM docs
+        FROM {source_cte}
     ),
-    hashed AS (
-        SELECT doc_id, shingle, sha256(shingle) AS hx FROM sh
-    ),
-    base AS (
-        SELECT doc_id,
-               ({_Q44_BASE8}) % {_MH_P} AS h,
-               substr(hx, 1, 16) AS h16
+    hashed AS (SELECT doc_id, shingle, sha256(shingle) AS hx FROM sh),
+    base AS MATERIALIZED (
+        SELECT doc_id, ({_Q44_BASE8}) % {_MH_P} AS h, substr(hx, 1, 16) AS h16
         FROM hashed
     ),
     seeds(i, a, b) AS (VALUES {seeds}),
@@ -203,9 +225,9 @@ def _q44_oracle() -> str:
         GROUP BY doc_id, s.i
     ),
     bandkeys AS (
-        SELECT doc_id, i // {_Q44_ROWS_PER_BAND} AS band,
+        SELECT doc_id, i // {rows_per_band} AS band,
                string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
-        FROM sig GROUP BY doc_id, i // {_Q44_ROWS_PER_BAND}
+        FROM sig GROUP BY doc_id, i // {rows_per_band}
     ),
     cand AS (
         SELECT x.doc_id AS a_id, y.doc_id AS b_id
@@ -221,16 +243,26 @@ def _q44_oracle() -> str:
         JOIN base xa ON xa.doc_id = c.a_id
         JOIN base xb ON xb.doc_id = c.b_id AND xb.h16 = xa.h16
         GROUP BY c.a_id, c.b_id
-    )
-    SELECT c.a_id, c.b_id,
-           CAST(n_common AS DOUBLE)
-               / CAST(sa.n_h + sb.n_h - n_common AS DOUBLE) AS jaccard
-    FROM common c
-    JOIN sizes sa ON sa.doc_id = c.a_id
-    JOIN sizes sb ON sb.doc_id = c.b_id
-    WHERE CAST(n_common AS DOUBLE)
-              / CAST(sa.n_h + sb.n_h - n_common AS DOUBLE) >= 0.5
-    ORDER BY c.a_id, c.b_id
+    ),
+    {out_cte} AS {mat}(
+        SELECT c.a_id, c.b_id{jcol}
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.a_id
+        JOIN sizes sb ON sb.doc_id = c.b_id
+        WHERE {jac} >= {threshold}
+    )"""
+
+
+
+
+def _q44_oracle() -> str:
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 2000
+    ),{_sha_minhash_pair_ctes("docs", 0.5, out_cte="pairs", with_jaccard=True)}
+    SELECT a_id, b_id, jaccard FROM pairs
+    ORDER BY a_id, b_id
     """
 
 
@@ -1642,12 +1674,6 @@ _Q259_BATCH_CASE = (
 
 
 def _q259_oracle() -> str:
-    from gmail_etl_spark.operators.dedup import _MH_P, _mh_ab
-
-    seeds = ", ".join(
-        f"({i}, {a}, {b})"
-        for i, (a, b) in ((i, _mh_ab(i)) for i in range(_Q44_N_HASHES))
-    )
     # per-batch recurrence blocks: kept{b} depends on retained{b-1}
     blocks = []
     for b in range(len(_Q259_BATCHES)):
@@ -1706,54 +1732,7 @@ def _q259_oracle() -> str:
                {_Q259_BATCH_CASE} AS batch
         FROM documents WHERE doc_id < 1000
     ),
-    sh AS (
-        SELECT DISTINCT doc_id,
-               unnest(CASE WHEN len(toks) >= 3
-                   THEN list_transform(
-                       generate_series(1, len(toks) - 2),
-                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-                   ELSE [array_to_string(toks, ' ')] END) AS shingle
-        FROM docs
-    ),
-    hashed AS (SELECT doc_id, shingle, sha256(shingle) AS hx FROM sh),
-    base AS MATERIALIZED (
-        SELECT doc_id, ({_Q44_BASE8}) % {_MH_P} AS h, substr(hx, 1, 16) AS h16
-        FROM hashed
-    ),
-    seeds(i, a, b) AS (VALUES {seeds}),
-    sig AS (
-        SELECT doc_id, s.i AS i, MIN((s.a * base.h + s.b) % {_MH_P}) AS mh
-        FROM base CROSS JOIN seeds s
-        GROUP BY doc_id, s.i
-    ),
-    bandkeys AS (
-        SELECT doc_id, i // {_Q44_ROWS_PER_BAND} AS band,
-               string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
-        FROM sig GROUP BY doc_id, i // {_Q44_ROWS_PER_BAND}
-    ),
-    cand AS (
-        SELECT x.doc_id AS a_id, y.doc_id AS b_id
-        FROM bandkeys x
-        JOIN bandkeys y ON x.band = y.band AND x.bkey = y.bkey
-                       AND x.doc_id < y.doc_id
-        GROUP BY x.doc_id, y.doc_id
-    ),
-    sizes AS (SELECT doc_id, COUNT(DISTINCT h16) AS n_h FROM base GROUP BY doc_id),
-    common AS (
-        SELECT c.a_id, c.b_id, COUNT(DISTINCT xa.h16) AS n_common
-        FROM cand c
-        JOIN base xa ON xa.doc_id = c.a_id
-        JOIN base xb ON xb.doc_id = c.b_id AND xb.h16 = xa.h16
-        GROUP BY c.a_id, c.b_id
-    ),
-    simpairs AS MATERIALIZED (
-        SELECT c.a_id, c.b_id
-        FROM common c
-        JOIN sizes sa ON sa.doc_id = c.a_id
-        JOIN sizes sb ON sb.doc_id = c.b_id
-        WHERE CAST(n_common AS DOUBLE)
-                  / CAST(sa.n_h + sb.n_h - n_common AS DOUBLE) >= 0.5
-    ),{body}
+{_sha_minhash_pair_ctes('docs', 0.5, materialized_out=True)},{body}
     SELECT {_Q259_BATCH_CASE.replace("doc_id", "r.doc_id")} AS batch,
            COUNT(*) AS n_kept,
            CAST(SUM(r.doc_id) AS BIGINT) AS id_sum
@@ -1788,7 +1767,9 @@ def q259_streaming_near_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame
     streams the index once; survivors append, nothing rewrites.  The
     driver-gate form materializes the bounded slice to three local
     files; at 100 TB the same job tails a document lake directory."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from gmail_etl_spark.streaming.jobs import (
@@ -1802,6 +1783,9 @@ def q259_streaming_near_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "text")
     )
     tmp = tempfile.mkdtemp(prefix="q259_stream_")
+    # the returned plan scans the index lazily at collect time, so the
+    # directory is reclaimed at process exit, not here (q256 convention)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     src = os.path.join(tmp, "docs")
     os.makedirs(src)
     # one single-file batch per doc_id range, written driver-side (the

@@ -753,13 +753,9 @@ def q172_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covers every stage's full membership without shipping texts.
 # ---------------------------------------------------------------------------
 
-_Q258_N_HASHES, _Q258_BANDS, _Q258_BUDGET = 32, 16, 128
+_Q258_BUDGET = 128
 
 _Q258_HEX = "0123456789abcdef"
-_Q258_BASE8 = " + ".join(
-    f"(strpos('{_Q258_HEX}', substr(hx, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-    for i in range(8)
-)
 _Q258_NIB8 = " + ".join(
     f"(strpos('{_Q258_HEX}', substr(sha256(CAST(item_id AS VARCHAR)), {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}"
@@ -768,13 +764,8 @@ _Q258_NIB8 = " + ".join(
 
 
 def _q258_oracle() -> str:
-    from gmail_etl_spark.operators.dedup import _MH_P, _mh_ab
+    from gmail_etl_spark.plans.dedup_queries import _sha_minhash_pair_ctes
 
-    seeds = ", ".join(
-        f"({i}, {a}, {b})"
-        for i, (a, b) in ((i, _mh_ab(i)) for i in range(_Q258_N_HASHES))
-    )
-    rows_per_band = _Q258_N_HASHES // _Q258_BANDS
     b = _Q258_BUDGET
     return f"""
     WITH RECURSIVE docs AS (
@@ -795,55 +786,8 @@ def _q258_oracle() -> str:
         SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY sha256(text)
     ),
     stage2 AS MATERIALIZED (SELECT q.* FROM quality q JOIN canon USING (doc_id)),
-    -- q44's sha256-family MinHash+LSH pipeline, sourced from stage2
-    sh AS (
-        SELECT DISTINCT doc_id,
-               unnest(CASE WHEN len(toks) >= 3
-                   THEN list_transform(
-                       generate_series(1, len(toks) - 2),
-                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-                   ELSE [array_to_string(toks, ' ')] END) AS shingle
-        FROM stage2
-    ),
-    hashed AS (SELECT doc_id, shingle, sha256(shingle) AS hx FROM sh),
-    base AS (
-        SELECT doc_id, ({_Q258_BASE8}) % {_MH_P} AS h, substr(hx, 1, 16) AS h16
-        FROM hashed
-    ),
-    seeds(i, a, b) AS (VALUES {seeds}),
-    sig AS (
-        SELECT doc_id, s.i AS i, MIN((s.a * base.h + s.b) % {_MH_P}) AS mh
-        FROM base CROSS JOIN seeds s
-        GROUP BY doc_id, s.i
-    ),
-    bandkeys AS (
-        SELECT doc_id, i // {rows_per_band} AS band,
-               string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
-        FROM sig GROUP BY doc_id, i // {rows_per_band}
-    ),
-    cand AS (
-        SELECT x.doc_id AS a_id, y.doc_id AS b_id
-        FROM bandkeys x
-        JOIN bandkeys y ON x.band = y.band AND x.bkey = y.bkey
-                       AND x.doc_id < y.doc_id
-        GROUP BY x.doc_id, y.doc_id
-    ),
-    sizes AS (SELECT doc_id, COUNT(DISTINCT h16) AS n_h FROM base GROUP BY doc_id),
-    common AS (
-        SELECT c.a_id, c.b_id, COUNT(DISTINCT xa.h16) AS n_common
-        FROM cand c
-        JOIN base xa ON xa.doc_id = c.a_id
-        JOIN base xb ON xb.doc_id = c.b_id AND xb.h16 = xa.h16
-        GROUP BY c.a_id, c.b_id
-    ),
-    pairs AS (
-        SELECT c.a_id, c.b_id
-        FROM common c
-        JOIN sizes sa ON sa.doc_id = c.a_id
-        JOIN sizes sb ON sb.doc_id = c.b_id
-        WHERE CAST(n_common AS DOUBLE)
-                  / CAST(sa.n_h + sb.n_h - n_common AS DOUBLE) >= 0.5
-    ),
+    -- q44's sha256-family MinHash+LSH pipeline (shared emitter),
+    -- sourced from stage2{_sha_minhash_pair_ctes("stage2", 0.5, out_cte="pairs")},
     -- q47's min-reachable-id connected components over the LSH pairs
     edges AS (SELECT a_id AS u, b_id AS v FROM pairs
               UNION SELECT b_id, a_id FROM pairs),
@@ -982,6 +926,7 @@ def q258_composed_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dedup,
     )
     from gmail_etl_spark.operators.sampling import pack_sequences
+    from gmail_etl_spark.plans.dedup_queries import _Q44_BANDS, _Q44_N_HASHES
 
     base = (
         load_table(spark, sf_dir, "documents")
@@ -1004,13 +949,18 @@ def q258_composed_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         k=3,
-        n_hashes=_Q258_N_HASHES,
-        bands=_Q258_BANDS,
+        n_hashes=_Q44_N_HASHES,
+        bands=_Q44_BANDS,
         threshold=0.5,
         max_bucket=1_000_000,
         hash_family="sha256",
     )
-    stage3 = near_dedup(stage2, "doc_id", pairs)
+    # the seven summary branches below share this subtree; without a
+    # cache each branch re-runs the whole LSH chain (the Spark-side
+    # analog of the oracle's AS MATERIALIZED).  Bounded: ≤1050 rows of
+    # (doc_id, text) at any SF, retained for the session like q256's
+    # sidecar — the slice bound makes that a few hundred KB.
+    stage3 = near_dedup(stage2, "doc_id", pairs).cache()
     split = hash_split(stage3, "text", train_pct=80)
     train = split.filter(F.col("split") == "train")
     evald = split.filter(F.col("split") == "eval")

@@ -167,9 +167,14 @@ def _resolve_rollup_version(spark: SparkSession, rollup_dir: str) -> tuple[str, 
 
     Prefers the ``_CURRENT`` pointer file; if the pointer is missing but
     version dirs exist (the sub-second crash window between publishing a
-    new pointer and the old one's removal — or a manual delete), falls
-    back to the highest ``_v`` dir, which is always a fully-written
-    version because data is renamed into place before the pointer moves.
+    new pointer and the old one's removal — or a crash during the very
+    FIRST version's write, before any pointer existed — or a manual
+    delete), falls back to the highest COMMITTED ``_v`` dir.  The
+    ``_SUCCESS`` marker gates the fallback: a partial first-version dir
+    (crash before job commit) must not be trusted, or its replayed
+    batch would be skipped against corrupt state; any later partial dir
+    is harmless because the data write completes before the old pointer
+    is touched, so a surviving pointer always wins.
     """
     jvm, fs, base = _rollup_fs(spark, rollup_dir)
     ptr = jvm.org.apache.hadoop.fs.Path(rollup_dir, "_CURRENT")
@@ -185,7 +190,13 @@ def _resolve_rollup_version(spark: SparkSession, rollup_dir: str) -> tuple[str, 
         versions = sorted(
             s.getPath().getName()
             for s in fs.listStatus(base)
-            if s.isDirectory() and s.getPath().getName().startswith("_v")
+            if s.isDirectory()
+            and s.getPath().getName().startswith("_v")
+            and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{rollup_dir.rstrip('/')}/{s.getPath().getName()}", "_SUCCESS"
+                )
+            )
         )
         if versions:
             return f"{rollup_dir.rstrip('/')}/{versions[-1]}", int(versions[-1][2:])
@@ -739,8 +750,13 @@ def _resolve_index_head(spark: SparkSession, index_dir: str) -> int:
 
     Same pointer-with-fallback discipline as
     :func:`_resolve_rollup_version`: prefer ``_CURRENT``; fall back to
-    the highest ``_b`` dir (always fully written — data is committed
-    before the pointer moves)."""
+    the highest COMMITTED ``_b`` dir.  The fallback checks the write
+    job's ``_SUCCESS`` marker: a crash mid-write (before job commit,
+    before any pointer exists) leaves a partial dir with no marker,
+    which must NOT be treated as published — the replayed batch would
+    otherwise be skipped forever against corrupt history.  A dir WITH
+    the marker is complete, so skipping its replay is the correct
+    idempotent outcome even though the pointer never advanced."""
     jvm, fs, base = _rollup_fs(spark, index_dir)
     ptr = jvm.org.apache.hadoop.fs.Path(index_dir, "_CURRENT")
     if fs.exists(ptr):
@@ -754,7 +770,13 @@ def _resolve_index_head(spark: SparkSession, index_dir: str) -> int:
         batches = sorted(
             s.getPath().getName()
             for s in fs.listStatus(base)
-            if s.isDirectory() and s.getPath().getName().startswith("_b")
+            if s.isDirectory()
+            and s.getPath().getName().startswith("_b")
+            and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{index_dir.rstrip('/')}/{s.getPath().getName()}", "_SUCCESS"
+                )
+            )
         )
         if batches:
             return int(batches[-1][2:])
@@ -871,17 +893,24 @@ def maintain_near_dup_index(
         keys = _banded_keys(sigs, n_hashes, bands)
         hist_dirs = _index_batch_dirs(spark_l, index_dir, head)
         if hist_dirs:
+            # ONE scan of the (100 TB-side) index: hsh rides along the
+            # bucket explode, so candidate generation and verify share
+            # the same read instead of two full passes; multi-band
+            # collisions collapse in the groupBy (every h_hsh for a
+            # given h_id is identical, so first() is exact)
             hist = spark_l.read.parquet(*hist_dirs)
             cand = (
                 hist.select(
-                    F.col("id").alias("h_id"), F.explode("buckets").alias("bucket")
+                    F.col("id").alias("h_id"),
+                    F.col("hsh").alias("h_hsh"),
+                    F.explode("buckets").alias("bucket"),
                 )
                 .join(
                     F.broadcast(keys.select(F.col("id").alias("b_id"), "bucket")),
                     "bucket",
                 )
-                .select("b_id", "h_id")
-                .distinct()
+                .groupBy("b_id", "h_id")
+                .agg(F.first("h_hsh").alias("h_hsh"))
             )
             inter = F.size(F.array_intersect("b_hsh", "h_hsh"))
             union = F.size("b_hsh") + F.size("h_hsh") - inter
@@ -893,12 +922,6 @@ def maintain_near_dup_index(
                         )
                     ),
                     "b_id",
-                )
-                .join(
-                    hist.select(
-                        F.col("id").alias("h_id"), F.col("hsh").alias("h_hsh")
-                    ),
-                    "h_id",
                 )
                 .filter(
                     inter.cast("double") / union.cast("double") >= threshold

@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import time
 
@@ -179,7 +180,7 @@ def main() -> None:
         return s3, s3.count(), {}
 
     stage3 = stage(
-        "near_dedup", _near, n // group,
+        "near_dedup", _near, math.ceil(n / group),
         "one canonical row per planted group of ``group`` near-dups",
     )
     quality.unpersist()
@@ -199,7 +200,7 @@ def main() -> None:
         return s, cnt, {"straddling_texts": straddle}
 
     split = stage(
-        "hash_split", _split, n // group,
+        "hash_split", _split, math.ceil(n / group),
         "content-keyed 80/20 split preserves count; no text straddles",
     )
     stage3.unpersist()
@@ -207,7 +208,7 @@ def main() -> None:
     train = split.filter(F.col("split") == "train").cache()
     evald = split.filter(F.col("split") == "eval").cache()
     n_train, n_eval = train.count(), evald.count()
-    assert n_train + n_eval == n // group
+    assert n_train + n_eval == math.ceil(n / group)
 
     # 5. decontamination — planted groups share no tokens, so every
     # eval doc's 3-shingle overlap with train is exactly zero
@@ -239,6 +240,7 @@ def main() -> None:
             F.count(F.lit(1)).alias("cnt"),
             F.sum("n_tokens").alias("tok"),
             F.count_distinct("item_id").alias("ids"),
+            F.count_distinct("seq_id").alias("n_seqs"),
         ).collect()[0]
         assert agg["tok"] == n_train * args.n_tokens, agg["tok"]
         assert agg["ids"] == agg["cnt"], (agg["ids"], agg["cnt"])
@@ -251,11 +253,10 @@ def main() -> None:
             .count()
         )
         assert over == 0, over
-        n_seqs = packed.select("seq_id").distinct().count()
         packed.unpersist()
         return packed, agg["cnt"], {
             "total_tokens": agg["tok"],
-            "n_sequences": n_seqs,
+            "n_sequences": agg["n_seqs"],
             "overfull_multi_item_seqs": over,
         }
 
