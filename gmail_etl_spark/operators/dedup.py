@@ -463,6 +463,26 @@ def minhash_lsh_pairs(
             threshold, target_recall, max_hashes=max_hashes
         )
     sigs = _lsh_sigs(df, id_col, text_col, k, n_hashes, hash_family)
+    return _pairs_from_sigs(
+        sigs, n_hashes, bands, threshold, max_bucket, broadcast_verify
+    )
+
+
+def _pairs_from_sigs(
+    sigs: DataFrame,
+    n_hashes: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int,
+    broadcast_verify: bool = False,
+) -> DataFrame:
+    """Bucket → candidate-pair → exact-verify stages of
+    :func:`minhash_lsh_pairs`, taking a PRECOMPUTED ``_lsh_sigs`` frame.
+    Module-level so the streaming near-dup index can reuse one persisted
+    signature frame across the history probe and the in-batch pairing
+    instead of recomputing shingles+minhash per sub-plan; the (k,
+    n_hashes, hash_family) used to build ``sigs`` are the caller's
+    contract."""
     buckets = _lsh_buckets(sigs, n_hashes, bands)
     candidates = capped_pair_candidates(buckets, max_bucket)
     # Verify-join strategy.  Default: the verify side is corpus-sized,

@@ -173,43 +173,17 @@ def rows_only_reason_map() -> dict[str, str]:
 #: budget.  Policy: never-driver-tested entries first, then the rows the
 #: driver has not re-checked for the longest time — so evidence coverage
 #: grows every round and stale rows rotate back into the budget.
-#: Round-9 order (every oracled query driver-green at least once):
-#: stalest-first rotation — rows last verified in round 4 lead (the r8
-#: sample re-greened everything older), then rounds 5-8.  The 6 rows-only queries (oracle=None) go LAST: a
+#: Round-10 order (every oracled query driver-green at least once):
+#: stalest-first rotation — rows last verified in round 4 lead, then
+#: rounds 5-9 (the r9 sample re-greened the r4 backlog and every new
+#: oracle conversion).  The 6 rows-only queries (oracle=None) go LAST: a
 #: driver visit can only ever record ``err: no_oracle`` for them (their
 #: evidence is the local tolerance/recall gates), so spending any of
 #: the ~50-row budget on them is pure waste — r6 burned 2 samples on
-#: q83/q84 this way.  Generated from CORRECTNESS_r0{1..8}.json by
+#: q83/q84 this way.  Generated from CORRECTNESS_r0{1..9}.json by
 #: tools/gen_sweep_priority.py.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # -- (0) never driver-tested as ORACLED rows: the new round-9 rows,
-    # then the three r9 hash-oracle conversions (q44/q45/q54 had only
-    # rows-only visits before their portable-sha256 oracles landed) --
-    "q259_streaming_near_dup_index",
-    "q258_composed_curation",
-    "q257_string_key_global_rank",
-    "q44_minhash_lsh", "q45_simhash", "q54_hyperplane_lsh",
-    "q75_kmeans_cells", "q110_semantic_dedup", "q72_pack_sequences",
-    "q183_cms_probe_counts", "q177_theta_source_overlap",
-    "q169_hll_sketch_rollup", "q176_kll_quantile_rollup",
-    "q191_hll_cube_users", "q84_approx_percentile",
-    # -- (5) last verified round 4 (40) --
-    "q185_ansi_sql_parity", "q140_profile_columns",
-    "q134_bpe_merge_candidates", "q137_domain_quality_rollup",
-    "q145_feature_hashing", "q160_langid_confusion",
-    "q161_normalize_text", "q164_token_pmi", "q173_chat_template_render",
-    "q178_heavy_hitter_shingles", "q184_bigram_lm_nll",
-    "q186_udtf_chunk_spans", "q188_jaro_winkler_linkage",
-    "q193_rule_ablation", "q154_dup_graph_triangles",
-    "q163_dedup_keep_best", "q168_cluster_size_histogram",
-    "q174_corpus_diff", "q175_novelty_curve", "q181_kcore_peel",
-    "q150_matryoshka_truncate", "q162_embedding_outliers",
-    "q192_hard_negatives", "q155_event_trigrams", "q165_late_data_audit",
-    "q166_recency_decay_scores", "q167_ab_proportion_test",
-    "q170_daily_value_deltas", "q171_slo_percentile_bands",
-    "q180_incremental_agg_merge", "q182_gap_fill_locf",
-    "q187_daily_value_drift", "q189_session_association_rules",
-    "q149_multimodal_assembly", "q141_shard_assignment",
+    # -- (5) last verified round 4 (5) --
     "q148_curation_funnel", "q151_curriculum_deciles",
     "q152_token_budget_selection", "q159_weighted_sample",
     "q172_erasure_impact",
@@ -302,10 +276,34 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q94_hash_split", "q95_per_class_cap", "q97_contamination",
     "q107_source_mixing_weights", "q64_asof_join", "q65_range_join",
     "q66_time_rollup",
+    # -- (10) last verified round 9 (50) --
+    "q84_approx_percentile", "q185_ansi_sql_parity",
+    "q257_string_key_global_rank", "q140_profile_columns",
+    "q134_bpe_merge_candidates", "q137_domain_quality_rollup",
+    "q145_feature_hashing", "q160_langid_confusion",
+    "q161_normalize_text", "q164_token_pmi", "q173_chat_template_render",
+    "q178_heavy_hitter_shingles", "q184_bigram_lm_nll",
+    "q186_udtf_chunk_spans", "q188_jaro_winkler_linkage",
+    "q193_rule_ablation", "q44_minhash_lsh", "q45_simhash",
+    "q154_dup_graph_triangles", "q163_dedup_keep_best",
+    "q168_cluster_size_histogram", "q174_corpus_diff",
+    "q175_novelty_curve", "q177_theta_source_overlap", "q181_kcore_peel",
+    "q259_streaming_near_dup_index", "q54_hyperplane_lsh",
+    "q75_kmeans_cells", "q110_semantic_dedup", "q150_matryoshka_truncate",
+    "q162_embedding_outliers", "q192_hard_negatives",
+    "q155_event_trigrams", "q165_late_data_audit",
+    "q166_recency_decay_scores", "q167_ab_proportion_test",
+    "q169_hll_sketch_rollup", "q170_daily_value_deltas",
+    "q171_slo_percentile_bands", "q176_kll_quantile_rollup",
+    "q180_incremental_agg_merge", "q182_gap_fill_locf",
+    "q183_cms_probe_counts", "q187_daily_value_drift",
+    "q189_session_association_rules", "q191_hll_cube_users",
+    "q149_multimodal_assembly", "q72_pack_sequences",
+    "q141_shard_assignment", "q258_composed_curation",
     # -- (last) rows-only by design (6) — a driver visit yields only err:no_oracle; never spend budget here --
-    "q83_approx_count_distinct",
-    "q146_compression_ratio", "q132_pq_adc_topk", "q136_ivf_pq_topk",
-    "q190_pca_project", "q96_stratified_sample",
+    "q83_approx_count_distinct", "q146_compression_ratio",
+    "q132_pq_adc_topk", "q136_ivf_pq_topk", "q190_pca_project",
+    "q96_stratified_sample",
 )
 
 

@@ -51,6 +51,13 @@ ENGINE_CONF: dict[str, str] = {
     # unaffected.  On a cluster this is the standard initialPartitionNum
     # >= 2-3x total cores posture.
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
+    # Cached plans are excluded from AQE partition coalescing by
+    # default, so a persist() materializes at the FULL
+    # initialPartitionNum (512 tasks for a 200-row micro-batch frame —
+    # measured 10x publish overhead in the streaming near-dup merge).
+    # Allowing AQE to re-plan cached output partitioning restores the
+    # coalesce; outputs are unchanged (physical knob only).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Broadcast anything under 64 MB: region/nation/supplier-class dims
     # stay broadcast even at sf100k, eliminating the shuffle for the
     # star-join pattern (SURVEY §2.3).

@@ -17,6 +17,8 @@ late data.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -161,6 +163,40 @@ def _rollup_fs(spark: SparkSession, rollup_dir: str):
     return jvm, base.getFileSystem(conf), base
 
 
+#: Engine-owned commit marker for versioned state dirs.  Deliberately NOT
+#: the job committer's ``_SUCCESS``: object-store deployments commonly set
+#: ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``, and a
+#: fallback gated on a marker that is never written would silently treat
+#: every fully-written version as partial — rebuilding state from one
+#: replayed batch and deleting real history.  The engine writes this file
+#: itself after ALL of a version's data lands, so the crash-window
+#: fallback in the ``_resolve_*`` helpers is committer-conf independent.
+_COMMIT_MARKER = "_COMMITTED"
+
+
+def _mark_committed(spark: SparkSession, dir_path: str) -> None:
+    """Create the engine-owned commit marker inside ``dir_path``."""
+    jvm, fs, _ = _rollup_fs(spark, dir_path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(dir_path, _COMMIT_MARKER), True)
+    out.close()
+
+
+def _is_committed(jvm, fs, root: str, name: str) -> bool:
+    return fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{name}", _COMMIT_MARKER)
+    )
+
+
+def _dir_seq(name: str, prefix: str) -> int | None:
+    """Numeric suffix of a versioned dir name (``_v…``/``_b…``/``_c…``),
+    or None for non-conforming strays — a stray ``_bstale`` dir must be
+    skipped, not abort every subsequent micro-batch with ValueError."""
+    if not name.startswith(prefix):
+        return None
+    suffix = name[len(prefix):]
+    return int(suffix) if suffix.isdigit() else None
+
+
 def _resolve_rollup_version(spark: SparkSession, rollup_dir: str) -> tuple[str, int]:
     """Current rollup version: (data dir, last merged batch_id), or
     ("", -1) when no rollup exists yet.
@@ -170,11 +206,13 @@ def _resolve_rollup_version(spark: SparkSession, rollup_dir: str) -> tuple[str, 
     new pointer and the old one's removal — or a crash during the very
     FIRST version's write, before any pointer existed — or a manual
     delete), falls back to the highest COMMITTED ``_v`` dir.  The
-    ``_SUCCESS`` marker gates the fallback: a partial first-version dir
-    (crash before job commit) must not be trusted, or its replayed
-    batch would be skipped against corrupt state; any later partial dir
-    is harmless because the data write completes before the old pointer
-    is touched, so a surviving pointer always wins.
+    engine-owned ``_COMMITTED`` marker (see :data:`_COMMIT_MARKER` for
+    why not the job committer's ``_SUCCESS``) gates the fallback: a
+    partial first-version dir (crash before the marker) must not be
+    trusted, or its replayed batch would be skipped against corrupt
+    state; any later partial dir is harmless because the data write and
+    marker complete before the old pointer is touched, so a surviving
+    pointer always wins.
     """
     jvm, fs, base = _rollup_fs(spark, rollup_dir)
     ptr = jvm.org.apache.hadoop.fs.Path(rollup_dir, "_CURRENT")
@@ -188,15 +226,11 @@ def _resolve_rollup_version(spark: SparkSession, rollup_dir: str) -> tuple[str, 
         return f"{rollup_dir.rstrip('/')}/{name}", int(batch_id)
     if fs.exists(base):
         versions = sorted(
-            s.getPath().getName()
+            name
             for s in fs.listStatus(base)
             if s.isDirectory()
-            and s.getPath().getName().startswith("_v")
-            and fs.exists(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{rollup_dir.rstrip('/')}/{s.getPath().getName()}", "_SUCCESS"
-                )
-            )
+            and _dir_seq(name := s.getPath().getName(), "_v") is not None
+            and _is_committed(jvm, fs, rollup_dir, name)
         )
         if versions:
             return f"{rollup_dir.rstrip('/')}/{versions[-1]}", int(versions[-1][2:])
@@ -213,6 +247,7 @@ def _publish_rollup_version(
     version_name = f"_v{batch_id:015d}"
     new_dir = f"{rollup_dir.rstrip('/')}/{version_name}"
     merged.write.mode("overwrite").parquet(new_dir)
+    _mark_committed(spark, new_dir)
     jvm, fs, base = _rollup_fs(spark, rollup_dir)
     ptr = jvm.org.apache.hadoop.fs.Path(rollup_dir, "_CURRENT")
     tmp = jvm.org.apache.hadoop.fs.Path(rollup_dir, f"_CURRENT.{batch_id}.tmp")
@@ -225,10 +260,15 @@ def _publish_rollup_version(
         fs.delete(ptr, False)  # rename-over is non-portable; _resolve
         # falls back to the newest _v dir in this sub-second window
     fs.rename(tmp, ptr)
-    # best-effort cleanup of superseded versions
+    # best-effort cleanup of superseded versions (numeric-suffix guard:
+    # never touch non-conforming stray dirs)
     for s in fs.listStatus(base):
         name = s.getPath().getName()
-        if s.isDirectory() and name.startswith("_v") and name != version_name:
+        if (
+            s.isDirectory()
+            and _dir_seq(name, "_v") is not None
+            and name != version_name
+        ):
             fs.delete(s.getPath(), True)
 
 
@@ -750,10 +790,11 @@ def _resolve_index_head(spark: SparkSession, index_dir: str) -> int:
 
     Same pointer-with-fallback discipline as
     :func:`_resolve_rollup_version`: prefer ``_CURRENT``; fall back to
-    the highest COMMITTED ``_b`` dir.  The fallback checks the write
-    job's ``_SUCCESS`` marker: a crash mid-write (before job commit,
-    before any pointer exists) leaves a partial dir with no marker,
-    which must NOT be treated as published — the replayed batch would
+    the highest COMMITTED batch (``_b``) or compaction (``_c``) dir.
+    The fallback checks the engine-owned ``_COMMITTED`` marker (see
+    :data:`_COMMIT_MARKER`): a crash mid-write (before the marker,
+    before any pointer exists) leaves a partial dir without it, which
+    must NOT be treated as published — the replayed batch would
     otherwise be skipped forever against corrupt history.  A dir WITH
     the marker is complete, so skipping its replay is the correct
     idempotent outcome even though the pointer never advanced."""
@@ -767,47 +808,202 @@ def _resolve_index_head(spark: SparkSession, index_dir: str) -> int:
             stream.close()
         return int(raw.decode("utf-8").strip())
     if fs.exists(base):
-        batches = sorted(
-            s.getPath().getName()
-            for s in fs.listStatus(base)
-            if s.isDirectory()
-            and s.getPath().getName().startswith("_b")
-            and fs.exists(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{index_dir.rstrip('/')}/{s.getPath().getName()}", "_SUCCESS"
-                )
-            )
-        )
-        if batches:
-            return int(batches[-1][2:])
+        seqs = []
+        for s in fs.listStatus(base):
+            name = s.getPath().getName()
+            if not s.isDirectory():
+                continue
+            ent = _index_dir_entry(name)
+            if ent is not None and _is_committed(jvm, fs, index_dir, name):
+                seqs.append(ent[0])
+        if seqs:
+            return max(seqs)
     return -1
 
 
+def _index_dir_entry(name: str) -> tuple[int, bool] | None:
+    """(batch_id, is_compaction) for a conforming index dir name
+    (``_b<digits>`` append batch / ``_c<digits>`` compaction), else None
+    — strays are skipped, never parsed into a ValueError."""
+    seq = _dir_seq(name, "_b")
+    if seq is not None:
+        return seq, False
+    seq = _dir_seq(name, "_c")
+    if seq is not None:
+        return seq, True
+    return None
+
+
 def _index_batch_dirs(spark: SparkSession, index_dir: str, head: int) -> list[str]:
-    """Published batch dirs (``_b<id>`` with id ≤ head), oldest first."""
+    """Live data dirs of the index at ``head``, oldest first: the newest
+    compaction dir with id ≤ head (which folds everything before it),
+    plus every append batch dir published after that compaction."""
     if head < 0:
         return []
     jvm, fs, base = _rollup_fs(spark, index_dir)
     if not fs.exists(base):
         return []
-    out = []
+    entries = []
     for s in fs.listStatus(base):
         name = s.getPath().getName()
-        if s.isDirectory() and name.startswith("_b") and int(name[2:]) <= head:
-            out.append(f"{index_dir.rstrip('/')}/{name}")
-    return sorted(out)
+        if not s.isDirectory():
+            continue
+        ent = _index_dir_entry(name)
+        if ent is None or ent[0] > head:
+            continue
+        entries.append((ent[0], ent[1], name))
+    compact_floor = max((seq for seq, is_c, _ in entries if is_c), default=-1)
+    live = sorted(
+        (seq, name)
+        for seq, is_c, name in entries
+        if (is_c and seq == compact_floor) or (not is_c and seq > compact_floor)
+    )
+    return [f"{index_dir.rstrip('/')}/{name}" for _, name in live]
+
+
+#: Sub-tables of one published index dir (layout v2, sharded for probe
+#: pruning): ``buckets/`` holds narrow (bucket, id) rows directory-
+#: partitioned by ``shard = pmod(bucket, n_shards)`` and sorted by
+#: bucket within files; ``hsh/`` holds the per-survivor shingle-hash
+#: sets keyed by id, partitioned by ``idshard = pmod(xxhash64(id),
+#: n_shards)``.  The probe reads ONLY the shards its batch keys fall
+#: in, and touches the (wide) hsh arrays only for verified candidates.
+_IDX_BUCKETS = "buckets"
+_IDX_HSH = "hsh"
+
+
+def _read_index_meta(spark: SparkSession, index_dir: str) -> dict | None:
+    jvm, fs, _ = _rollup_fs(spark, index_dir)
+    p = jvm.org.apache.hadoop.fs.Path(index_dir, "_META")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def _write_index_meta(spark: SparkSession, index_dir: str, meta: dict) -> None:
+    jvm, fs, _ = _rollup_fs(spark, index_dir)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(index_dir, "_META"), True)
+    try:
+        out.write(json.dumps(meta, sort_keys=True).encode("utf-8"))
+    finally:
+        out.close()
+
+
+def _has_data_files(spark: SparkSession, path: str) -> bool:
+    """True if ``path`` holds at least one non-hidden file: a micro-batch
+    whose survivors were all deduped publishes an EMPTY partitioned dir
+    (no part files, so no inferable schema) which readers must skip."""
+    jvm, fs, base = _rollup_fs(spark, path)
+    if not fs.exists(base):
+        return False
+    it = fs.listFiles(base, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            return True
+    return False
+
+
+#: Below this many data files in the ``buckets/`` sub-tables the probe
+#: skips shard pruning entirely: the two bounded driver collects that
+#: compute the shard sets cost more than scanning a toy index, exactly
+#: the size-aware-strategy logic of autoBroadcastJoinThreshold.  The
+#: pruned and unpruned probes compute identical results (pruning is
+#: I/O-only); tests pin equality by forcing the threshold to 0.
+_PRUNE_MIN_FILES = 64
+
+
+def _data_file_count(
+    spark: SparkSession, dirs: list[str], sub: str, stop_at: int
+) -> int:
+    """Number of non-hidden data files across ``dirs``' ``sub`` tables,
+    counting stops at ``stop_at`` (the pruning gate needs only the
+    comparison, not an exact census of a huge index)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    n = 0
+    for d in dirs:
+        base = jvm.org.apache.hadoop.fs.Path(f"{d}/{sub}")
+        fs = base.getFileSystem(conf)
+        if not fs.exists(base):
+            continue
+        it = fs.listFiles(base, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith("_") and not name.startswith("."):
+                n += 1
+                if n >= stop_at:
+                    return n
+    return n
+
+
+def _read_index_sub(
+    spark: SparkSession, dirs: list[str], sub: str
+) -> DataFrame | None:
+    """Union of one sub-table (``buckets``/``hsh``) across index dirs,
+    or None when no dir holds data.  Each dir is read as its OWN
+    partitioned root (Spark refuses partition discovery over multiple
+    roots) and unioned; Catalyst pushes the probe's shard filter through
+    the Union into every scan, so directory-level partition pruning
+    applies per dir."""
+    frames = [
+        spark.read.parquet(f"{d}/{sub}")
+        for d in dirs
+        if _has_data_files(spark, f"{d}/{sub}")
+    ]
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _publish_index_batch(
-    spark: SparkSession, index_dir: str, survivors: DataFrame, batch_id: int
+    spark: SparkSession,
+    index_dir: str,
+    buckets_out: DataFrame,
+    hsh_out: DataFrame,
+    batch_id: int,
+    n_shards: int,
+    compact: bool = False,
 ) -> None:
-    """Write ``survivors`` as ``_b<batch_id>`` then advance the
-    ``_CURRENT`` pointer — the append-log variant of
-    :func:`_publish_rollup_version` (no whole-index rewrite: unlike the
-    rollups, the index grows with the retained corpus, so each batch
-    publishes only its own survivors)."""
-    new_dir = f"{index_dir.rstrip('/')}/_b{batch_id:015d}"
-    survivors.write.mode("overwrite").parquet(new_dir)
+    """Write one index version dir (``_b<batch_id>`` append batch, or
+    ``_c<batch_id>`` compaction that folds all prior history) in the
+    sharded v2 layout, mark it ``_COMMITTED``, then advance the
+    ``_CURRENT`` pointer.  After a compaction publishes, every folded
+    dir is deleted best-effort — a reader racing the cleanup still
+    resolves the compaction dir via the pointer and ignores the folded
+    dirs (``_index_batch_dirs`` drops everything ≤ the compaction id)."""
+    prefix = "_c" if compact else "_b"
+    name = f"{prefix}{batch_id:015d}"
+    new_dir = f"{index_dir.rstrip('/')}/{name}"
+    shard = F.pmod(F.col("bucket"), F.lit(n_shards)).cast("int")
+    (
+        buckets_out.select("bucket", "id")
+        .withColumn("shard", shard)
+        .repartition("shard")
+        .sortWithinPartitions("shard", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{new_dir}/{_IDX_BUCKETS}")
+    )
+    idshard = F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards)).cast("int")
+    (
+        hsh_out.select("id", "hsh")
+        .withColumn("idshard", idshard)
+        .repartition("idshard")
+        .sortWithinPartitions("idshard")
+        .write.mode("overwrite")
+        .partitionBy("idshard")
+        .parquet(f"{new_dir}/{_IDX_HSH}")
+    )
+    _mark_committed(spark, new_dir)
     jvm, fs, base = _rollup_fs(spark, index_dir)
     ptr = jvm.org.apache.hadoop.fs.Path(index_dir, "_CURRENT")
     tmp = jvm.org.apache.hadoop.fs.Path(index_dir, f"_CURRENT.{batch_id}.tmp")
@@ -819,6 +1015,113 @@ def _publish_index_batch(
     if fs.exists(ptr):
         fs.delete(ptr, False)
     fs.rename(tmp, ptr)
+    if compact:
+        # best-effort removal of folded history (conforming names only)
+        for s in fs.listStatus(base):
+            nm = s.getPath().getName()
+            ent = _index_dir_entry(nm)
+            if s.isDirectory() and ent is not None and ent[0] < batch_id:
+                fs.delete(s.getPath(), True)
+
+
+def _probe_dup_ids(
+    spark: SparkSession,
+    hist_dirs: list[str],
+    bkeys: DataFrame,
+    b_hsh: DataFrame,
+    threshold: float,
+    max_bucket: int,
+    n_shards: int,
+) -> DataFrame:
+    """Batch ids that near-duplicate a retained doc — the pruned history
+    probe of the v2 index layout.
+
+    Scale shape (the 100 TB side is the index, the batch is small):
+
+    1. The batch's band keys map to at most ``n_shards`` bucket shards;
+       that bounded set is collected (≤ n_shards rows) and pushed down
+       as a PARTITION filter on the ``buckets/`` scan, so unmatched
+       shard dirs are never listed or read — per-batch I/O is
+       O(index/n_shards · shards_hit), not O(index), and a small batch
+       reads a small fraction of the index.
+    2. Hot-bucket cap (probe side): index membership is counted per
+       MATCHED bucket first (linear in members, map-side partial agg)
+       and buckets over ``max_bucket`` index members are dropped before
+       the candidate expansion — a boilerplate band-key collision
+       cluster in the index can no longer expand |index-bucket| ×
+       |batch-in-bucket| rows (the probe-side analog of
+       ``capped_pair_candidates``'s bound; recall on dropped boilerplate
+       buckets is the same sacrifice the in-batch cap makes).
+    3. The wide shingle-hash arrays are read ONLY for candidate ids:
+       the ``hsh/`` scan is partition-pruned to the candidates' id
+       shards (again a bounded ≤ n_shards collect) and joined to the
+       broadcast candidate-id set before the exact Jaccard verify.
+    """
+    hist_buckets = _read_index_sub(spark, hist_dirs, _IDX_BUCKETS)
+    if hist_buckets is None:
+        return b_hsh.select("id").limit(0)
+    prune = (
+        _data_file_count(spark, hist_dirs, _IDX_BUCKETS, _PRUNE_MIN_FILES)
+        >= _PRUNE_MIN_FILES
+    )
+    if prune:
+        shard = F.pmod(F.col("bucket"), F.lit(n_shards)).cast("int")
+        probe_shards = sorted(
+            r[0] for r in bkeys.select(shard.alias("shard")).distinct().collect()
+        )
+        if not probe_shards:
+            return b_hsh.select("id").limit(0)
+        hb = hist_buckets.filter(F.col("shard").isin(probe_shards))
+    else:
+        hb = hist_buckets
+    bucket_set = bkeys.select("bucket").distinct()
+    over = (
+        hb.join(F.broadcast(bucket_set), "bucket")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_idx"))
+        .filter(F.col("n_idx") > max_bucket)
+        .select("bucket")
+    )
+    cand = (
+        hb.join(F.broadcast(over), "bucket", "left_anti")
+        .join(
+            F.broadcast(bkeys.select(F.col("id").alias("b_id"), "bucket")),
+            "bucket",
+        )
+        .select("b_id", F.col("id").alias("h_id"))
+        .distinct()
+    )
+    h_ids = cand.select(F.col("h_id").alias("id")).distinct()
+    hist_hsh = _read_index_sub(spark, hist_dirs, _IDX_HSH)
+    if hist_hsh is None:
+        return b_hsh.select("id").limit(0)
+    if prune:
+        idshard = F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards)).cast("int")
+        cand_shards = sorted(
+            r[0] for r in h_ids.select(idshard.alias("s")).distinct().collect()
+        )
+        if not cand_shards:
+            return b_hsh.select("id").limit(0)
+        hh = hist_hsh.filter(F.col("idshard").isin(cand_shards))
+    else:
+        hh = hist_hsh
+    h_hsh = hh.join(F.broadcast(h_ids), "id").select(
+        F.col("id").alias("h_id"), F.col("hsh").alias("h_hsh")
+    )
+    inter = F.size(F.array_intersect("b_hsh", "h_hsh"))
+    union = F.size("b_hsh") + F.size("h_hsh") - inter
+    return (
+        cand.join(h_hsh, "h_id")
+        .join(
+            F.broadcast(
+                b_hsh.select(F.col("id").alias("b_id"), F.col("hsh").alias("b_hsh"))
+            ),
+            "b_id",
+        )
+        .filter(inter.cast("double") / union.cast("double") >= threshold)
+        .select(F.col("b_id").alias("id"))
+        .distinct()
+    )
 
 
 def maintain_near_dup_index(
@@ -834,15 +1137,18 @@ def maintain_near_dup_index(
     threshold: float = 0.5,
     max_bucket: int = 512,
     hash_family: str = "xxhash64",
+    n_shards: int = 16,
+    compact_every: int = 0,
 ) -> None:
     """Incremental near-duplicate curation: each micro-batch is deduped
     IN-BATCH (MinHash-LSH pairs → connected components, exactly the
-    batch operator) and AGAINST THE RETAINED CORPUS (LSH probe of the
-    persisted signature index + exact hashed-shingle Jaccard verify);
-    survivors append their (buckets, shingle-hash set) rows to the
-    index.  The streaming form of ``near_dedup`` — what a continuously
-    ingesting training-data pipeline actually runs: "is this new doc a
-    near-copy of anything we already kept?"
+    batch operator) and AGAINST THE RETAINED CORPUS (pruned LSH probe of
+    the persisted signature index + exact hashed-shingle Jaccard
+    verify); survivors append their sharded (bucket, id) band keys and
+    (id, hsh) shingle-hash sets to the index.  The streaming form of
+    ``near_dedup`` — what a continuously ingesting training-data
+    pipeline actually runs: "is this new doc a near-copy of anything we
+    already kept?"
 
     SEMANTICS — retained-corpus, not transitive closure: a doc is
     dropped iff it is within ``threshold`` of a KEPT doc (or loses the
@@ -856,26 +1162,58 @@ def maintain_near_dup_index(
     all-pairs-similar duplicate groups), the retained set equals the
     batch operator's canonical set exactly.
 
+    PRECONDITION — ids are unique across the corpus lifetime: the index
+    appends survivor rows by id and never re-keys, so re-publishing a
+    changed document under an OLD id that survives the probe would
+    store a second (id, hsh) row — duplicate reader rows and duplicated
+    verify candidates (still correct drop decisions, but violating the
+    one-row-per-survivor contract).  Feed revisions under fresh ids (or
+    exact-id-dedup upstream).
+
     Exactly-once: the index is an append-only log of per-batch survivor
     dirs (``_b<batch_id>``) behind a ``_CURRENT`` pointer; a replayed
     batch (crash after publish, before checkpoint commit) is detected
     by ``batch_id <= head`` and skipped, and readers only see dirs ≤
     head, so a crash between data write and pointer advance leaves an
-    invisible (and then idempotently rewritten) dir.  Same contract as
-    :func:`maintain_daily_rollup`: index and checkpoint move together.
+    invisible (and then idempotently rewritten) dir.  Version dirs are
+    gated by the engine-owned ``_COMMITTED`` marker, never the job
+    committer's ``_SUCCESS`` (see :data:`_COMMIT_MARKER`).  Same
+    contract as :func:`maintain_daily_rollup`: index and checkpoint
+    move together.
 
-    Scale shape: the probe broadcasts the MICRO-BATCH's band keys and
-    streams the index exactly once (never the reverse — the index is
-    the 100 TB side); the verify join pulls shingle-hash arrays only
-    for candidate pairs.  Per batch the index grows by the survivors
-    only; nothing is rewritten.  String content never enters the index
-    — buckets and 64-bit shingle hashes only."""
+    Scale shape: the index side is sharded (layout v2 — see
+    :data:`_IDX_BUCKETS`) so the per-batch probe PRUNES: it reads only
+    the bucket shards the batch's band keys fall in and only the hsh
+    shards its verified candidates live in, instead of scanning the
+    whole (100 TB-side, monotonically growing) index every batch; hot
+    index buckets are capped at ``max_bucket`` members before the
+    candidate expansion (``_probe_dup_ids``).  Per batch the index
+    grows by the survivors only; with ``compact_every`` = N > 0, once N
+    live dirs accumulate the next publish folds them into one
+    compaction dir (``_c``) behind the same pointer protocol, so
+    listing/planning cost stays O(compact_every) dirs instead of
+    growing with trigger count.  String content never enters the index
+    — band buckets and 64-bit shingle hashes only.  ``n_shards`` is a
+    LAYOUT constant recorded in ``_META`` at creation; reusing an index
+    with a different value raises instead of silently mis-pruning."""
     from gmail_etl_spark.operators.dedup import (
         _banded_keys,
         _lsh_sigs,
-        minhash_lsh_pairs,
+        _pairs_from_sigs,
         near_dedup,
     )
+
+    meta = _read_index_meta(spark, index_dir)
+    if meta is None:
+        _write_index_meta(
+            spark, index_dir, {"layout": 2, "n_shards": int(n_shards)}
+        )
+    elif int(meta.get("n_shards", -1)) != int(n_shards):
+        raise ValueError(
+            f"index at {index_dir} was built with n_shards="
+            f"{meta.get('n_shards')}; got n_shards={n_shards} — the shard "
+            "count is a layout constant (probe pruning would miss shards)"
+        )
 
     # schema sniff off the batch footer (readStream needs one up front)
     docs = (
@@ -889,63 +1227,71 @@ def maintain_near_dup_index(
         head = _resolve_index_head(spark_l, index_dir)
         if batch_id <= head:
             return  # at-least-once replay of an already-published batch
-        sigs = _lsh_sigs(batch_df, id_col, text_col, k, n_hashes, hash_family)
-        keys = _banded_keys(sigs, n_hashes, bands)
-        hist_dirs = _index_batch_dirs(spark_l, index_dir, head)
-        if hist_dirs:
-            # ONE scan of the (100 TB-side) index: hsh rides along the
-            # bucket explode, so candidate generation and verify share
-            # the same read instead of two full passes; multi-band
-            # collisions collapse in the groupBy (every h_hsh for a
-            # given h_id is identical, so first() is exact)
-            hist = spark_l.read.parquet(*hist_dirs)
-            cand = (
-                hist.select(
-                    F.col("id").alias("h_id"),
-                    F.col("hsh").alias("h_hsh"),
-                    F.explode("buckets").alias("bucket"),
+        # ONE signature computation per batch: shingles + minhash are
+        # the probe keys, the verify sets, the in-batch pairing input
+        # AND the published survivor rows, so persist the frame instead
+        # of re-deriving it in every sub-plan.
+        sigs = _lsh_sigs(
+            batch_df, id_col, text_col, k, n_hashes, hash_family
+        ).persist()
+        kept_sigs = None
+        fresh_persisted = None
+        try:
+            bkeys = _banded_keys(sigs, n_hashes, bands)
+            hist_dirs = _index_batch_dirs(spark_l, index_dir, head)
+            if hist_dirs:
+                dup_ids = _probe_dup_ids(
+                    spark_l,
+                    hist_dirs,
+                    bkeys,
+                    sigs.select("id", "hsh"),
+                    threshold,
+                    max_bucket,
+                    n_shards,
                 )
-                .join(
-                    F.broadcast(keys.select(F.col("id").alias("b_id"), "bucket")),
-                    "bucket",
-                )
-                .groupBy("b_id", "h_id")
-                .agg(F.first("h_hsh").alias("h_hsh"))
+                # persist: the anti-join's lineage embeds the whole
+                # index probe (scans + verify), and downstream it feeds
+                # the pairing, the eager CC AND the survivor writes —
+                # without the cache the probe would re-execute per action
+                fresh_sigs = fresh_persisted = sigs.join(
+                    dup_ids, "id", "left_anti"
+                ).persist()
+            else:
+                fresh_sigs = sigs
+            pairs = _pairs_from_sigs(
+                fresh_sigs, n_hashes, bands, threshold, max_bucket
             )
-            inter = F.size(F.array_intersect("b_hsh", "h_hsh"))
-            union = F.size("b_hsh") + F.size("h_hsh") - inter
-            dup_ids = (
-                cand.join(
-                    F.broadcast(
-                        sigs.select(
-                            F.col("id").alias("b_id"), F.col("hsh").alias("b_hsh")
-                        )
-                    ),
-                    "b_id",
-                )
-                .filter(
-                    inter.cast("double") / union.cast("double") >= threshold
-                )
-                .select(F.col("b_id").alias(id_col))
-                .distinct()
+            # persist: the survivor frame feeds TWO writes (buckets +
+            # hsh sub-tables); without it the probe/pair/CC plan would
+            # execute twice
+            kept_sigs = near_dedup(fresh_sigs, "id", pairs).persist()
+            buckets_out = _banded_keys(kept_sigs, n_hashes, bands)
+            hsh_out = kept_sigs.select("id", "hsh")
+            compact = bool(compact_every) and len(hist_dirs) >= compact_every
+            if compact:
+                hist_b = _read_index_sub(spark_l, hist_dirs, _IDX_BUCKETS)
+                hist_h = _read_index_sub(spark_l, hist_dirs, _IDX_HSH)
+                if hist_b is not None:
+                    buckets_out = hist_b.select("bucket", "id").unionByName(
+                        buckets_out.select("bucket", "id")
+                    )
+                if hist_h is not None:
+                    hsh_out = hist_h.select("id", "hsh").unionByName(hsh_out)
+            _publish_index_batch(
+                spark_l,
+                index_dir,
+                buckets_out,
+                hsh_out,
+                batch_id,
+                n_shards,
+                compact=compact,
             )
-            fresh = batch_df.join(dup_ids, id_col, "left_anti")
-        else:
-            fresh = batch_df
-        pairs = minhash_lsh_pairs(
-            fresh, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands,
-            threshold=threshold, max_bucket=max_bucket,
-            hash_family=hash_family,
-        )
-        kept = near_dedup(fresh, id_col, pairs)
-        kept_sigs = _lsh_sigs(kept, id_col, text_col, k, n_hashes, hash_family)
-        survivors = (
-            _banded_keys(kept_sigs, n_hashes, bands)
-            .groupBy("id")
-            .agg(F.collect_list("bucket").alias("buckets"))
-            .join(kept_sigs.select("id", "hsh"), "id")
-        )
-        _publish_index_batch(spark_l, index_dir, survivors, batch_id)
+        finally:
+            sigs.unpersist()
+            if fresh_persisted is not None:
+                fresh_persisted.unpersist()
+            if kept_sigs is not None:
+                kept_sigs.unpersist()
 
     q = (
         docs.writeStream.foreachBatch(merge_batch)
@@ -956,11 +1302,57 @@ def maintain_near_dup_index(
     q.awaitTermination()
 
 
+def probe_near_dup_index(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 512,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Read-only membership probe: which of ``docs`` near-duplicate the
+    retained corpus?  One ``id`` column row per duplicating doc.  The
+    decontamination building block — the same pruned probe the
+    maintainer runs per micro-batch, without mutating the index.  LSH
+    parameters must match the index build (the shard count is read from
+    the index's ``_META``)."""
+    from gmail_etl_spark.operators.dedup import _banded_keys, _lsh_sigs
+
+    head = _resolve_index_head(spark, index_dir)
+    dirs = _index_batch_dirs(spark, index_dir, head)
+    if not dirs:
+        return docs.select(F.col(id_col).alias("id")).limit(0)
+    meta = _read_index_meta(spark, index_dir) or {}
+    n_shards = int(meta.get("n_shards", 16))
+    sigs = _lsh_sigs(docs, id_col, text_col, k, n_hashes, hash_family)
+    bkeys = _banded_keys(sigs, n_hashes, bands)
+    return _probe_dup_ids(
+        spark, dirs, bkeys, sigs.select("id", "hsh"), threshold, max_bucket, n_shards
+    )
+
+
 def read_near_dup_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """Current retained set: (id, buckets, hsh) of every survivor
-    published by :func:`maintain_near_dup_index`."""
+    published by :func:`maintain_near_dup_index` — reassembled from the
+    sharded v2 layout (band keys regrouped per id, sorted for
+    determinism, joined to the shingle-hash sets)."""
     head = _resolve_index_head(spark, index_dir)
     dirs = _index_batch_dirs(spark, index_dir, head)
     if not dirs:
         raise FileNotFoundError(f"no near-dup index published under {index_dir}")
-    return spark.read.parquet(*dirs)
+    all_buckets = _read_index_sub(spark, dirs, _IDX_BUCKETS)
+    all_hsh = _read_index_sub(spark, dirs, _IDX_HSH)
+    if all_buckets is None or all_hsh is None:
+        # published batches exist but every one kept zero survivors
+        raise FileNotFoundError(f"near-dup index under {index_dir} is empty")
+    buckets = all_buckets.groupBy("id").agg(
+        F.array_sort(F.collect_list("bucket")).alias("buckets")
+    )
+    return buckets.join(all_hsh.select("id", "hsh"), "id").select(
+        "id", "buckets", "hsh"
+    )

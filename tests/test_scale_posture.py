@@ -728,7 +728,7 @@ def test_sweep_priority_covers_catalog_and_frontloads_backlog():
     )
 
     tested: set[str] = set()
-    for r in (1, 2, 3, 4, 5, 6, 7, 8):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
         tested |= set(json.load(open(f"CORRECTNESS_r0{r}.json")))
     seen_tested = False
     for name in order:

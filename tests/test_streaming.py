@@ -698,3 +698,247 @@ def test_streaming_near_dup_retained_corpus_semantics(spark, tmp_path):
         k=1, n_hashes=16, bands=16, threshold=0.5,
     )
     assert {r["id"] for r in read_near_dup_index(spark, index).collect()} == {0, 2}
+
+
+def test_streaming_near_dup_index_compaction(spark, tmp_path):
+    """``compact_every`` folds history behind the same pointer protocol:
+    the retained set is IDENTICAL to the uncompacted run, the live dir
+    count stays bounded at compact_every (one ``_c`` + appends), folded
+    dirs are removed, and both restart forms stay idempotent."""
+    import pandas as pd
+
+    from gmail_etl_spark.streaming.jobs import (
+        _index_batch_dirs,
+        _resolve_index_head,
+        maintain_near_dup_index,
+        read_near_dup_index,
+    )
+    from gmail_etl_spark.synthetic import planted_near_dup_corpus
+
+    n, group = 285, 10
+    corpus = planted_near_dup_corpus(spark, n, group=group)
+    pdf = corpus.toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(6):  # 6 micro-batches of 48: boundaries straddle groups
+        chunk = pdf.iloc[i * 48 : (i + 1) * 48]
+        if len(chunk):
+            chunk.to_parquet(src / f"{i}.parquet")
+            os.utime(src / f"{i}.parquet", (1_000_000_000 + i,) * 2)
+
+    index = str(tmp_path / "ndindex")
+    maintain_near_dup_index(
+        spark, str(src), index, str(tmp_path / "ckpt"), compact_every=2
+    )
+    expected = set(range(0, n, group))  # planted heads
+    got = {r["id"] for r in read_near_dup_index(spark, index).collect()}
+    assert got == expected
+
+    head = _resolve_index_head(spark, index)
+    live = _index_batch_dirs(spark, index, head)
+    assert len(live) <= 2, live  # bounded by compact_every
+    assert any("/_c" in d for d in live), live  # a compaction happened
+    # folded dirs physically removed (best-effort cleanup ran)
+    all_dirs = [p.name for p in (tmp_path / "ndindex").iterdir() if p.is_dir()]
+    assert len(all_dirs) == len(live), all_dirs
+
+    # exactly-once restarts: same checkpoint, then a fresh one
+    maintain_near_dup_index(
+        spark, str(src), index, str(tmp_path / "ckpt"), compact_every=2
+    )
+    assert {r["id"] for r in read_near_dup_index(spark, index).collect()} == expected
+    maintain_near_dup_index(
+        spark, str(src), index, str(tmp_path / "ckpt2"), compact_every=2
+    )
+    assert {r["id"] for r in read_near_dup_index(spark, index).collect()} == expected
+
+
+def test_near_dup_index_stray_dirs_and_marker_fallback(spark, tmp_path):
+    """Robustness of the resolve/list protocol: a stray non-numeric
+    ``_b*`` dir is skipped (not a ValueError aborting every batch); with
+    the ``_CURRENT`` pointer deleted, the fallback resolves the highest
+    ``_COMMITTED`` dir and ignores a partial (marker-less) one."""
+    import pandas as pd
+
+    from gmail_etl_spark.streaming.jobs import (
+        _resolve_index_head,
+        maintain_near_dup_index,
+        read_near_dup_index,
+    )
+
+    rows = [(i, f"doc {i} unique text " + " ".join(f"t{i}_{j}" for j in range(20)))
+            for i in range(6)]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(2):
+        pd.DataFrame(rows[i * 3 : (i + 1) * 3], columns=["doc_id", "text"]).to_parquet(
+            src / f"{i}.parquet"
+        )
+        os.utime(src / f"{i}.parquet", (1_000_000_000 + i,) * 2)
+    index = tmp_path / "ndindex"
+    maintain_near_dup_index(spark, str(src), str(index), str(tmp_path / "ckpt"))
+    expected = {r["id"] for r in read_near_dup_index(spark, str(index)).collect()}
+    assert expected == set(range(6))  # all-dissimilar docs all retained
+
+    # stray dirs: must be skipped by every reader/resolver
+    (index / "_bstale").mkdir()
+    (index / "_cjunk").mkdir()
+    assert {r["id"] for r in read_near_dup_index(spark, str(index)).collect()} == expected
+
+    head_before = _resolve_index_head(spark, str(index))
+    # partial (uncommitted) dir with a higher id than the real head
+    partial = index / "_b000000000000099"
+    partial.mkdir()
+    # pointer gone -> fallback must pick the highest COMMITTED dir,
+    # ignoring the marker-less partial
+    (index / "_CURRENT").unlink()
+    assert _resolve_index_head(spark, str(index)) == head_before
+    assert {r["id"] for r in read_near_dup_index(spark, str(index)).collect()} == expected
+
+
+def test_probe_dup_ids_hot_bucket_cap_and_prune_equality(spark, tmp_path):
+    """Probe-side hot-bucket cap: an index bucket with more than
+    ``max_bucket`` members is dropped before candidate expansion (the
+    boilerplate-collision bound), while normal buckets still verify; and
+    the pruned probe (shard filters forced on) returns exactly the
+    unpruned result."""
+    from pyspark.sql import Row
+
+    import gmail_etl_spark.streaming.jobs as J
+
+    # hand-built index: bucket 77 holds 600 members (boilerplate), bucket
+    # 12 holds one member id=9000 whose hsh overlaps the probe doc's
+    hot = [Row(bucket=77, id=i) for i in range(600)]
+    cold = [Row(bucket=12, id=9000)]
+    buckets_df = spark.createDataFrame(hot + cold)
+    hsh_df = spark.createDataFrame(
+        [Row(id=i, hsh=[100 + i, 200 + i]) for i in range(600)]
+        + [Row(id=9000, hsh=[1, 2, 3, 4])]
+    )
+    index = str(tmp_path / "handindex")
+    J._write_index_meta(spark, index, {"layout": 2, "n_shards": 16})
+    J._publish_index_batch(spark, index, buckets_df, hsh_df, 0, n_shards=16)
+    dirs = J._index_batch_dirs(spark, index, J._resolve_index_head(spark, index))
+    assert len(dirs) == 1
+
+    # probe batch: doc 1 collides ONLY with the hot bucket (true near-dup
+    # of member 0: hsh overlap 2/2 vs [100,200]); doc 2 collides with the
+    # cold bucket and verifies against id=9000 (overlap 3/5 >= 0.5)
+    bkeys = spark.createDataFrame([Row(id=1, bucket=77), Row(id=2, bucket=12)])
+    b_hsh = spark.createDataFrame(
+        [Row(id=1, hsh=[100, 200]), Row(id=2, hsh=[1, 2, 3])]
+    )
+
+    def dup_set(max_bucket):
+        return {
+            r["id"]
+            for r in J._probe_dup_ids(
+                spark, dirs, bkeys, b_hsh, 0.5, max_bucket, 16
+            ).collect()
+        }
+
+    assert dup_set(1000) == {1, 2}  # uncapped: both collisions verify
+    # capped at 512: the 600-member bucket is dropped -> doc 1's only
+    # collision vanishes (documented recall sacrifice); doc 2 unaffected
+    assert dup_set(512) == {2}
+
+    # prune-equality: force shard pruning on despite the tiny index
+    saved = J._PRUNE_MIN_FILES
+    J._PRUNE_MIN_FILES = 0
+    try:
+        assert dup_set(1000) == {1, 2}
+        assert dup_set(512) == {2}
+    finally:
+        J._PRUNE_MIN_FILES = saved
+
+
+def test_probe_near_dup_index_public_api(spark, tmp_path):
+    """Read-only decontamination probe: near-dups of retained docs are
+    flagged, novel docs are not, and the index is unchanged."""
+    import pandas as pd
+
+    from gmail_etl_spark.streaming.jobs import (
+        maintain_near_dup_index,
+        probe_near_dup_index,
+        read_near_dup_index,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    mk = lambda lo, hi: " ".join(words[lo:hi])
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame(
+        [(0, mk(0, 30)), (1, mk(30, 60))], columns=["doc_id", "text"]
+    ).to_parquet(src / "0.parquet")
+    index = str(tmp_path / "ndindex")
+    maintain_near_dup_index(
+        spark, str(src), index, str(tmp_path / "ckpt"),
+        k=1, n_hashes=16, bands=16, threshold=0.5,
+    )
+    before = {r["id"] for r in read_near_dup_index(spark, index).collect()}
+    assert before == {0, 1}
+
+    probe_docs = spark.createDataFrame(
+        [(10, mk(0, 28)), (11, mk(2, 32)), (12, " ".join(f"x{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]
+        for r in probe_near_dup_index(
+            spark, index, probe_docs, k=1, n_hashes=16, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert got == {10, 11}  # near-dups of doc 0; doc 12 is novel
+    # read-only: retained set unchanged
+    assert {r["id"] for r in read_near_dup_index(spark, index).collect()} == before
+
+
+def test_rollup_commit_marker_fallback(spark, tmp_path):
+    """The rollup pointer-missing fallback is gated on the ENGINE-OWNED
+    ``_COMMITTED`` marker (committer-conf independent): with the pointer
+    deleted, the newest committed ``_v`` dir resolves; a partial dir
+    without the marker — even with a job ``_SUCCESS`` — is ignored."""
+    import pandas as pd
+
+    from gmail_etl_spark.streaming.jobs import (
+        _resolve_rollup_version,
+        maintain_daily_rollup,
+        read_daily_rollup,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ts = pd.Timestamp("2024-01-01 10:00:00")
+    pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "user_id": [1, 1],
+            "event_type": ["a", "b"],
+            "ts": [ts, ts],
+            "value": [1.5, 2.5],
+        }
+    ).to_parquet(src / "0.parquet")
+    rollup = tmp_path / "rollup"
+    maintain_daily_rollup(spark, str(src), str(rollup), str(tmp_path / "ckpt"))
+    data_dir, batch_id = _resolve_rollup_version(spark, str(rollup))
+    assert batch_id >= 0
+    truth = sorted(
+        (r["event_type"], r["n_events"], r["value_cents"])
+        for r in read_daily_rollup(spark, str(rollup)).collect()
+    )
+
+    # partial higher version: dir exists, job _SUCCESS exists, but the
+    # engine marker does not -> must NOT be trusted by the fallback
+    partial = rollup / "_v000000000000099"
+    partial.mkdir()
+    (partial / "_SUCCESS").touch()
+    (rollup / "_CURRENT").unlink()
+    data_dir2, batch_id2 = _resolve_rollup_version(spark, str(rollup))
+    assert (data_dir2, batch_id2) == (data_dir, batch_id)
+    assert sorted(
+        (r["event_type"], r["n_events"], r["value_cents"])
+        for r in read_daily_rollup(spark, str(rollup)).collect()
+    ) == truth
+    # stray non-numeric version dir is skipped, not parsed
+    (rollup / "_vjunk").mkdir()
+    assert _resolve_rollup_version(spark, str(rollup))[1] == batch_id
