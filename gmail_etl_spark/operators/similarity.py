@@ -1127,6 +1127,7 @@ def save_ivf_index(
     k_cells: int = 8,
     iters: int = 3,
     assign_strategy: str = "expr",
+    exact_updates: bool = False,
 ) -> None:
     """Materialize an IVF index as a TABLE: train the coarse quantizer
     (:func:`train_kmeans`, deterministic), write the corpus partitioned
@@ -1135,7 +1136,10 @@ def save_ivf_index(
     pruning, so queries read only nprobe/k_cells of the corpus bytes
     (the PartitionFilters posture, test-pinned).  Build cost is paid
     once; at 100 TB this is the difference between an ANN system and an
-    ANN query."""
+    ANN query.  ``exact_updates=True`` passes the decimal-sum centroid
+    discipline through, making the WHOLE persisted layout (assignments
+    included) a pure data function of the corpus — independent of input
+    partitioning (forensic-pinned by tools/nondeterminism_forensic.py)."""
     assignments, centroids = train_kmeans(
         corpus,
         id_col=id_col,
@@ -1143,6 +1147,7 @@ def save_ivf_index(
         k=k_cells,
         iters=iters,
         assign_strategy=assign_strategy,
+        exact_updates=exact_updates,
     )
     indexed = corpus.join(
         assignments, corpus[id_col] == assignments["id"]

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1666,10 +1668,26 @@ def q247_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: (lo, hi) doc_id range of each micro-batch — the file written per
-#: range IS the batch (mtime-ordered, maxFilesPerTrigger=1)
-_Q259_BATCHES = ((0, 200), (200, 400), (400, 1000))
-_Q259_BATCH_CASE = (
-    "CASE WHEN doc_id < 200 THEN 0 WHEN doc_id < 400 THEN 1 ELSE 2 END"
+#: range IS the batch (mtime-ordered, maxFilesPerTrigger=1).  The batch
+#: COUNT is the q259 smoke knob (VERDICT r9 #3, the q255 precedent):
+#: each cold availableNow micro-batch pays a fixed LSH+CC+publish
+#: overhead that dwarfs the row work at the sf0.001 smoke tier, so
+#: tools/sweep.py sets SPARK_GRAFT_Q259_BATCHES=2 there — the oracle
+#: below is GENERATED from the same tuple, so Spark and DuckDB always
+#: replay the same recurrence.  Cross-batch history probing is still
+#: exercised (batch 1 probes batch 0's index); the sf0.01 driver-gate
+#: tier and the default keep the 3-batch production shape.
+_Q259_N_BATCHES = int(os.environ.get("SPARK_GRAFT_Q259_BATCHES", "3"))
+_Q259_BATCHES = {
+    2: ((0, 300), (300, 1000)),
+    3: ((0, 200), (200, 400), (400, 1000)),
+}[_Q259_N_BATCHES]
+_Q259_BATCH_CASE = "CASE {} ELSE {} END".format(
+    " ".join(
+        f"WHEN doc_id < {hi} THEN {i}"
+        for i, (_, hi) in enumerate(_Q259_BATCHES[:-1])
+    ),
+    len(_Q259_BATCHES) - 1,
 )
 
 

@@ -1195,7 +1195,12 @@ def maintain_near_dup_index(
     growing with trigger count.  String content never enters the index
     — band buckets and 64-bit shingle hashes only.  ``n_shards`` is a
     LAYOUT constant recorded in ``_META`` at creation; reusing an index
-    with a different value raises instead of silently mis-pruning."""
+    with a different value raises instead of silently mis-pruning.
+    Size it so each bucket shard stays a few hundred MB at the target
+    corpus (pruning wins when |batch|·bands < O(n_shards), the
+    trickle-ingest regime; for index-scale batches the layout still
+    wins by scanning only the narrow 16-byte bucket rows and fetching
+    the wide hsh arrays for verified candidates alone)."""
     from gmail_etl_spark.operators.dedup import (
         _banded_keys,
         _lsh_sigs,

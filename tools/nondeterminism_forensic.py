@@ -380,6 +380,243 @@ def _audit_streaming_neardup(spark, F, runs: int, n_docs: int) -> dict:
     }
 
 
+
+def _audit_rollup_pointer_replay(spark, F, runs: int, n_events: int) -> dict:
+    """Pointer semantics of the versioned-rollup family under REPLAY —
+    the state-from-boundaries surface FORENSIC_r09 did not yet cover.
+    Each run drives the full crash-recovery lifecycle at 4 cores:
+
+      1. chunked availableNow run -> rollup state
+      2. same-checkpoint restart (no-op replay)
+      3. ``_CURRENT`` pointer deleted (the crash window) -> the reader
+         must resolve via the ``_COMMITTED``-gated fallback
+      4. FRESH-checkpoint restart with the pointer still missing: batch
+         ids replay from 0 and every publish must be rejected against
+         the fallback-resolved head (the double-merge hazard)
+
+    After every stage the additive rollup must equal the batch oracle
+    over the same files; the same lifecycle then runs for the
+    HLL-sketch rollup, whose per-day estimates must equal batch
+    COUNT(DISTINCT) EXACTLY (register-state merge, not estimate
+    addition)."""
+    from gmail_etl_spark.streaming.jobs import (
+        maintain_daily_distinct_sketch,
+        maintain_daily_rollup,
+        read_daily_distinct_estimates,
+        read_daily_rollup,
+    )
+
+    ev = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.col("id"), F.lit(5000)).alias("user_id"),
+        F.concat(
+            F.lit("t"), F.pmod(F.col("id"), F.lit(5)).cast("string")
+        ).alias("event_type"),
+        F.timestamp_seconds(
+            F.lit(EPOCH_2024) + F.pmod(F.xxhash64("id"), F.lit(86400 * 30))
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10000)).cast("double") / 100).alias(
+            "value"
+        ),
+    )
+    pdf = ev.toPandas().sort_values("event_id").reset_index(drop=True)
+    rollup_truth = tuple(
+        sorted(
+            (r["day"].isoformat(), r["event_type"], r["n"], r["c"])
+            for r in ev.groupBy(
+                F.to_date("ts").alias("day"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c"),
+            )
+            .collect()
+        )
+    )
+    distinct_truth = tuple(
+        sorted(
+            (r["day"].isoformat(), r["n"])
+            for r in ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        )
+    )
+
+    def _del_pointer(d: str) -> None:
+        ptr = os.path.join(d, "_CURRENT")
+        if os.path.exists(ptr):
+            os.remove(ptr)
+
+    work = tempfile.mkdtemp(prefix="forensic_rollup_")
+    checksums, walls = [], []
+    try:
+        for run in range(runs):
+            rundir = os.path.join(work, f"run{run}")
+            src = os.path.join(rundir, "events")
+            os.makedirs(src)
+            chunk = n_events // 3 + 1
+            for i in range(3):
+                path = os.path.join(src, f"c{i}.parquet")
+                pdf.iloc[i * chunk : (i + 1) * chunk].to_parquet(path)
+                os.utime(path, (1_000_000_000 + i,) * 2)
+            rollup = os.path.join(rundir, "rollup")
+            sketch = os.path.join(rundir, "sketch")
+            t0 = time.perf_counter()
+
+            def _rollup_rows():
+                return tuple(
+                    sorted(
+                        (r["day"].isoformat(), r["event_type"], r["n_events"],
+                         r["value_cents"])
+                        for r in read_daily_rollup(spark, rollup).collect()
+                    )
+                )
+
+            stage = []
+            maintain_daily_rollup(spark, src, rollup, os.path.join(rundir, "ck1"))
+            stage.append(_rollup_rows())
+            maintain_daily_rollup(spark, src, rollup, os.path.join(rundir, "ck1"))
+            stage.append(_rollup_rows())
+            _del_pointer(rollup)
+            stage.append(_rollup_rows())  # _COMMITTED fallback resolution
+            maintain_daily_rollup(spark, src, rollup, os.path.join(rundir, "ck2"))
+            stage.append(_rollup_rows())  # replayed ids rejected vs fallback head
+
+            maintain_daily_distinct_sketch(
+                spark, src, sketch, os.path.join(rundir, "ck3")
+            )
+            _del_pointer(sketch)
+            maintain_daily_distinct_sketch(
+                spark, src, sketch, os.path.join(rundir, "ck4")
+            )
+            stage.append(
+                tuple(
+                    sorted(
+                        (r["day"].isoformat(), r["approx_users"])
+                        for r in read_daily_distinct_estimates(
+                            spark, sketch
+                        ).collect()
+                    )
+                )
+            )
+            walls.append(round(time.perf_counter() - t0, 2))
+            checksums.append(tuple(stage))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    expected = (
+        rollup_truth, rollup_truth, rollup_truth, rollup_truth, distinct_truth
+    )
+    return {
+        "operator": "rollup_pointer_replay",
+        "events": n_events,
+        "runs": runs,
+        "stages_per_run": 5,
+        "distinct_checksums": len(set(checksums)),
+        "all_match_truth": all(c == expected for c in checksums),
+        "walls_s": walls,
+    }
+
+
+def _audit_ivf_lifecycle(spark, F, runs: int, n_rows: int) -> dict:
+    """Persisted-IVF build/probe lifecycle under REPARTITIONING — the
+    q256 cluster-partitioned layout as a physical-layout-feeds-state
+    surface.  With ``exact_updates=True`` the trained centroids are an
+    accumulation-order-free data function, so the ENTIRE persisted
+    layout (cell assignments included), the exhaustive probe
+    (nprobe=k, compared against a driver numpy oracle) and the PRUNED
+    probe (nprobe=2, partition-pruned scan) must be bit-identical no
+    matter how the input corpus was partitioned at build time.  Each
+    run rebuilds the index from a deliberately different input
+    partitioning (3/8/17-way)."""
+    import numpy as np
+
+    from gmail_etl_spark.operators.similarity import (
+        query_ivf_index,
+        save_ivf_index,
+    )
+
+    dim, k_cells, topk = 16, 8, 5
+    corpus = spark.range(n_rows).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(2000)).cast(
+                        "double"
+                    )
+                    / 1000.0
+                    - 1.0
+                )
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    pdf = corpus.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.array(pdf["embedding"].tolist())
+    norms = np.linalg.norm(mat, axis=1)
+    truth = []
+    for q in range(8):
+        sims = (mat @ mat[q]) / (norms * norms[q])
+        sims[q] = -np.inf  # exclude self, as the operator does
+        order = np.lexsort((np.arange(n_rows), -np.round(sims, 6)))
+        for rank, nb in enumerate(order[:topk], start=1):
+            truth.append((q, rank, int(nb)))
+    truth_chk = tuple(truth)
+
+    work = tempfile.mkdtemp(prefix="forensic_ivf_")
+    parts_cycle = [3, 8, 17]
+    checksums, walls = [], []
+    try:
+        for run in range(runs):
+            parts = parts_cycle[run % len(parts_cycle)]
+            path = os.path.join(work, f"ivf{run}")
+            t0 = time.perf_counter()
+            save_ivf_index(
+                spark,
+                corpus.repartition(parts),
+                path,
+                k_cells=k_cells,
+                iters=3,
+                exact_updates=True,
+            )
+            assign = spark.read.parquet(f"{path}/vectors").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("vec_id", "cluster")).alias("x"),
+            ).collect()[0]
+            queries = corpus.filter(F.col("vec_id") < 8)
+            exhaustive = tuple(
+                (r["query_id"], r["rank"], r["neighbor_id"])
+                for r in query_ivf_index(
+                    spark, path, queries, k=topk, nprobe=k_cells
+                )
+                .orderBy("query_id", "rank")
+                .collect()
+            )
+            pruned = tuple(
+                (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+                for r in query_ivf_index(spark, path, queries, k=topk, nprobe=2)
+                .orderBy("query_id", "rank")
+                .collect()
+            )
+            walls.append(round(time.perf_counter() - t0, 2))
+            checksums.append(((assign["n"], assign["x"]), exhaustive, pruned))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    return {
+        "operator": "persisted_ivf_lifecycle",
+        "rows": n_rows,
+        "dim": dim,
+        "k_cells": k_cells,
+        "input_partitionings": parts_cycle[: max(runs, 1)],
+        "runs": runs,
+        "distinct_checksums": len(set(checksums)),
+        "all_match_truth": all(c[1] == truth_chk for c in checksums),
+        "walls_s": walls,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
@@ -387,6 +624,8 @@ def main() -> None:
     ap.add_argument("--knn-rows", type=int, default=200_000)
     ap.add_argument("--stream-events", type=int, default=200_000)
     ap.add_argument("--neardup-docs", type=int, default=20_000)
+    ap.add_argument("--rollup-events", type=int, default=120_000)
+    ap.add_argument("--ivf-rows", type=int, default=20_000)
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
@@ -404,6 +643,8 @@ def main() -> None:
         _audit_topk_batch_shapes(spark, F, max(args.runs, 3), args.knn_rows),
         _audit_streaming_stateful(spark, F, args.runs, args.stream_events),
         _audit_streaming_neardup(spark, F, args.runs, args.neardup_docs),
+        _audit_rollup_pointer_replay(spark, F, args.runs, args.rollup_events),
+        _audit_ivf_lifecycle(spark, F, args.runs, args.ivf_rows),
     ]
     def _ok(a: dict) -> bool:
         if a["operator"] == "streaming_dedup_and_rollup":

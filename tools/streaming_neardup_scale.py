@@ -74,12 +74,34 @@ def main() -> None:
         n_files += 1
 
     index = os.path.join(work, "index")
+    # per-batch wall deltas (publish-completion timestamps): the v2
+    # sharded layout must keep per-batch cost from growing with index
+    # size in the wide (hsh) dimension — batch N's wall vs batch 1's is
+    # the evidence column VERDICT r9 #1 asked for
+    import gmail_etl_spark.streaming.jobs as J
+
+    publish_done: list[float] = []
+    orig_publish = J._publish_index_batch
+
+    def publish_timed(*a, **k):
+        r = orig_publish(*a, **k)
+        publish_done.append(time.perf_counter())
+        return r
+
+    J._publish_index_batch = publish_timed
     t0 = time.perf_counter()
-    maintain_near_dup_index(
-        spark, src, index, os.path.join(work, "ckpt"),
-        k=3, n_hashes=16, bands=16, threshold=0.5,
-    )
+    try:
+        maintain_near_dup_index(
+            spark, src, index, os.path.join(work, "ckpt"),
+            k=3, n_hashes=16, bands=16, threshold=0.5,
+        )
+    finally:
+        J._publish_index_batch = orig_publish
     wall = round(time.perf_counter() - t0, 2)
+    batch_walls = [
+        round(t - prev, 2)
+        for prev, t in zip([t0] + publish_done[:-1], publish_done)
+    ]
 
     retained = read_near_dup_index(spark, index)
     agg = retained.agg(
@@ -106,6 +128,7 @@ def main() -> None:
         "retained": agg["cnt"],
         "retained_id_sum_exact": True,
         "wall_s": wall,
+        "batch_walls_s": batch_walls,
         "docs_per_sec": round(n / wall, 1),
         "index_bytes": index_bytes,
         "loadavg": list(os.getloadavg()),

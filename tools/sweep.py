@@ -75,19 +75,28 @@ def main() -> int:
 
     import duckdb
 
-    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
-    from gmail_etl_spark.session import get_spark
-
-    _ensure_loaded()
-    # smoke-tier q255 state sizing (VERDICT r8 #8): at the sf0.001 tier
-    # the stream-stream join's fixed state-store setup (2 stores per
-    # shuffle partition, cores-scaled) dominates its wall-clock; cap it
-    # there.  Physical knob only — the result is partition-invariant —
-    # and the sf0.01 driver-gate tier keeps the production shape.
+    # smoke-tier knobs (BEFORE the catalog import — q259's oracle is
+    # generated at module-import time from the batch tuple):
+    # * q255 state sizing (VERDICT r8 #8): the stream-stream join's
+    #   fixed state-store setup (2 stores per shuffle partition,
+    #   cores-scaled) dominates its sf0.001 wall-clock; cap it there.
+    #   Physical knob only — the result is partition-invariant.
+    # * q259 batch count (VERDICT r9 #3): each cold availableNow
+    #   micro-batch pays a fixed LSH+CC+publish overhead; 2 batches at
+    #   the smoke tier still exercise the cross-batch history probe,
+    #   and the oracle regenerates from the same tuple so the hash gate
+    #   is unweakened in kind.  The sf0.01 driver-gate tier keeps the
+    #   3-batch production shape.
     import os
 
     if args.sf.rstrip("/").endswith("sf0.001"):
         os.environ.setdefault("SPARK_GRAFT_Q255_STATE_PARTITIONS", "4")
+        os.environ.setdefault("SPARK_GRAFT_Q259_BATCHES", "2")
+
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+    from gmail_etl_spark.session import get_spark
+
+    _ensure_loaded()
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
