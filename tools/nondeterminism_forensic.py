@@ -433,11 +433,19 @@ def _audit_rollup_pointer_replay(spark, F, runs: int, n_events: int) -> dict:
             .collect()
         )
     )
+    # truth = the ONE-SHOT batch sketch's estimate (same lgK=12 as the
+    # maintainer): the operator's claim is that the streamed union is
+    # byte-identical to the batch sketch, NOT that the estimate equals
+    # exact COUNT(DISTINCT) — above the sparse-exact regime they differ
     distinct_truth = tuple(
         sorted(
             (r["day"].isoformat(), r["n"])
             for r in ev.groupBy(F.to_date("ts").alias("day"))
-            .agg(F.countDistinct("user_id").alias("n"))
+            .agg(
+                F.expr(
+                    "cast(hll_sketch_estimate(hll_sketch_agg(user_id, 12)) as long)"
+                ).alias("n")
+            )
             .collect()
         )
     )
