@@ -35,6 +35,18 @@ def main() -> None:
     ap.add_argument("--group", type=int, default=10)
     ap.add_argument("--batches", type=int, default=5)
     ap.add_argument("--n-tokens", type=int, default=60)
+    ap.add_argument(
+        "--trickle", type=int, default=0,
+        help="after the bulk build, append this many SMALL (1k-doc) "
+        "micro-batches — the maxFilesPerTrigger=1 ingest regime the "
+        "shard-pruned probe serves; reports their per-batch walls "
+        "against the full-size index",
+    )
+    ap.add_argument(
+        "--compact-every", type=int, default=0,
+        help="pass through to maintain_near_dup_index: fold history "
+        "into one compaction dir once this many live dirs accumulate",
+    )
     ap.add_argument("--workdir", type=str, default=None)
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
@@ -94,6 +106,7 @@ def main() -> None:
         maintain_near_dup_index(
             spark, src, index, os.path.join(work, "ckpt"),
             k=3, n_hashes=16, bands=16, threshold=0.5,
+            compact_every=args.compact_every,
         )
     finally:
         J._publish_index_batch = orig_publish
@@ -118,6 +131,72 @@ def main() -> None:
         f"[ok] retained={agg['cnt']} == planted heads, id_sum exact; "
         f"{n_files} batches, {wall}s, index {index_bytes >> 20} MiB"
     )
+    trickle_walls: list[float] = []
+    trickle_exact = None
+    if args.trickle:
+        import pandas as pd
+
+        # the ingest regime the index serves: small daily batches against
+        # the full-size history.  Each trickle batch = 500 NOVEL docs
+        # (disjoint token namespaces — nothing may drop) + 500 byte-exact
+        # copies of planted heads (every one must drop against history).
+        head_rows = pdf[pdf["doc_id"] % group == 0].reset_index(drop=True)
+        for t in range(args.trickle):
+            novel = pd.DataFrame(
+                {
+                    "doc_id": [10_000_000 + t * 1000 + i for i in range(500)],
+                    "text": [
+                        " ".join(
+                            f"trk{t}x{i}y{j}" for j in range(args.n_tokens)
+                        )
+                        for i in range(500)
+                    ],
+                }
+            )
+            picks = [(t * 500 + i) % len(head_rows) for i in range(500)]
+            dups = pd.DataFrame(
+                {
+                    "doc_id": [20_000_000 + t * 1000 + i for i in range(500)],
+                    "text": head_rows.iloc[picks]["text"].tolist(),
+                }
+            )
+            batch = pd.concat([novel, dups], ignore_index=True)
+            path = os.path.join(src, f"t{n_files + t:04d}.parquet")
+            batch.to_parquet(path)
+            os.utime(path, (1_000_000_000 + n_files + t,) * 2)
+
+        publish_done.clear()
+        J._publish_index_batch = publish_timed
+        t1 = time.perf_counter()
+        try:
+            maintain_near_dup_index(
+                spark, src, index, os.path.join(work, "ckpt"),
+                k=3, n_hashes=16, bands=16, threshold=0.5,
+                compact_every=args.compact_every,
+            )
+        finally:
+            J._publish_index_batch = orig_publish
+        trickle_walls = [
+            round(t_ - prev, 2)
+            for prev, t_ in zip([t1] + publish_done[:-1], publish_done)
+        ]
+        agg2 = read_near_dup_index(spark, index).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("id").alias("s")
+        ).collect()[0]
+        exp_cnt = len(heads) + 500 * args.trickle
+        exp_sum = sum(heads) + sum(
+            10_000_000 + t * 1000 + i
+            for t in range(args.trickle)
+            for i in range(500)
+        )
+        assert agg2["cnt"] == exp_cnt, (agg2["cnt"], exp_cnt)
+        assert agg2["s"] == exp_sum, (agg2["s"], exp_sum)
+        trickle_exact = True
+        print(
+            f"[ok] trickle: {args.trickle} x 1k-doc batches vs the "
+            f"{n}-doc index; retained/dropped exact; walls {trickle_walls}"
+        )
+
     result = {
         "metric": "streaming_neardup_scale",
         "n_docs": n,
@@ -129,6 +208,10 @@ def main() -> None:
         "retained_id_sum_exact": True,
         "wall_s": wall,
         "batch_walls_s": batch_walls,
+        "compact_every": args.compact_every,
+        "trickle_batches": args.trickle,
+        "trickle_batch_walls_s": trickle_walls,
+        "trickle_retained_exact": trickle_exact,
         "docs_per_sec": round(n / wall, 1),
         "index_bytes": index_bytes,
         "loadavg": list(os.getloadavg()),
