@@ -1138,7 +1138,7 @@ def maintain_near_dup_index(
     max_bucket: int = 512,
     hash_family: str = "xxhash64",
     n_shards: int = 16,
-    compact_every: int = 0,
+    compact_every: int = 16,
 ) -> None:
     """Incremental near-duplicate curation: each micro-batch is deduped
     IN-BATCH (MinHash-LSH pairs → connected components, exactly the
@@ -1188,11 +1188,13 @@ def maintain_near_dup_index(
     whole (100 TB-side, monotonically growing) index every batch; hot
     index buckets are capped at ``max_bucket`` members before the
     candidate expansion (``_probe_dup_ids``).  Per batch the index
-    grows by the survivors only; with ``compact_every`` = N > 0, once N
-    live dirs accumulate the next publish folds them into one
-    compaction dir (``_c``) behind the same pointer protocol, so
-    listing/planning cost stays O(compact_every) dirs instead of
-    growing with trigger count.  String content never enters the index
+    grows by the survivors only; once ``compact_every`` live dirs
+    accumulate the next publish folds them into one compaction dir
+    (``_c``) behind the same pointer protocol, so listing/planning
+    cost stays O(compact_every) dirs instead of growing with trigger
+    count (measured: per-batch wall grows 14.5 -> 37 s over 15
+    uncompacted dirs and stays flat at 7-15 s compacted —
+    STREAMING_NEARDUP_*_r10 artifacts; 0 disables, pure append log).  String content never enters the index
     — band buckets and 64-bit shingle hashes only.  ``n_shards`` is a
     LAYOUT constant recorded in ``_META`` at creation; reusing an index
     with a different value raises instead of silently mis-pruning.
