@@ -1677,11 +1677,22 @@ def q247_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: replay the same recurrence.  Cross-batch history probing is still
 #: exercised (batch 1 probes batch 0's index); the sf0.01 driver-gate
 #: tier and the default keep the 3-batch production shape.
-_Q259_N_BATCHES = int(os.environ.get("SPARK_GRAFT_Q259_BATCHES", "3"))
-_Q259_BATCHES = {
+_Q259_BATCH_SHAPES = {
     2: ((0, 300), (300, 1000)),
     3: ((0, 200), (200, 400), (400, 1000)),
-}[_Q259_N_BATCHES]
+}
+_Q259_N_BATCHES_RAW = os.environ.get("SPARK_GRAFT_Q259_BATCHES", "3")
+try:
+    _Q259_N_BATCHES = int(_Q259_N_BATCHES_RAW)
+    _Q259_BATCHES = _Q259_BATCH_SHAPES[_Q259_N_BATCHES]
+except (ValueError, KeyError):
+    # a bad value must not take down the ENTIRE catalog import with a
+    # bare KeyError — name the knob and its supported values
+    raise ValueError(
+        f"SPARK_GRAFT_Q259_BATCHES={_Q259_N_BATCHES_RAW!r} is not "
+        f"supported; use one of {sorted(_Q259_BATCH_SHAPES)} "
+        "(the q259 smoke-tier batch-count knob)"
+    ) from None
 _Q259_BATCH_CASE = "CASE {} ELSE {} END".format(
     " ".join(
         f"WHEN doc_id < {hi} THEN {i}"

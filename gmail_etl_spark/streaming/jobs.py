@@ -225,12 +225,26 @@ def _resolve_rollup_version(spark: SparkSession, rollup_dir: str) -> tuple[str, 
         batch_id, name = raw.decode("utf-8").strip().split("\t")
         return f"{rollup_dir.rstrip('/')}/{name}", int(batch_id)
     if fs.exists(base):
+        # either marker proves the data write completed: _COMMITTED is
+        # engine-written (survives marksuccessfuljobs=false deployments),
+        # _SUCCESS is the job committer's own post-commit marker — a dir
+        # carrying it was fully written by a PRE-marker version of this
+        # code, and must stay recoverable after an upgrade (a fallback
+        # that ignored it would rebuild from one replayed batch and
+        # delete real history).  A dir with NEITHER is partial.
         versions = sorted(
             name
             for s in fs.listStatus(base)
             if s.isDirectory()
             and _dir_seq(name := s.getPath().getName(), "_v") is not None
-            and _is_committed(jvm, fs, rollup_dir, name)
+            and (
+                _is_committed(jvm, fs, rollup_dir, name)
+                or fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{rollup_dir.rstrip('/')}/{name}", "_SUCCESS"
+                    )
+                )
+            )
         )
         if versions:
             return f"{rollup_dir.rstrip('/')}/{versions[-1]}", int(versions[-1][2:])
@@ -894,19 +908,34 @@ def _write_index_meta(spark: SparkSession, index_dir: str, meta: dict) -> None:
         out.close()
 
 
+def _count_files_under(spark: SparkSession, paths: list[str], stop_at: int) -> int:
+    """Non-hidden data files under ``paths`` (recursive), counting
+    capped at ``stop_at`` — the single lister behind both the
+    empty-dir skip and the pruning gate, so the hidden-name convention
+    lives in one place."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    n = 0
+    for p in paths:
+        base = jvm.org.apache.hadoop.fs.Path(p)
+        fs = base.getFileSystem(conf)
+        if not fs.exists(base):
+            continue
+        it = fs.listFiles(base, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith("_") and not name.startswith("."):
+                n += 1
+                if n >= stop_at:
+                    return n
+    return n
+
+
 def _has_data_files(spark: SparkSession, path: str) -> bool:
     """True if ``path`` holds at least one non-hidden file: a micro-batch
     whose survivors were all deduped publishes an EMPTY partitioned dir
     (no part files, so no inferable schema) which readers must skip."""
-    jvm, fs, base = _rollup_fs(spark, path)
-    if not fs.exists(base):
-        return False
-    it = fs.listFiles(base, True)
-    while it.hasNext():
-        name = it.next().getPath().getName()
-        if not name.startswith("_") and not name.startswith("."):
-            return True
-    return False
+    return _count_files_under(spark, [path], 1) >= 1
 
 
 #: Below this many data files in the ``buckets/`` sub-tables the probe
@@ -924,22 +953,7 @@ def _data_file_count(
     """Number of non-hidden data files across ``dirs``' ``sub`` tables,
     counting stops at ``stop_at`` (the pruning gate needs only the
     comparison, not an exact census of a huge index)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    n = 0
-    for d in dirs:
-        base = jvm.org.apache.hadoop.fs.Path(f"{d}/{sub}")
-        fs = base.getFileSystem(conf)
-        if not fs.exists(base):
-            continue
-        it = fs.listFiles(base, True)
-        while it.hasNext():
-            name = it.next().getPath().getName()
-            if not name.startswith("_") and not name.startswith("."):
-                n += 1
-                if n >= stop_at:
-                    return n
-    return n
+    return _count_files_under(spark, [f"{d}/{sub}" for d in dirs], stop_at)
 
 
 def _read_index_sub(
@@ -962,6 +976,33 @@ def _read_index_sub(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def _index_has_version_dirs(spark: SparkSession, index_dir: str) -> bool:
+    """Any conforming ``_b``/``_c`` dir present, committed or not."""
+    jvm, fs, base = _rollup_fs(spark, index_dir)
+    if not fs.exists(base):
+        return False
+    return any(
+        s.isDirectory() and _index_dir_entry(s.getPath().getName()) is not None
+        for s in fs.listStatus(base)
+    )
+
+
+def _require_v2_meta(spark: SparkSession, index_dir: str) -> dict:
+    """The index's ``_META``, or a hard error when version dirs exist
+    without one: a pre-v2 (flat survivor rows) or foreign index must
+    FAIL, not silently read as an empty retained corpus — re-admitting
+    every near-duplicate while dropping all prior survivors."""
+    meta = _read_index_meta(spark, index_dir)
+    if meta is None:
+        raise ValueError(
+            f"near-dup index at {index_dir} has version dirs but no _META "
+            "— unrecognized layout (pre-v2 or foreign); rebuild the index "
+            "with maintain_near_dup_index or migrate it to the sharded "
+            "v2 layout"
+        )
+    return meta
 
 
 def _publish_index_batch(
@@ -1212,6 +1253,8 @@ def maintain_near_dup_index(
 
     meta = _read_index_meta(spark, index_dir)
     if meta is None:
+        if _index_has_version_dirs(spark, index_dir):
+            _require_v2_meta(spark, index_dir)  # raises: legacy/foreign
         _write_index_meta(
             spark, index_dir, {"layout": 2, "n_shards": int(n_shards)}
         )
@@ -1333,9 +1376,10 @@ def probe_near_dup_index(
     head = _resolve_index_head(spark, index_dir)
     dirs = _index_batch_dirs(spark, index_dir, head)
     if not dirs:
+        if _index_has_version_dirs(spark, index_dir):
+            _require_v2_meta(spark, index_dir)  # raises on legacy layout
         return docs.select(F.col(id_col).alias("id")).limit(0)
-    meta = _read_index_meta(spark, index_dir) or {}
-    n_shards = int(meta.get("n_shards", 16))
+    n_shards = int(_require_v2_meta(spark, index_dir)["n_shards"])
     sigs = _lsh_sigs(docs, id_col, text_col, k, n_hashes, hash_family)
     bkeys = _banded_keys(sigs, n_hashes, bands)
     return _probe_dup_ids(
@@ -1351,7 +1395,10 @@ def read_near_dup_index(spark: SparkSession, index_dir: str) -> DataFrame:
     head = _resolve_index_head(spark, index_dir)
     dirs = _index_batch_dirs(spark, index_dir, head)
     if not dirs:
+        if _index_has_version_dirs(spark, index_dir):
+            _require_v2_meta(spark, index_dir)  # raises on legacy layout
         raise FileNotFoundError(f"no near-dup index published under {index_dir}")
+    _require_v2_meta(spark, index_dir)
     all_buckets = _read_index_sub(spark, dirs, _IDX_BUCKETS)
     all_hsh = _read_index_sub(spark, dirs, _IDX_HSH)
     if all_buckets is None or all_hsh is None:

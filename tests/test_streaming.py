@@ -894,10 +894,12 @@ def test_probe_near_dup_index_public_api(spark, tmp_path):
 
 
 def test_rollup_commit_marker_fallback(spark, tmp_path):
-    """The rollup pointer-missing fallback is gated on the ENGINE-OWNED
-    ``_COMMITTED`` marker (committer-conf independent): with the pointer
-    deleted, the newest committed ``_v`` dir resolves; a partial dir
-    without the marker — even with a job ``_SUCCESS`` — is ignored."""
+    """The rollup pointer-missing fallback trusts a version dir with
+    EITHER completion marker — the engine-owned ``_COMMITTED``
+    (committer-conf independent) or the job committer's ``_SUCCESS``
+    (a fully-written dir from a pre-marker version of the code must
+    stay recoverable after upgrade) — and ignores a partial dir with
+    NEITHER."""
     import pandas as pd
 
     from gmail_etl_spark.streaming.jobs import (
@@ -927,11 +929,10 @@ def test_rollup_commit_marker_fallback(spark, tmp_path):
         for r in read_daily_rollup(spark, str(rollup)).collect()
     )
 
-    # partial higher version: dir exists, job _SUCCESS exists, but the
-    # engine marker does not -> must NOT be trusted by the fallback
+    # partial higher version: dir exists but carries NEITHER marker ->
+    # must NOT be trusted by the fallback
     partial = rollup / "_v000000000000099"
     partial.mkdir()
-    (partial / "_SUCCESS").touch()
     (rollup / "_CURRENT").unlink()
     data_dir2, batch_id2 = _resolve_rollup_version(spark, str(rollup))
     assert (data_dir2, batch_id2) == (data_dir, batch_id)
@@ -942,3 +943,58 @@ def test_rollup_commit_marker_fallback(spark, tmp_path):
     # stray non-numeric version dir is skipped, not parsed
     (rollup / "_vjunk").mkdir()
     assert _resolve_rollup_version(spark, str(rollup))[1] == batch_id
+
+    # legacy compat: the real version dir written by the parquet job
+    # carries its own _SUCCESS; with the ENGINE marker stripped (a dir
+    # written before _COMMITTED existed) the fallback must STILL
+    # resolve it — ignoring it would rebuild state from one replayed
+    # batch and delete real history
+    version_name = data_dir.rsplit("/", 1)[1]
+    committed = rollup / version_name / "_COMMITTED"
+    assert committed.exists() and (rollup / version_name / "_SUCCESS").exists()
+    committed.unlink()
+    assert _resolve_rollup_version(spark, str(rollup))[1] == batch_id
+    assert sorted(
+        (r["event_type"], r["n_events"], r["value_cents"])
+        for r in read_daily_rollup(spark, str(rollup)).collect()
+    ) == truth
+
+
+def test_near_dup_index_legacy_layout_raises(spark, tmp_path):
+    """A pre-v2 (flat survivor rows, no _META) or foreign index must
+    FAIL LOUDLY: silently reading it as an empty retained corpus would
+    re-admit every near-duplicate while dropping all prior survivors."""
+    import pandas as pd
+    import pytest
+
+    from gmail_etl_spark.streaming.jobs import (
+        maintain_near_dup_index,
+        probe_near_dup_index,
+        read_near_dup_index,
+    )
+
+    # fabricate the v1 shape: one _b dir of flat parquet + job marker +
+    # a _CURRENT pointer, and NO _META
+    index = tmp_path / "legacy"
+    bdir = index / "_b000000000000000"
+    bdir.mkdir(parents=True)
+    pd.DataFrame({"id": [1], "buckets": [[7]], "hsh": [[11, 12]]}).to_parquet(
+        bdir / "part-0.parquet"
+    )
+    (bdir / "_SUCCESS").touch()
+    (index / "_CURRENT").write_text("0")
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    pd.DataFrame({"doc_id": [5], "text": ["some fresh text tokens"]}).to_parquet(
+        docs / "0.parquet"
+    )
+
+    with pytest.raises(ValueError, match="unrecognized layout"):
+        read_near_dup_index(spark, str(index))
+    with pytest.raises(ValueError, match="unrecognized layout"):
+        probe_near_dup_index(spark, str(index), spark.read.parquet(str(docs)))
+    with pytest.raises(ValueError, match="unrecognized layout"):
+        maintain_near_dup_index(
+            spark, str(docs), str(index), str(tmp_path / "ckpt")
+        )
