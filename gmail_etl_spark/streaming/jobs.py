@@ -829,29 +829,55 @@ def _resolve_index_head(spark: SparkSession, index_dir: str) -> int:
                 continue
             ent = _index_dir_entry(name)
             if ent is not None and _is_committed(jvm, fs, index_dir, name):
-                seqs.append(ent[0])
+                seqs.append(ent[1])
         if seqs:
             return max(seqs)
     return -1
 
 
-def _index_dir_entry(name: str) -> tuple[int, bool] | None:
-    """(batch_id, is_compaction) for a conforming index dir name
-    (``_b<digits>`` append batch / ``_c<digits>`` compaction), else None
-    — strays are skipped, never parsed into a ValueError."""
+def _index_dir_entry(name: str) -> tuple[int, int] | None:
+    """Batch-id coverage interval ``(lo, hi)`` of a conforming index dir
+    name, else None — strays are skipped, never parsed into a
+    ValueError.  Three dir kinds:
+
+    - ``_b<seq>``: one append batch → covers ``[seq, seq]``.
+    - ``_m<lo>_<hi>``: a tiered fold of the live dirs whose intervals
+      tile ``[lo, hi]`` (see :func:`_plan_index_fold`).
+    - ``_c<seq>``: LEGACY full-history compaction (pre-tiered layout)
+      → covers ``[0, seq]``; still readable — the interval rule below
+      reproduces the old "newest ``_c`` folds everything before it"
+      semantics exactly.
+    """
     seq = _dir_seq(name, "_b")
     if seq is not None:
-        return seq, False
+        return seq, seq
     seq = _dir_seq(name, "_c")
     if seq is not None:
-        return seq, True
+        return 0, seq
+    if name.startswith("_m"):
+        parts = name[2:].split("_")
+        if len(parts) == 2 and parts[0].isdigit() and parts[1].isdigit():
+            lo, hi = int(parts[0]), int(parts[1])
+            if lo <= hi:
+                return lo, hi
     return None
 
 
-def _index_batch_dirs(spark: SparkSession, index_dir: str, head: int) -> list[str]:
-    """Live data dirs of the index at ``head``, oldest first: the newest
-    compaction dir with id ≤ head (which folds everything before it),
-    plus every append batch dir published after that compaction."""
+def _index_live_entries(
+    spark: SparkSession, index_dir: str, head: int
+) -> list[tuple[int, int, str]]:
+    """COMMITTED, un-shadowed index dirs at ``head``, as ``(lo, hi,
+    name)`` sorted oldest-first (by ``lo``).
+
+    The one reader rule of the index log: a dir is live iff no other
+    committed dir's interval strictly contains it.  A fold dir
+    ``_m<lo>_<hi>`` therefore shadows exactly the dirs it folded even
+    BEFORE their physical cleanup runs — a crash between the fold's
+    commit and the folded dirs' deletion changes nothing for readers,
+    and cleanup can complete opportunistically at any later point.  The
+    committed check matters for fold dirs specifically: their interval
+    hi is below ``head``, so a crash mid-fold-write leaves a partial
+    ``_m`` dir that the ≤ head gate alone would admit."""
     if head < 0:
         return []
     jvm, fs, base = _rollup_fs(spark, index_dir)
@@ -863,16 +889,29 @@ def _index_batch_dirs(spark: SparkSession, index_dir: str, head: int) -> list[st
         if not s.isDirectory():
             continue
         ent = _index_dir_entry(name)
-        if ent is None or ent[0] > head:
+        if ent is None or ent[1] > head:
+            continue
+        if not _is_committed(jvm, fs, index_dir, name):
             continue
         entries.append((ent[0], ent[1], name))
-    compact_floor = max((seq for seq, is_c, _ in entries if is_c), default=-1)
-    live = sorted(
-        (seq, name)
-        for seq, is_c, name in entries
-        if (is_c and seq == compact_floor) or (not is_c and seq > compact_floor)
-    )
-    return [f"{index_dir.rstrip('/')}/{name}" for _, name in live]
+    live = [
+        (lo, hi, name)
+        for lo, hi, name in entries
+        if not any(
+            (olo <= lo and hi <= ohi) and (olo, ohi) != (lo, hi)
+            for olo, ohi, _ in entries
+        )
+    ]
+    return sorted(live)
+
+
+def _index_batch_dirs(spark: SparkSession, index_dir: str, head: int) -> list[str]:
+    """Live data dirs of the index at ``head``, oldest first (the path
+    form of :func:`_index_live_entries`)."""
+    return [
+        f"{index_dir.rstrip('/')}/{name}"
+        for _, _, name in _index_live_entries(spark, index_dir, head)
+    ]
 
 
 #: Sub-tables of one published index dir (layout v2, sharded for probe
@@ -989,6 +1028,25 @@ def _index_has_version_dirs(spark: SparkSession, index_dir: str) -> bool:
     )
 
 
+def _check_index_lsh_shape(index_dir: str, meta: dict, got: dict) -> None:
+    """Raise when the caller's LSH shape contradicts the index's
+    ``_META``.  k/n_hashes/bands/hash_family determine every stored
+    bucket hash and shingle-hash element: a mismatched maintainer or
+    probe would match NO buckets and silently re-admit (or clear) every
+    near-duplicate — the same silent-failure class the n_shards guard
+    exists for.  Keys absent from an older _META are skipped (unknown,
+    not wrong); ``None`` values in ``got`` mean "use the index's own"
+    and are resolved by the caller before this check."""
+    for key, val in got.items():
+        if key in meta and meta[key] != val:
+            raise ValueError(
+                f"index at {index_dir} was built with {key}={meta[key]!r}; "
+                f"got {key}={val!r} — the LSH shape is a layout constant "
+                "(a mismatched probe matches no buckets and silently "
+                "misses every near-duplicate)"
+            )
+
+
 def _require_v2_meta(spark: SparkSession, index_dir: str) -> dict:
     """The index's ``_META``, or a hard error when version dirs exist
     without one: a pre-v2 (flat survivor rows) or foreign index must
@@ -1002,28 +1060,27 @@ def _require_v2_meta(spark: SparkSession, index_dir: str) -> dict:
             "with maintain_near_dup_index or migrate it to the sharded "
             "v2 layout"
         )
+    if int(meta.get("layout", -1)) not in (2, 3):
+        # a FUTURE layout must fail loudly, not read partially: e.g. a
+        # reader unaware of layout 3's _m fold dirs would silently skip
+        # them — dropping folded survivors from the retained corpus
+        raise ValueError(
+            f"near-dup index at {index_dir} declares layout="
+            f"{meta.get('layout')!r}; this engine reads layouts 2-3"
+        )
     return meta
 
 
-def _publish_index_batch(
+def _write_index_tables(
     spark: SparkSession,
-    index_dir: str,
+    new_dir: str,
     buckets_out: DataFrame,
     hsh_out: DataFrame,
-    batch_id: int,
     n_shards: int,
-    compact: bool = False,
 ) -> None:
-    """Write one index version dir (``_b<batch_id>`` append batch, or
-    ``_c<batch_id>`` compaction that folds all prior history) in the
-    sharded v2 layout, mark it ``_COMMITTED``, then advance the
-    ``_CURRENT`` pointer.  After a compaction publishes, every folded
-    dir is deleted best-effort — a reader racing the cleanup still
-    resolves the compaction dir via the pointer and ignores the folded
-    dirs (``_index_batch_dirs`` drops everything ≤ the compaction id)."""
-    prefix = "_c" if compact else "_b"
-    name = f"{prefix}{batch_id:015d}"
-    new_dir = f"{index_dir.rstrip('/')}/{name}"
+    """Write the two sharded v2 sub-tables of one index version dir and
+    mark it ``_COMMITTED`` (shared by append publishes and tiered
+    folds — a fold dir is byte-layout-identical to a batch dir)."""
     shard = F.pmod(F.col("bucket"), F.lit(n_shards)).cast("int")
     (
         buckets_out.select("bucket", "id")
@@ -1045,7 +1102,23 @@ def _publish_index_batch(
         .parquet(f"{new_dir}/{_IDX_HSH}")
     )
     _mark_committed(spark, new_dir)
-    jvm, fs, base = _rollup_fs(spark, index_dir)
+
+
+def _delete_index_dirs(spark: SparkSession, index_dir: str, names: list[str]) -> None:
+    """Best-effort recursive delete of index version dirs by name — the
+    single choke point for folded-history cleanup, so crash-injection
+    tests can fault it and prove readers/replay never depended on the
+    deletion having run."""
+    jvm, fs, _ = _rollup_fs(spark, index_dir)
+    for name in names:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_dir.rstrip('/')}/{name}"), True)
+
+
+def _advance_index_pointer(spark: SparkSession, index_dir: str, batch_id: int) -> None:
+    """Atomically advance ``_CURRENT`` to ``batch_id`` (write-temp +
+    rename; the sub-second pointer-missing window is covered by
+    :func:`_resolve_index_head`'s committed-dir fallback)."""
+    jvm, fs, _ = _rollup_fs(spark, index_dir)
     ptr = jvm.org.apache.hadoop.fs.Path(index_dir, "_CURRENT")
     tmp = jvm.org.apache.hadoop.fs.Path(index_dir, f"_CURRENT.{batch_id}.tmp")
     out = fs.create(tmp, True)
@@ -1056,13 +1129,192 @@ def _publish_index_batch(
     if fs.exists(ptr):
         fs.delete(ptr, False)
     fs.rename(tmp, ptr)
-    if compact:
-        # best-effort removal of folded history (conforming names only)
-        for s in fs.listStatus(base):
-            nm = s.getPath().getName()
-            ent = _index_dir_entry(nm)
-            if s.isDirectory() and ent is not None and ent[0] < batch_id:
-                fs.delete(s.getPath(), True)
+
+
+def _publish_index_batch(
+    spark: SparkSession,
+    index_dir: str,
+    buckets_out: DataFrame,
+    hsh_out: DataFrame,
+    batch_id: int,
+    n_shards: int,
+) -> None:
+    """Write one append dir (``_b<batch_id>``) in the sharded v2 layout,
+    mark it ``_COMMITTED``, then advance the ``_CURRENT`` pointer.
+    Folding of accumulated history is a SEPARATE, pointer-independent
+    step (:func:`_maybe_fold_index`) that runs after the pointer
+    advance — a crash anywhere inside it never loses batch data."""
+    name = f"_b{batch_id:015d}"
+    _write_index_tables(
+        spark, f"{index_dir.rstrip('/')}/{name}", buckets_out, hsh_out, n_shards
+    )
+    _advance_index_pointer(spark, index_dir, batch_id)
+
+
+def _bytes_under(spark: SparkSession, paths: list[str]) -> int:
+    """Total length of non-hidden data files under ``paths`` (recursive)
+    — fold-amplification accounting for the scale artifacts; only
+    called when a ``fold_log`` is requested, never on the hot path."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for p in paths:
+        base = jvm.org.apache.hadoop.fs.Path(p)
+        fs = base.getFileSystem(conf)
+        if not fs.exists(base):
+            continue
+        it = fs.listFiles(base, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.startswith("_") and not name.startswith("."):
+                total += st.getLen()
+    return total
+
+
+def _fold_tier_of(width: int, fanout: int) -> int:
+    """Size tier of a live dir covering ``width`` base batches:
+    ``t`` such that ``fanout**t <= width < fanout**(t+1)``.  Width is
+    the tier metric (not byte size) so fold decisions are a pure
+    function of the dir LISTING — deterministic under replay, no
+    dependence on file-layout accidents."""
+    t = 0
+    w = max(1, width)
+    while w >= fanout:
+        w //= fanout
+        t += 1
+    return t
+
+
+def _plan_index_fold(
+    entries: list[tuple[int, int, str]], fanout: int, max_width: int
+) -> tuple[int, int] | None:
+    """Pick at most ONE fold for this publish: the slice ``[i, j)`` of
+    the live list (sorted oldest-first) to merge, or None.
+
+    Size-tiered (LSM-style) policy: group adjacent live dirs into
+    maximal runs of equal tier (tier = :func:`_fold_tier_of` of the
+    covered batch width); the lowest-tier run holding at least
+    ``fanout`` dirs folds its OLDEST ``fanout`` members — provided the
+    folded interval stays within ``max_width``.  Each row is therefore
+    rewritten at most ``log_fanout(max_width)`` times over the corpus
+    lifetime (2 under the defaults fanout=16/max_width=256), and no
+    single publish ever rewrites more than ``fanout`` dirs of one tier
+    — never O(index).  Dirs at or above ``max_width`` are sealed: never
+    rewritten again, exactly Lucene's maxMergedSegment discipline.
+    Cascades (a fold that fills the next tier) complete one fold per
+    subsequent publish, spreading the work.
+
+    Adjacency in the sorted live list is what makes the fold SAFE: live
+    intervals are pairwise disjoint, so every live dir inside the folded
+    interval is a member of the folded run — the new ``_m<lo>_<hi>`` dir
+    shadows exactly what it absorbed."""
+    if fanout <= 0:
+        return None
+    best: tuple[int, int, int] | None = None  # (tier, i, j)
+    i = 0
+    n = len(entries)
+    while i < n:
+        t = _fold_tier_of(entries[i][1] - entries[i][0] + 1, fanout)
+        j = i
+        while j < n and _fold_tier_of(entries[j][1] - entries[j][0] + 1, fanout) == t:
+            j += 1
+        if j - i >= fanout:
+            k = i + fanout
+            width = entries[k - 1][1] - entries[i][0] + 1
+            if width <= max_width and (best is None or t < best[0]):
+                best = (t, i, k)
+        i = j
+    return None if best is None else (best[1], best[2])
+
+
+def _cleanup_shadowed_index_dirs(
+    spark: SparkSession, index_dir: str, head: int
+) -> list[str]:
+    """Delete committed dirs ≤ head whose interval is strictly contained
+    in another committed dir's — folded history whose removal a crash
+    interrupted.  Runs after every fold AND opportunistically at
+    maintainer startup, so an interrupted cleanup converges at the next
+    run instead of waiting for (or never seeing) another fold.  Returns
+    the deleted names."""
+    if head < 0:
+        return []
+    jvm, fs, base = _rollup_fs(spark, index_dir)
+    if not fs.exists(base):
+        return []
+    entries = []
+    for s in fs.listStatus(base):
+        name = s.getPath().getName()
+        if not s.isDirectory():
+            continue
+        ent = _index_dir_entry(name)
+        if ent is None or ent[1] > head:
+            continue
+        if not _is_committed(jvm, fs, index_dir, name):
+            continue
+        entries.append((ent[0], ent[1], name))
+    shadowed = [
+        name
+        for lo, hi, name in entries
+        if any(
+            (olo <= lo and hi <= ohi) and (olo, ohi) != (lo, hi)
+            for olo, ohi, _ in entries
+        )
+    ]
+    _delete_index_dirs(spark, index_dir, shadowed)
+    return shadowed
+
+
+def _maybe_fold_index(
+    spark: SparkSession,
+    index_dir: str,
+    head: int,
+    n_shards: int,
+    fanout: int,
+    max_width: int,
+    measure: bool = False,
+) -> dict | None:
+    """Run at most one tiered fold at ``head`` (see
+    :func:`_plan_index_fold`), publish it as ``_m<lo>_<hi>`` behind the
+    ``_COMMITTED`` marker, then clean up the shadowed dirs.  Crash-safe
+    at every window: a partial ``_m`` dir has no marker (invisible to
+    readers); a committed ``_m`` dir shadows its inputs by interval
+    containment whether or not their deletion ran; the pointer is never
+    touched (folds don't change the head).  Returns a stats dict when a
+    fold ran (bytes only when ``measure`` — an extra listing pass the
+    hot path skips)."""
+    if fanout <= 0:
+        return None
+    entries = _index_live_entries(spark, index_dir, head)
+    plan = _plan_index_fold(entries, fanout, max_width)
+    if plan is None:
+        return None
+    i, j = plan
+    run = entries[i:j]
+    lo, hi = run[0][0], run[-1][1]
+    root = index_dir.rstrip("/")
+    run_dirs = [f"{root}/{name}" for _, _, name in run]
+    buckets = _read_index_sub(spark, run_dirs, _IDX_BUCKETS)
+    hsh = _read_index_sub(spark, run_dirs, _IDX_HSH)
+    name = f"_m{lo:015d}_{hi:015d}"
+    new_dir = f"{root}/{name}"
+    stats: dict = {"fold": name, "lo": lo, "hi": hi, "n_dirs": len(run)}
+    if measure:
+        stats["bytes_folded_in"] = _bytes_under(spark, run_dirs)
+    if buckets is None or hsh is None:
+        # every folded dir is empty (all-dup batches; both sub-tables
+        # are written by the same kept_sigs frame, so one empty implies
+        # both): publish a marker-only fold dir — readers skip it via
+        # _has_data_files, and the empties still collapse to one dir
+        jvm, fs, _ = _rollup_fs(spark, index_dir)
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(new_dir))
+        _mark_committed(spark, new_dir)
+    else:
+        _write_index_tables(spark, new_dir, buckets, hsh, n_shards)
+    if measure:
+        stats["bytes_folded_out"] = _bytes_under(spark, [new_dir])
+    stats["cleaned"] = _cleanup_shadowed_index_dirs(spark, index_dir, head)
+    return stats
 
 
 def _probe_dup_ids(
@@ -1071,8 +1323,9 @@ def _probe_dup_ids(
     bkeys: DataFrame,
     b_hsh: DataFrame,
     threshold: float,
-    max_bucket: int,
+    max_bucket: int | None,
     n_shards: int,
+    pins: list | None = None,
 ) -> DataFrame:
     """Batch ids that near-duplicate a retained doc — the pruned history
     probe of the v2 index layout.
@@ -1097,6 +1350,12 @@ def _probe_dup_ids(
        the ``hsh/`` scan is partition-pruned to the candidates' id
        shards (again a bounded ≤ n_shards collect) and joined to the
        broadcast candidate-id set before the exact Jaccard verify.
+
+    ``max_bucket=None`` disables step 2 (no cap, no recall sacrifice —
+    the read-only decontamination default).  When ``pins`` is given,
+    frames persisted to stop the candidate stage executing twice (once
+    for the shard collect, once at action time) are appended to it; the
+    CALLER unpersists them after consuming the result.
     """
     hist_buckets = _read_index_sub(spark, hist_dirs, _IDX_BUCKETS)
     if hist_buckets is None:
@@ -1116,22 +1375,29 @@ def _probe_dup_ids(
     else:
         hb = hist_buckets
     bucket_set = bkeys.select("bucket").distinct()
-    over = (
-        hb.join(F.broadcast(bucket_set), "bucket")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_idx"))
-        .filter(F.col("n_idx") > max_bucket)
-        .select("bucket")
-    )
+    if max_bucket is not None:
+        over = (
+            hb.join(F.broadcast(bucket_set), "bucket")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_idx"))
+            .filter(F.col("n_idx") > max_bucket)
+            .select("bucket")
+        )
+        hb = hb.join(F.broadcast(over), "bucket", "left_anti")
     cand = (
-        hb.join(F.broadcast(over), "bucket", "left_anti")
-        .join(
+        hb.join(
             F.broadcast(bkeys.select(F.col("id").alias("b_id"), "bucket")),
             "bucket",
         )
         .select("b_id", F.col("id").alias("h_id"))
         .distinct()
     )
+    if prune and pins is not None:
+        # the cand_shards collect below EXECUTES this whole candidate
+        # plan (index scan + cap + expansion); without a persist the
+        # returned plan re-executes it at action time — pay it once
+        cand = cand.persist()
+        pins.append(cand)
     h_ids = cand.select(F.col("h_id").alias("id")).distinct()
     hist_hsh = _read_index_sub(spark, hist_dirs, _IDX_HSH)
     if hist_hsh is None:
@@ -1180,6 +1446,8 @@ def maintain_near_dup_index(
     hash_family: str = "xxhash64",
     n_shards: int = 16,
     compact_every: int = 16,
+    max_fold_width: int | None = None,
+    fold_log: list | None = None,
 ) -> None:
     """Incremental near-duplicate curation: each micro-batch is deduped
     IN-BATCH (MinHash-LSH pairs → connected components, exactly the
@@ -1222,28 +1490,40 @@ def maintain_near_dup_index(
     contract as :func:`maintain_daily_rollup`: index and checkpoint
     move together.
 
-    Scale shape: the index side is sharded (layout v2 — see
-    :data:`_IDX_BUCKETS`) so the per-batch probe PRUNES: it reads only
-    the bucket shards the batch's band keys fall in and only the hsh
-    shards its verified candidates live in, instead of scanning the
-    whole (100 TB-side, monotonically growing) index every batch; hot
-    index buckets are capped at ``max_bucket`` members before the
-    candidate expansion (``_probe_dup_ids``).  Per batch the index
-    grows by the survivors only; once ``compact_every`` live dirs
-    accumulate the next publish folds them into one compaction dir
-    (``_c``) behind the same pointer protocol, so listing/planning
-    cost stays O(compact_every) dirs instead of growing with trigger
-    count (measured: per-batch wall grows 14.5 -> 37 s over 15
-    uncompacted dirs and stays flat at 7-15 s compacted —
-    STREAMING_NEARDUP_*_r10 artifacts; 0 disables, pure append log).  String content never enters the index
-    — band buckets and 64-bit shingle hashes only.  ``n_shards`` is a
-    LAYOUT constant recorded in ``_META`` at creation; reusing an index
-    with a different value raises instead of silently mis-pruning.
-    Size it so each bucket shard stays a few hundred MB at the target
-    corpus (pruning wins when |batch|·bands < O(n_shards), the
-    trickle-ingest regime; for index-scale batches the layout still
-    wins by scanning only the narrow 16-byte bucket rows and fetching
-    the wide hsh arrays for verified candidates alone)."""
+    Scale shape: the index side is sharded (see :data:`_IDX_BUCKETS`)
+    so the per-batch probe PRUNES: it reads only the bucket shards the
+    batch's band keys fall in and only the hsh shards its verified
+    candidates live in, instead of scanning the whole (100 TB-side,
+    monotonically growing) index every batch; hot index buckets are
+    capped at ``max_bucket`` members before the candidate expansion
+    (``_probe_dup_ids``).  Per batch the index grows by the survivors
+    only; accumulated history is folded TIERED (LSM-style,
+    :func:`_plan_index_fold`): ``compact_every`` adjacent live dirs of
+    the same size tier merge into one ``_m<lo>_<hi>`` dir, at most one
+    fold per publish, and dirs covering ``max_fold_width`` batches
+    (default ``compact_every**2``) are sealed — never rewritten again.
+    Listing/planning cost stays O(fanout·tiers + corpus/max_fold_width)
+    dirs (measured: per-batch wall grows 14.5 -> 37 s over 15 unfolded
+    dirs and stays flat folded — STREAMING_NEARDUP_*_r10/r11
+    artifacts), each survivor row is rewritten at most
+    log_fanout(max_fold_width) times EVER (2 under defaults — the r10
+    full-history fold rewrote every row every 16 batches, O(index)
+    I/O per fold), and no single publish rewrites more than one
+    tier-run of ``compact_every`` dirs.  ``compact_every=0`` disables
+    folding (pure append log); ``fold_log`` (when a list) receives one
+    stats dict per fold with byte-level amplification accounting —
+    measurement harnesses only, zero hot-path cost when None.  String
+    content never enters the index — band buckets and 64-bit shingle
+    hashes only.  ``n_shards`` is a LAYOUT constant and the LSH shape
+    (``k``/``n_hashes``/``bands``/``hash_family``) determines every
+    stored bucket and shingle hash, so ALL are recorded in ``_META`` at
+    creation; reusing an index with different values raises instead of
+    silently mis-pruning or matching nothing.  Size ``n_shards`` so
+    each bucket shard stays a few hundred MB at the target corpus
+    (pruning wins when |batch|·bands < O(n_shards), the trickle-ingest
+    regime; for index-scale batches the layout still wins by scanning
+    only the narrow 16-byte bucket rows and fetching the wide hsh
+    arrays for verified candidates alone)."""
     from gmail_etl_spark.operators.dedup import (
         _banded_keys,
         _lsh_sigs,
@@ -1251,18 +1531,44 @@ def maintain_near_dup_index(
         near_dedup,
     )
 
+    if max_fold_width is None:
+        max_fold_width = int(compact_every) ** 2 if compact_every else 0
+    lsh_shape = {
+        "k": int(k),
+        "n_hashes": int(n_hashes),
+        "bands": int(bands),
+        "hash_family": str(hash_family),
+    }
     meta = _read_index_meta(spark, index_dir)
     if meta is None:
         if _index_has_version_dirs(spark, index_dir):
             _require_v2_meta(spark, index_dir)  # raises: legacy/foreign
         _write_index_meta(
-            spark, index_dir, {"layout": 2, "n_shards": int(n_shards)}
+            spark,
+            index_dir,
+            # layout 3 = sharded sub-tables (v2) + tiered _m fold dirs
+            {"layout": 3, "n_shards": int(n_shards), **lsh_shape},
         )
-    elif int(meta.get("n_shards", -1)) != int(n_shards):
-        raise ValueError(
-            f"index at {index_dir} was built with n_shards="
-            f"{meta.get('n_shards')}; got n_shards={n_shards} — the shard "
-            "count is a layout constant (probe pruning would miss shards)"
+    else:
+        _require_v2_meta(spark, index_dir)  # bounds the layout range
+        if int(meta.get("n_shards", -1)) != int(n_shards):
+            raise ValueError(
+                f"index at {index_dir} was built with n_shards="
+                f"{meta.get('n_shards')}; got n_shards={n_shards} — the shard "
+                "count is a layout constant (probe pruning would miss shards)"
+            )
+        _check_index_lsh_shape(index_dir, meta, lsh_shape)
+        if int(meta.get("layout", -1)) == 2 and compact_every:
+            # this maintainer folds with _m dirs — stamp the upgrade so
+            # a hypothetical layout-2-only reader fails loudly instead
+            # of silently skipping fold dirs
+            _write_index_meta(spark, index_dir, {**meta, "layout": 3})
+        # opportunistic convergence of an interrupted fold cleanup: a
+        # crash between a fold's commit and its folded dirs' deletion
+        # leaves committed-but-shadowed dirs that readers already
+        # ignore; reclaim them now instead of waiting for another fold
+        _cleanup_shadowed_index_dirs(
+            spark, index_dir, _resolve_index_head(spark, index_dir)
         )
 
     # schema sniff off the batch footer (readStream needs one up front)
@@ -1286,6 +1592,7 @@ def maintain_near_dup_index(
         ).persist()
         kept_sigs = None
         fresh_persisted = None
+        pins: list = []
         try:
             bkeys = _banded_keys(sigs, n_hashes, bands)
             hist_dirs = _index_batch_dirs(spark_l, index_dir, head)
@@ -1298,6 +1605,7 @@ def maintain_near_dup_index(
                     threshold,
                     max_bucket,
                     n_shards,
+                    pins=pins,
                 )
                 # persist: the anti-join's lineage embeds the whole
                 # index probe (scans + verify), and downstream it feeds
@@ -1317,31 +1625,40 @@ def maintain_near_dup_index(
             kept_sigs = near_dedup(fresh_sigs, "id", pairs).persist()
             buckets_out = _banded_keys(kept_sigs, n_hashes, bands)
             hsh_out = kept_sigs.select("id", "hsh")
-            compact = bool(compact_every) and len(hist_dirs) >= compact_every
-            if compact:
-                hist_b = _read_index_sub(spark_l, hist_dirs, _IDX_BUCKETS)
-                hist_h = _read_index_sub(spark_l, hist_dirs, _IDX_HSH)
-                if hist_b is not None:
-                    buckets_out = hist_b.select("bucket", "id").unionByName(
-                        buckets_out.select("bucket", "id")
-                    )
-                if hist_h is not None:
-                    hsh_out = hist_h.select("id", "hsh").unionByName(hsh_out)
             _publish_index_batch(
+                spark_l, index_dir, buckets_out, hsh_out, batch_id, n_shards
+            )
+            # tiered fold AFTER the pointer advance: batch data is
+            # durable whatever happens inside the fold
+            stats = _maybe_fold_index(
                 spark_l,
                 index_dir,
-                buckets_out,
-                hsh_out,
                 batch_id,
                 n_shards,
-                compact=compact,
+                int(compact_every),
+                int(max_fold_width),
+                measure=fold_log is not None,
             )
+            if fold_log is not None:
+                entry = {
+                    "batch_id": batch_id,
+                    "fold": None,
+                    "bytes_appended": _bytes_under(
+                        spark_l,
+                        [f"{index_dir.rstrip('/')}/_b{batch_id:015d}"],
+                    ),
+                }
+                if stats is not None:
+                    entry.update(stats)
+                fold_log.append(entry)
         finally:
             sigs.unpersist()
             if fresh_persisted is not None:
                 fresh_persisted.unpersist()
             if kept_sigs is not None:
                 kept_sigs.unpersist()
+            for frame in pins:
+                frame.unpersist()
 
     q = (
         docs.writeStream.foreachBatch(merge_batch)
@@ -1358,19 +1675,34 @@ def probe_near_dup_index(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 3,
-    n_hashes: int = 16,
-    bands: int = 8,
+    k: int | None = None,
+    n_hashes: int | None = None,
+    bands: int | None = None,
     threshold: float = 0.5,
-    max_bucket: int = 512,
-    hash_family: str = "xxhash64",
+    max_bucket: int | None = None,
+    hash_family: str | None = None,
 ) -> DataFrame:
     """Read-only membership probe: which of ``docs`` near-duplicate the
     retained corpus?  One ``id`` column row per duplicating doc.  The
     decontamination building block — the same pruned probe the
-    maintainer runs per micro-batch, without mutating the index.  LSH
-    parameters must match the index build (the shard count is read from
-    the index's ``_META``)."""
+    maintainer runs per micro-batch, without mutating the index.
+
+    LSH shape (``k``/``n_hashes``/``bands``/``hash_family``) defaults
+    to the values the index was BUILT with, read from its ``_META``;
+    passing them explicitly is validated against ``_META`` and a
+    mismatch raises (a mismatched probe matches no buckets — it would
+    silently clear every document).  Only pre-shape indexes (older
+    ``_META`` without the LSH keys) fall back to the maintainer's
+    defaults.
+
+    ``max_bucket`` defaults to ``None`` — NO hot-bucket cap.  Unlike
+    the maintainer's ingest probe (where the cap is a documented
+    recall/cost trade on boilerplate collision buckets, and an over-cap
+    bucket's members were already salt-split in-batch), a capped
+    DECONTAMINATION probe silently returns false negatives for docs
+    whose only collisions are boilerplate-hot buckets — a contaminated
+    doc would pass.  Set ``max_bucket`` explicitly to opt into the
+    recall sacrifice when probing adversarial corpora."""
     from gmail_etl_spark.operators.dedup import _banded_keys, _lsh_sigs
 
     head = _resolve_index_head(spark, index_dir)
@@ -1379,12 +1711,48 @@ def probe_near_dup_index(
         if _index_has_version_dirs(spark, index_dir):
             _require_v2_meta(spark, index_dir)  # raises on legacy layout
         return docs.select(F.col(id_col).alias("id")).limit(0)
-    n_shards = int(_require_v2_meta(spark, index_dir)["n_shards"])
+    meta = _require_v2_meta(spark, index_dir)
+    n_shards = int(meta["n_shards"])
+    explicit = {
+        key: val
+        for key, val in (
+            ("k", k), ("n_hashes", n_hashes),
+            ("bands", bands), ("hash_family", hash_family),
+        )
+        if val is not None
+    }
+    _check_index_lsh_shape(index_dir, meta, explicit)
+    # maintainer defaults only for pre-shape _META files
+    k = k if k is not None else int(meta.get("k", 3))
+    n_hashes = n_hashes if n_hashes is not None else int(meta.get("n_hashes", 16))
+    bands = bands if bands is not None else int(meta.get("bands", 8))
+    hash_family = (
+        hash_family if hash_family is not None
+        else str(meta.get("hash_family", "xxhash64"))
+    )
     sigs = _lsh_sigs(docs, id_col, text_col, k, n_hashes, hash_family)
     bkeys = _banded_keys(sigs, n_hashes, bands)
-    return _probe_dup_ids(
-        spark, dirs, bkeys, sigs.select("id", "hsh"), threshold, max_bucket, n_shards
-    )
+    pins: list = []
+    try:
+        out = _probe_dup_ids(
+            spark,
+            dirs,
+            bkeys,
+            sigs.select("id", "hsh"),
+            threshold,
+            max_bucket,
+            n_shards,
+            pins=pins,
+        )
+        if pins:
+            # materialize the (bounded: ≤ |docs| ids) result so the
+            # pinned candidate frames can be released NOW instead of
+            # leaking into the session cache until the caller acts
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        for frame in pins:
+            frame.unpersist()
 
 
 def read_near_dup_index(spark: SparkSession, index_dir: str) -> DataFrame:

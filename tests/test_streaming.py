@@ -700,11 +700,13 @@ def test_streaming_near_dup_retained_corpus_semantics(spark, tmp_path):
     assert {r["id"] for r in read_near_dup_index(spark, index).collect()} == {0, 2}
 
 
-def test_streaming_near_dup_index_compaction(spark, tmp_path):
-    """``compact_every`` folds history behind the same pointer protocol:
-    the retained set is IDENTICAL to the uncompacted run, the live dir
-    count stays bounded at compact_every (one ``_c`` + appends), folded
-    dirs are removed, and both restart forms stay idempotent."""
+def test_streaming_near_dup_index_tiered_fold(spark, tmp_path):
+    """Tiered (LSM-style) folding behind the same pointer protocol: the
+    retained set is IDENTICAL to the unfolded run, history merges into
+    ``_m<lo>_<hi>`` fold dirs (fanout=2: 6 batches end as two sealed
+    tier dirs — never the r10 full-history fold), shadowed dirs are
+    physically removed, per-fold byte accounting is bounded by the tier
+    (never O(index)), and both restart forms stay idempotent."""
     import pandas as pd
 
     from gmail_etl_spark.streaming.jobs import (
@@ -727,8 +729,10 @@ def test_streaming_near_dup_index_compaction(spark, tmp_path):
             os.utime(src / f"{i}.parquet", (1_000_000_000 + i,) * 2)
 
     index = str(tmp_path / "ndindex")
+    fold_log: list = []
     maintain_near_dup_index(
-        spark, str(src), index, str(tmp_path / "ckpt"), compact_every=2
+        spark, str(src), index, str(tmp_path / "ckpt"),
+        compact_every=2, fold_log=fold_log,
     )
     expected = set(range(0, n, group))  # planted heads
     got = {r["id"] for r in read_near_dup_index(spark, index).collect()}
@@ -736,11 +740,27 @@ def test_streaming_near_dup_index_compaction(spark, tmp_path):
 
     head = _resolve_index_head(spark, index)
     live = _index_batch_dirs(spark, index, head)
-    assert len(live) <= 2, live  # bounded by compact_every
-    assert any("/_c" in d for d in live), live  # a compaction happened
-    # folded dirs physically removed (best-effort cleanup ran)
+    # fanout=2 over 6 batches: b0+b1->_m0_1, b2+b3->_m2_3,
+    # _m0_1+_m2_3->_m0_3 (tier cascade), b4+b5->_m4_5
+    assert [d.rsplit("/", 1)[1] for d in live] == [
+        "_m000000000000000_000000000000003",
+        "_m000000000000004_000000000000005",
+    ], live
+    # shadowed dirs physically removed (cleanup ran to completion)
     all_dirs = [p.name for p in (tmp_path / "ndindex").iterdir() if p.is_dir()]
-    assert len(all_dirs) == len(live), all_dirs
+    assert sorted(all_dirs) == sorted(d.rsplit("/", 1)[1] for d in live)
+
+    # fold accounting: one entry per batch, 4 folds, each fold's input
+    # bounded by its tier — max_fold_width=4 (auto fanout**2) means no
+    # fold ever ingests more than 4 batches' worth of rows, and the
+    # width-4 dir _m0_3 is SEALED (never re-folded, r10's O(index)
+    # full-history rewrite is structurally impossible)
+    assert [e["batch_id"] for e in fold_log] == list(range(6))
+    folds = [e for e in fold_log if e["fold"]]
+    assert [e["fold"][:2] for e in folds] == ["_m"] * 4
+    assert all(e["hi"] - e["lo"] + 1 <= 4 for e in folds)
+    assert all(e["n_dirs"] == 2 for e in folds)
+    assert all(e["bytes_folded_in"] >= 0 and e["bytes_folded_out"] > 0 for e in folds)
 
     # exactly-once restarts: same checkpoint, then a fresh one
     maintain_near_dup_index(
@@ -751,6 +771,171 @@ def test_streaming_near_dup_index_compaction(spark, tmp_path):
         spark, str(src), index, str(tmp_path / "ckpt2"), compact_every=2
     )
     assert {r["id"] for r in read_near_dup_index(spark, index).collect()} == expected
+
+
+def test_index_fold_planner_pure():
+    """The fold planner is a pure function of the live-dir listing:
+    tier grouping, the one-fold-per-publish rule, the width seal, and
+    cascade behavior — no Spark needed."""
+    from gmail_etl_spark.streaming.jobs import _fold_tier_of, _plan_index_fold
+
+    # tier = floor(log_f(width))
+    assert [_fold_tier_of(w, 4) for w in (1, 3, 4, 15, 16, 64)] == [0, 0, 1, 1, 2, 3]
+
+    e = lambda lo, hi: (lo, hi, f"_x{lo}_{hi}")
+    # not enough same-tier dirs: no fold
+    assert _plan_index_fold([e(0, 0), e(1, 1)], 4, 16) is None
+    # 4 tier-0 dirs fold; the OLDEST fanout members are picked
+    assert _plan_index_fold(
+        [e(0, 0), e(1, 1), e(2, 2), e(3, 3), e(4, 4)], 4, 16
+    ) == (0, 4)
+    # lowest-tier run wins even when a higher tier also qualifies
+    hi_tier = [e(0, 3), e(4, 7), e(8, 11), e(12, 15)]
+    lo_tier = [e(16, 16), e(17, 17), e(18, 18), e(19, 19)]
+    assert _plan_index_fold(hi_tier + lo_tier, 4, 64) == (4, 8)
+    # width seal: dirs at/above max_width never re-fold (here the 4
+    # width-4 dirs would make width 16 > max_width=8 -> no fold)
+    assert _plan_index_fold(hi_tier, 4, 8) is None
+    # fanout=0 disables
+    assert _plan_index_fold(lo_tier, 0, 16) is None
+
+
+def test_index_fold_crash_windows(spark, tmp_path, monkeypatch):
+    """Fault-injection at the two fold crash windows: (a) after the
+    fold dir commits but BEFORE the shadowed dirs' deletion — readers
+    must already ignore the shadowed history, and the next maintainer
+    start must converge the cleanup; (b) before the batch pointer
+    advances — the fallback resolver trusts the committed batch dir and
+    the replay skips it (no duplicate survivor rows)."""
+    import pandas as pd
+    import pytest
+
+    import gmail_etl_spark.streaming.jobs as J
+
+    rows = [
+        (i, f"doc {i} body " + " ".join(f"t{i}_{j}" for j in range(25)))
+        for i in range(8)
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(4):
+        pd.DataFrame(rows[i * 2 : (i + 1) * 2], columns=["doc_id", "text"]).to_parquet(
+            src / f"{i}.parquet"
+        )
+        os.utime(src / f"{i}.parquet", (1_000_000_000 + i,) * 2)
+    index = tmp_path / "ndindex"
+    expected = set(range(8))  # all dissimilar: everything survives
+
+    # window (a): cleanup dies after the fold dir committed
+    boom = RuntimeError("injected: cleanup crash")
+
+    def dying_delete(spark_arg, index_dir, names):
+        if names:
+            raise boom
+
+    monkeypatch.setattr(J, "_delete_index_dirs", dying_delete)
+    with pytest.raises(Exception, match="injected: cleanup crash"):
+        J.maintain_near_dup_index(
+            spark, str(src), str(index), str(tmp_path / "ckpt"), compact_every=2
+        )
+    monkeypatch.undo()
+    # the fold committed, its inputs still on disk — readers must
+    # shadow them by interval containment, not double-count
+    names = sorted(p.name for p in index.iterdir() if p.is_dir())
+    assert any(n.startswith("_m") for n in names), names
+    shadowed = [n for n in names if n.startswith("_b")]
+    assert shadowed, names  # the folded _b dirs survived the "crash"
+    live_now = {r["id"] for r in J.read_near_dup_index(spark, str(index)).collect()}
+    assert live_now <= expected and len(live_now) >= 4
+
+    # restart WITHOUT the fault: startup cleanup converges the interrupted
+    # deletion, remaining batches stream, retained set is exact
+    J.maintain_near_dup_index(
+        spark, str(src), str(index), str(tmp_path / "ckpt"), compact_every=2
+    )
+    assert {r["id"] for r in J.read_near_dup_index(spark, str(index)).collect()} == expected
+    names = sorted(p.name for p in index.iterdir() if p.is_dir())
+    intervals = [J._index_dir_entry(n) for n in names]
+    # converged: no dir's interval is contained in another's
+    assert not any(
+        a != b and b[0] <= a[0] and a[1] <= b[1] for a in intervals for b in intervals
+    ), names
+
+    # window (b): crash between the batch dir's commit and the pointer
+    # advance — fresh index, first batch only
+    index2 = tmp_path / "ndindex2"
+
+    def dying_advance(spark_arg, index_dir, batch_id):
+        raise RuntimeError("injected: pointer crash")
+
+    monkeypatch.setattr(J, "_advance_index_pointer", dying_advance)
+    with pytest.raises(Exception, match="injected: pointer crash"):
+        J.maintain_near_dup_index(
+            spark, str(src), str(index2), str(tmp_path / "ckpt2"), compact_every=2
+        )
+    monkeypatch.undo()
+    # no pointer, but the committed _b dir resolves via the fallback
+    assert not (index2 / "_CURRENT").exists()
+    assert J._resolve_index_head(spark, str(index2)) == 0
+    # replay with the same checkpoint: batch 0 is skipped (already
+    # committed), the rest stream normally, no duplicate rows
+    J.maintain_near_dup_index(
+        spark, str(src), str(index2), str(tmp_path / "ckpt2"), compact_every=2
+    )
+    out = [r["id"] for r in J.read_near_dup_index(spark, str(index2)).collect()]
+    assert sorted(out) == sorted(expected)  # set-equal AND no dup rows
+
+
+def test_index_meta_lsh_shape_guard(spark, tmp_path):
+    """_META records the full LSH shape (k/n_hashes/bands/hash_family),
+    not just n_shards: a maintainer restart or probe with a different
+    shape matches NO buckets and would silently re-admit/miss every
+    near-duplicate — it must raise instead.  The probe defaults to the
+    index's own recorded shape."""
+    import pandas as pd
+    import pytest
+
+    from gmail_etl_spark.streaming.jobs import (
+        _read_index_meta,
+        maintain_near_dup_index,
+        probe_near_dup_index,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    mk = lambda lo, hi: " ".join(words[lo:hi])
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame(
+        [(0, mk(0, 30)), (1, mk(30, 60))], columns=["doc_id", "text"]
+    ).to_parquet(src / "0.parquet")
+    index = str(tmp_path / "ndindex")
+    maintain_near_dup_index(
+        spark, str(src), index, str(tmp_path / "ckpt"),
+        k=1, n_hashes=16, bands=16, threshold=0.5, hash_family="sha256",
+    )
+    meta = _read_index_meta(spark, index)
+    assert meta["layout"] == 3
+    assert (meta["k"], meta["n_hashes"], meta["bands"], meta["hash_family"]) == (
+        1, 16, 16, "sha256",
+    )
+
+    # mismatched maintainer: every shape key raises
+    for kwargs in ({"k": 3}, {"n_hashes": 8}, {"bands": 8}, {"hash_family": "xxhash64"}):
+        full = dict(k=1, n_hashes=16, bands=16, hash_family="sha256")
+        full.update(kwargs)
+        with pytest.raises(ValueError, match="layout constant"):
+            maintain_near_dup_index(
+                spark, str(src), index, str(tmp_path / "ckpt_bad"), **full
+            )
+    # mismatched probe raises too
+    probe_docs = spark.createDataFrame(
+        [(10, mk(0, 28))], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="layout constant"):
+        probe_near_dup_index(spark, index, probe_docs, k=3)
+    # shape-less probe reads the index's own shape from _META and works
+    got = {r["id"] for r in probe_near_dup_index(spark, index, probe_docs).collect()}
+    assert got == {10}
 
 
 def test_near_dup_index_stray_dirs_and_marker_fallback(spark, tmp_path):
