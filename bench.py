@@ -62,6 +62,110 @@ RETRY_COOLDOWN_MAX_SEC = float(
 )
 RETRY_COOLDOWN_POLL_SEC = 5.0
 
+# same-host A/B vs the previous round's HEAD (VERDICT r10 #2): absolute
+# figures drift ±10% hour-to-hour on this shared host (r9 code measured
+# 16.3 s on the r10 host vs its committed 11.9 s), so the binding
+# regression signal is RELATIVE — this run vs the prior round's code,
+# measured back-to-back in the same quiet window with the same warm
+# page cache.  The prior HEAD is git-archived to a temp dir and its own
+# bench.py runs as a subprocess (its internal load gate waits out this
+# run's self-heat); the emitted artifact carries {prev_total,
+# head_total, ratio} as first-class JSON.  SPARK_GRAFT_PREV_AB=0
+# disables (set automatically inside the subprocess); SPARK_GRAFT_PREV_REF
+# overrides the auto-detected "round N:" boundary commit.
+PREV_AB = os.environ.get("SPARK_GRAFT_PREV_AB", "1") != "0"
+PREV_AB_TIMEOUT_SEC = float(os.environ.get("SPARK_GRAFT_PREV_AB_TIMEOUT", "1800"))
+
+
+def _warm_page_cache(sf_dir: str) -> int:
+    """Read every byte of the benchmark inputs once so neither side of
+    the A/B pays cold-cache I/O (a first quiet run after heavy artifact
+    churn measured 35.9 s vs 14.1 s warm — page-cache state is the
+    dominant cross-session variable on this host)."""
+    total = 0
+    for root, _, files in os.walk(sf_dir):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while chunk := fh.read(1 << 22):
+                    total += len(chunk)
+    return total
+
+
+def _resolve_prev_ref(repo: str) -> tuple[str, str] | None:
+    """(sha, subject) of the previous round's closing commit: the newest
+    commit whose subject starts with "round N:" (the per-round
+    bookkeeping commit), or SPARK_GRAFT_PREV_REF if set."""
+    import re
+    import subprocess
+
+    override = os.environ.get("SPARK_GRAFT_PREV_REF")
+    if override:
+        sha, subj = (
+            subprocess.check_output(
+                ["git", "log", "-1", "--format=%H\t%s", override],
+                cwd=repo, text=True,
+            ).strip().split("\t", 1)
+        )
+        return sha, subj
+    out = subprocess.check_output(
+        ["git", "log", "--format=%H\t%s"], cwd=repo, text=True
+    )
+    for line in out.splitlines():
+        sha, _, subj = line.partition("\t")
+        if re.match(r"^round \d+:", subj):
+            return sha, subj
+    return None
+
+
+def _run_prev_bench(sf_dir: str) -> dict:
+    """Archive the previous round's HEAD into a temp dir, run ITS
+    bench.py there in a subprocess against the same data, and return
+    its parsed JSON line plus the ref it measured."""
+    import shutil
+    import subprocess
+    import sys
+    import tarfile
+    import tempfile
+    from io import BytesIO
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ref = _resolve_prev_ref(repo)
+    if ref is None:
+        return {"error": "no prior round-boundary commit found"}
+    sha, subject = ref
+    tmp = tempfile.mkdtemp(prefix="bench_prev_")
+    try:
+        tar_bytes = subprocess.check_output(
+            ["git", "archive", "--format=tar", sha], cwd=repo
+        )
+        with tarfile.open(fileobj=BytesIO(tar_bytes)) as tf:
+            tf.extractall(tmp, filter="data")
+        env = dict(os.environ)
+        env["SPARK_GRAFT_PREV_AB"] = "0"  # no recursion
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        env["PYTHONPATH"] = tmp + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [sys.executable, "bench.py"],
+            cwd=tmp, env=env, capture_output=True, text=True,
+            timeout=PREV_AB_TIMEOUT_SEC,
+        )
+        parsed = None
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("{"):
+                parsed = json.loads(line)
+                break
+        if parsed is None:
+            return {
+                "ref": sha, "subject": subject,
+                "error": f"prev bench emitted no JSON (rc={proc.returncode}): "
+                + proc.stderr[-500:],
+            }
+        return {"ref": sha, "subject": subject, "result": parsed}
+    except Exception as exc:  # A/B is evidence, never a bench-breaker
+        return {"ref": sha, "subject": subject, "error": repr(exc)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
 
 def _wait_for_quiet_host() -> dict:
     """Block (bounded) until the host is quiet; return gate metadata.
@@ -107,6 +211,7 @@ def _wait_for_quiet_host() -> dict:
 def main() -> None:
     load_gate = _wait_for_quiet_host()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cache_warm_bytes = _warm_page_cache(sf_dir)
     from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
     from gmail_etl_spark.session import get_spark
 
@@ -320,10 +425,38 @@ def main() -> None:
                 info["after_sec"] = times[name]
             noisy_entry_retries[name] = info
 
+    # --- same-host A/B vs the previous round's HEAD (VERDICT r10 #2):
+    # runs LAST so the prev subprocess's own load gate waits out this
+    # run's self-heat; the page cache is hot from this run, so both
+    # sides measure warm-cache, same-window, same-host ---
+    head_total = round(sum(times.values()), 3)
+    prev_ab: dict = {"enabled": PREV_AB}
+    if PREV_AB:
+        got = _run_prev_bench(sf_dir)
+        prev_ab.update({k: got[k] for k in ("ref", "subject") if k in got})
+        if "error" in got:
+            prev_ab["error"] = got["error"]
+        else:
+            prev = got["result"]
+            prev_ab.update(
+                {
+                    "prev_total": prev.get("value"),
+                    "head_total": head_total,
+                    "ratio_head_over_prev": (
+                        round(head_total / prev["value"], 4)
+                        if prev.get("value")
+                        else None
+                    ),
+                    "cache_warmed": True,
+                    "prev_load_gate_ok": prev.get("load_gate", {}).get("ok"),
+                    "prev_queries": prev.get("queries"),
+                }
+            )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_wall_clock",
-        "value": round(sum(times.values()), 3),
+        "value": head_total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
@@ -366,6 +499,12 @@ def main() -> None:
         # fast path with best-of-7 minimums; r1-r3 artifacts measured
         # the default shuffle-verify path best-of-3 and are not
         # directly comparable for that entry.
+        # relative regression protocol (VERDICT r10 #2): the binding
+        # figure from r11 on is ratio_head_over_prev — same host, same
+        # quiet window, same warm cache — not the absolute total (host
+        # drifts ±10% hour-to-hour; see DEVNOTES round-10 close)
+        "prev_ab": prev_ab,
+        "cache_warm_bytes": cache_warm_bytes,
         "near_dedup_path": "broadcast_verify+canonical_input (since r4)",
         # methodology (r5): the pipeline entry now materializes via a
         # full-column xxhash64 checksum; r1-r4 artifacts used count(),

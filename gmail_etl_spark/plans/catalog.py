@@ -180,35 +180,10 @@ def rows_only_reason_map() -> dict[str, str]:
 #: driver visit can only ever record ``err: no_oracle`` for them (their
 #: evidence is the local tolerance/recall gates), so spending any of
 #: the ~50-row budget on them is pure waste — r6 burned 2 samples on
-#: q83/q84 this way.  Generated from CORRECTNESS_r0{1..9}.json by
+#: q83/q84 this way.  Generated from CORRECTNESS_r{01..10}.json by
 #: tools/gen_sweep_priority.py.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # -- (5) last verified round 4 (5) --
-    "q148_curation_funnel", "q151_curriculum_deciles",
-    "q152_token_budget_selection", "q159_weighted_sample",
-    "q172_erasure_impact",
-    # -- (6) last verified round 5 (50) --
-    "q194_bm25_scores", "q195_rrf_hybrid", "q247_threshold_sensitivity",
-    "q196_retrieval_ndcg", "q197_funnel_conversion",
-    "q198_cohort_retention", "q199_scd2_state_history",
-    "q200_merge_upsert", "q215_recursive_reachability",
-    "q219_session_funnel", "q226_spatial_bucket_join",
-    "q227_time_to_convert", "q234_activity_heatmap",
-    "q235_negative_edge_samples", "q236_calibration_bins",
-    "q237_point_in_time_lookup", "q238_activity_islands",
-    "q241_validation_quarantine", "q242_bounded_conversion",
-    "q251_rfm_segmentation", "q252_burstiness_audit",
-    "q201_acf_daily_counts", "q202_cusum_changepoint",
-    "q203_moment_shape_stats", "q204_k_anonymity_audit",
-    "q205_distribution_drift", "q206_gini_concentration",
-    "q207_benford_audit", "q208_ewma_smoothing", "q212_ks_drift_test",
-    "q213_mann_whitney_u", "q214_churn_hazard", "q220_pareto_frontier",
-    "q221_daily_anomaly_flags", "q222_sampled_sum_estimate",
-    "q223_exact_order_statistics", "q224_walk_forward_forecast",
-    "q225_bollinger_breakouts", "q232_weighted_median",
-    "q233_dedup_savings", "q239_cuped_adjustment",
-    "q240_quantile_treatment_effect", "q243_power_analysis",
-    "q244_simpson_check", "q246_median_confidence_interval",
+    # -- (6) last verified round 5 (5) --
     "q248_wilson_error_rates", "q249_source_concentration",
     "q250_sequential_monitoring", "q253_dow_adjusted_anomalies",
     "q254_peak_concurrency",
@@ -300,6 +275,31 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q189_session_association_rules", "q191_hll_cube_users",
     "q149_multimodal_assembly", "q72_pack_sequences",
     "q141_shard_assignment", "q258_composed_curation",
+    # -- (11) last verified round 10 (50) --
+    "q194_bm25_scores", "q195_rrf_hybrid", "q247_threshold_sensitivity",
+    "q196_retrieval_ndcg", "q148_curation_funnel",
+    "q151_curriculum_deciles", "q152_token_budget_selection",
+    "q159_weighted_sample", "q172_erasure_impact",
+    "q197_funnel_conversion", "q198_cohort_retention",
+    "q199_scd2_state_history", "q200_merge_upsert",
+    "q215_recursive_reachability", "q219_session_funnel",
+    "q226_spatial_bucket_join", "q227_time_to_convert",
+    "q234_activity_heatmap", "q235_negative_edge_samples",
+    "q236_calibration_bins", "q237_point_in_time_lookup",
+    "q238_activity_islands", "q241_validation_quarantine",
+    "q242_bounded_conversion", "q251_rfm_segmentation",
+    "q252_burstiness_audit", "q201_acf_daily_counts",
+    "q202_cusum_changepoint", "q203_moment_shape_stats",
+    "q204_k_anonymity_audit", "q205_distribution_drift",
+    "q206_gini_concentration", "q207_benford_audit",
+    "q208_ewma_smoothing", "q212_ks_drift_test", "q213_mann_whitney_u",
+    "q214_churn_hazard", "q220_pareto_frontier",
+    "q221_daily_anomaly_flags", "q222_sampled_sum_estimate",
+    "q223_exact_order_statistics", "q224_walk_forward_forecast",
+    "q225_bollinger_breakouts", "q232_weighted_median",
+    "q233_dedup_savings", "q239_cuped_adjustment",
+    "q240_quantile_treatment_effect", "q243_power_analysis",
+    "q244_simpson_check", "q246_median_confidence_interval",
     # -- (last) rows-only by design (6) — a driver visit yields only err:no_oracle; never spend budget here --
     "q83_approx_count_distinct", "q146_compression_ratio",
     "q132_pq_adc_topk", "q136_ivf_pq_topk", "q190_pca_project",

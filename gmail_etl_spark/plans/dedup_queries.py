@@ -1551,9 +1551,13 @@ def q181_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     never |edges|), and the unroll depth is fixed at 4 rounds, which the
     convergence test pins as ≥ 1 past fixpoint on the fixtures.  The
     oracle is the same loop unrolled into nested CTEs — a hash match
-    proves all four peel iterations, not just the final projection.  At
-    100 TB: persist each round's edge set (the CC localCheckpoint
-    discipline) instead of stacking semi-joins into one lineage."""
+    proves all four peel iterations, not just the final projection.
+    Each round's edge set is localCheckpoint'ed (the CC discipline):
+    every round references ``e`` three times (two degree aggs + the
+    semi-join input), so an un-truncated lineage grows ~3× per round —
+    at sf0.001 the stacked plan spent 2× longer PLANNING than running
+    (VERDICT r10 #7's 39.9 s smoke tail), and at 100 TB it would
+    recompute the base scan 3^rounds times."""
     e = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
@@ -1570,7 +1574,11 @@ def q181_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("c") >= _KCORE_K)
             .select("p")
         )
-        e = e.join(good_s, "s", "left_semi").join(good_p, "p", "left_semi")
+        e = (
+            e.join(good_s, "s", "left_semi")
+            .join(good_p, "p", "left_semi")
+            .localCheckpoint(eager=True)
+        )
     deg_s = (
         e.groupBy("s")
         .agg(F.count(F.lit(1)).alias("degree"))

@@ -1628,6 +1628,13 @@ def maintain_near_dup_index(
             _publish_index_batch(
                 spark_l, index_dir, buckets_out, hsh_out, batch_id, n_shards
             )
+            appended = (
+                _bytes_under(
+                    spark_l, [f"{index_dir.rstrip('/')}/_b{batch_id:015d}"]
+                )
+                if fold_log is not None  # measure BEFORE a fold absorbs it
+                else 0
+            )
             # tiered fold AFTER the pointer advance: batch data is
             # durable whatever happens inside the fold
             stats = _maybe_fold_index(
@@ -1643,10 +1650,7 @@ def maintain_near_dup_index(
                 entry = {
                     "batch_id": batch_id,
                     "fold": None,
-                    "bytes_appended": _bytes_under(
-                        spark_l,
-                        [f"{index_dir.rstrip('/')}/_b{batch_id:015d}"],
-                    ),
+                    "bytes_appended": appended,
                 }
                 if stats is not None:
                     entry.update(stats)

@@ -728,8 +728,8 @@ def test_sweep_priority_covers_catalog_and_frontloads_backlog():
     )
 
     tested: set[str] = set()
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
-        tested |= set(json.load(open(f"CORRECTNESS_r0{r}.json")))
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+        tested |= set(json.load(open(f"CORRECTNESS_r{r:02d}.json")))
     seen_tested = False
     for name in order:
         if name in rows_only:

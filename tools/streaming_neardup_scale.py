@@ -44,8 +44,14 @@ def main() -> None:
     )
     ap.add_argument(
         "--compact-every", type=int, default=0,
-        help="pass through to maintain_near_dup_index: fold history "
-        "into one compaction dir once this many live dirs accumulate",
+        help="pass through to maintain_near_dup_index: the tiered-fold "
+        "fanout (adjacent same-tier live dirs merge once this many "
+        "accumulate; 0 = pure append log)",
+    )
+    ap.add_argument(
+        "--max-fold-width", type=int, default=None,
+        help="pass through: seal dirs covering this many batches "
+        "(default compact_every**2) — never rewritten again",
     )
     ap.add_argument("--workdir", type=str, default=None)
     ap.add_argument("--out", type=str, default=None)
@@ -72,16 +78,30 @@ def main() -> None:
     # chunk size ends in 5 (coprime to group=10), so every batch
     # boundary splits a duplicate group across batches
     chunk = (n // args.batches // 10) * 10 + 5
-    pdf = (
-        planted_near_dup_corpus(spark, n, group=group, n_tokens=args.n_tokens)
-        .toPandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
+    # batch files are written DISTRIBUTED (one coalesced part per
+    # doc_id range, renamed into mtime order): a 2M-doc corpus no
+    # longer fits through toPandas/driver.maxResultSize, and the
+    # generator is deterministic in doc_id so per-range re-execution
+    # yields identical rows
+    import glob as _glob
+    import shutil
+
+    corpus = planted_near_dup_corpus(spark, n, group=group, n_tokens=args.n_tokens)
     n_files = 0
     for i in range(0, n, chunk):
+        stage = os.path.join(work, "_stage")
+        (
+            corpus.filter(
+                (F.col("doc_id") >= i) & (F.col("doc_id") < i + chunk)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
         path = os.path.join(src, f"b{n_files:04d}.parquet")
-        pdf.iloc[i : i + chunk].to_parquet(path)
+        os.replace(part, path)
+        shutil.rmtree(stage, ignore_errors=True)
         os.utime(path, (1_000_000_000 + n_files, 1_000_000_000 + n_files))
         n_files += 1
 
@@ -101,12 +121,15 @@ def main() -> None:
         return r
 
     J._publish_index_batch = publish_timed
+    fold_log: list = []
     t0 = time.perf_counter()
     try:
         maintain_near_dup_index(
             spark, src, index, os.path.join(work, "ckpt"),
             k=3, n_hashes=16, bands=16, threshold=0.5,
             compact_every=args.compact_every,
+            max_fold_width=args.max_fold_width,
+            fold_log=fold_log,
         )
     finally:
         J._publish_index_batch = orig_publish
@@ -140,7 +163,18 @@ def main() -> None:
         # the full-size history.  Each trickle batch = 500 NOVEL docs
         # (disjoint token namespaces — nothing may drop) + 500 byte-exact
         # copies of planted heads (every one must drop against history).
-        head_rows = pdf[pdf["doc_id"] % group == 0].reset_index(drop=True)
+        # Only the heads the trickle actually copies come to the driver
+        # (bounded ≤ trickle*500 rows — the full corpus no longer does).
+        need_heads = min(args.trickle * 500, n // group)
+        head_rows = (
+            corpus.filter(
+                (F.col("doc_id") % group == 0)
+                & (F.col("doc_id") < need_heads * group)
+            )
+            .orderBy("doc_id")
+            .toPandas()
+            .reset_index(drop=True)
+        )
         for t in range(args.trickle):
             novel = pd.DataFrame(
                 {
@@ -173,6 +207,8 @@ def main() -> None:
                 spark, src, index, os.path.join(work, "ckpt"),
                 k=3, n_hashes=16, bands=16, threshold=0.5,
                 compact_every=args.compact_every,
+                max_fold_width=args.max_fold_width,
+                fold_log=fold_log,
             )
         finally:
             J._publish_index_batch = orig_publish
@@ -197,6 +233,19 @@ def main() -> None:
             f"{n}-doc index; retained/dropped exact; walls {trickle_walls}"
         )
 
+    folds = [e for e in fold_log if e.get("fold")]
+    # the r10->r11 headline column: bytes REWRITTEN per batch.  Under
+    # the tiered policy every fold's input is bounded by its tier (and
+    # sealed dirs never re-fold); the r10 full-history fold would show
+    # bytes_folded_in ~= index_bytes on every compact_every-th batch.
+    bytes_rewritten_per_batch = [
+        next(
+            (e.get("bytes_folded_in", 0) for e in fold_log
+             if e["batch_id"] == b and e.get("fold")),
+            0,
+        )
+        for b in sorted({e["batch_id"] for e in fold_log})
+    ]
     result = {
         "metric": "streaming_neardup_scale",
         "n_docs": n,
@@ -209,11 +258,27 @@ def main() -> None:
         "wall_s": wall,
         "batch_walls_s": batch_walls,
         "compact_every": args.compact_every,
+        "max_fold_width": args.max_fold_width,
+        "n_folds": len(folds),
+        "bytes_rewritten_per_batch": bytes_rewritten_per_batch,
+        "max_fold_bytes_in": max((e["bytes_folded_in"] for e in folds), default=0),
+        "total_bytes_rewritten": sum(e["bytes_folded_in"] for e in folds),
+        "bytes_appended_per_batch": [
+            e.get("bytes_appended", 0) for e in fold_log
+        ],
+        "folds": [
+            {k: e[k] for k in ("batch_id", "fold", "lo", "hi", "n_dirs",
+                               "bytes_folded_in", "bytes_folded_out")}
+            for e in folds
+        ],
         "trickle_batches": args.trickle,
         "trickle_batch_walls_s": trickle_walls,
         "trickle_retained_exact": trickle_exact,
         "docs_per_sec": round(n / wall, 1),
         "index_bytes": index_bytes,
+        "live_dirs_final": len(
+            J._index_batch_dirs(spark, index, J._resolve_index_head(spark, index))
+        ),
         "loadavg": list(os.getloadavg()),
     }
     line = json.dumps(result)
