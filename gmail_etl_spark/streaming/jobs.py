@@ -1519,11 +1519,16 @@ def maintain_near_dup_index(
     stored bucket and shingle hash, so ALL are recorded in ``_META`` at
     creation; reusing an index with different values raises instead of
     silently mis-pruning or matching nothing.  Size ``n_shards`` so
-    each bucket shard stays a few hundred MB at the target corpus
-    (pruning wins when |batch|·bands < O(n_shards), the trickle-ingest
-    regime; for index-scale batches the layout still wins by scanning
-    only the narrow 16-byte bucket rows and fetching the wide hsh
-    arrays for verified candidates alone)."""
+    each bucket shard stays a few hundred MB at the target corpus —
+    pruning wins when the batch's candidates cluster in few shards,
+    i.e. the trickle-ingest regime this maintainer serves (measured:
+    78%/97% of files pruned, PROBE_PLAN_r10).  For |batch| ≈ |index|
+    the sharded layout is byte-PARITY with a packed single-table scan,
+    not a win (measured 1.07× bytes, slower wall — candidates then hit
+    every id shard so the hsh fetch prunes nothing;
+    PROBE_BYTES_r11.json): dedup a corpus-sized backlog with the BATCH
+    operator (``near_dedup``/the q258 pipeline) and reserve this index
+    for the incremental stream it exists for."""
     from gmail_etl_spark.operators.dedup import (
         _banded_keys,
         _lsh_sigs,

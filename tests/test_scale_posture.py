@@ -700,7 +700,7 @@ def test_sweep_priority_covers_catalog_and_frontloads_backlog():
     under a ~50-row budget, so the priority list IS the evidence
     mechanism: it must name every catalog query exactly once; every
     oracled query with no driver CORRECTNESS row yet must come before
-    every query that already has one (rounds 1-6 committed artifacts);
+    every query that already has one (rounds 1-10 committed artifacts);
     and the rows-only queries (oracle=None) must all come LAST — a
     driver visit can only record ``err: no_oracle`` for them, so any
     budget spent there is wasted."""

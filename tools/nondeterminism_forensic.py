@@ -354,9 +354,13 @@ def _audit_streaming_neardup(spark, F, runs: int, n_docs: int) -> dict:
                 n_files += 1
             index = os.path.join(rundir, "index")
             t0 = time.perf_counter()
+            # compact_every=2: the 4-batch run then crosses TWO tiered
+            # folds (r11 layout), so the checksum pins fold determinism
+            # too, not just the append path
             maintain_near_dup_index(
                 spark, src, index, os.path.join(rundir, "ckpt"),
                 k=3, n_hashes=16, bands=16, threshold=0.5,
+                compact_every=2,
             )
             walls.append(round(time.perf_counter() - t0, 2))
             r = (
