@@ -1208,8 +1208,11 @@ def _plan_index_fold(
     Adjacency in the sorted live list is what makes the fold SAFE: live
     intervals are pairwise disjoint, so every live dir inside the folded
     interval is a member of the folded run — the new ``_m<lo>_<hi>`` dir
-    shadows exactly what it absorbed."""
-    if fanout <= 0:
+    shadows exactly what it absorbed.  Fanout < 2 never folds: a
+    single-dir "fold" would publish an ``_m`` dir with an interval
+    EQUAL to its member's, which shadows nothing — readers would see
+    both (doubled rows)."""
+    if fanout < 2:
         return None
     best: tuple[int, int, int] | None = None  # (tier, i, j)
     i = 0
@@ -1536,6 +1539,11 @@ def maintain_near_dup_index(
         near_dedup,
     )
 
+    if int(compact_every) == 1:
+        raise ValueError(
+            "compact_every=1 is not a valid fold fanout (a single-dir fold "
+            "would double reader rows); use 0 to disable folding or >= 2"
+        )
     if max_fold_width is None:
         max_fold_width = int(compact_every) ** 2 if compact_every else 0
     lsh_shape = {

@@ -796,8 +796,55 @@ def test_index_fold_planner_pure():
     # width seal: dirs at/above max_width never re-fold (here the 4
     # width-4 dirs would make width 16 > max_width=8 -> no fold)
     assert _plan_index_fold(hi_tier, 4, 8) is None
-    # fanout=0 disables
+    # fanout=0 disables; fanout=1 must never fold (a single-dir fold's
+    # interval EQUALS its member's and shadows nothing -> doubled rows)
     assert _plan_index_fold(lo_tier, 0, 16) is None
+    assert _plan_index_fold(lo_tier, 1, 16) is None
+
+
+def test_index_interval_reader_legacy_and_partial_dirs(spark, tmp_path):
+    """The interval containment rule reproduces the legacy layouts
+    exactly: a pre-tiered ``_c<seq>`` full-compaction dir (covers
+    [0, seq]) shadows every older dir — including a ``_b`` survivor of
+    an interrupted cleanup — and an UNCOMMITTED fold dir is invisible
+    even though its interval sits at or below head."""
+    import gmail_etl_spark.streaming.jobs as J
+
+    index = tmp_path / "ndindex"
+
+    def mkdir(name, committed=True):
+        d = index / name
+        d.mkdir(parents=True)
+        if committed:
+            (d / "_COMMITTED").touch()
+
+    mkdir("_b000000000000000")  # interrupted-cleanup survivor
+    mkdir("_c000000000000001")  # legacy full compaction at batch 1
+    mkdir("_b000000000000002")
+    mkdir("_b000000000000003")
+    # partial fold (crash mid-write): interval <= head but NO marker
+    mkdir("_m000000000000002_000000000000003", committed=False)
+
+    live = [n for _, _, n in J._index_live_entries(spark, str(index), 3)]
+    assert live == [
+        "_c000000000000001", "_b000000000000002", "_b000000000000003",
+    ], live
+
+    # once the fold commits, it shadows its members
+    (index / "_m000000000000002_000000000000003" / "_COMMITTED").touch()
+    live = [n for _, _, n in J._index_live_entries(spark, str(index), 3)]
+    assert live == [
+        "_c000000000000001", "_m000000000000002_000000000000003",
+    ], live
+    # and the opportunistic cleanup reclaims exactly the shadowed dirs
+    cleaned = J._cleanup_shadowed_index_dirs(spark, str(index), 3)
+    assert sorted(cleaned) == [
+        "_b000000000000000", "_b000000000000002", "_b000000000000003",
+    ], cleaned
+    left = sorted(p.name for p in index.iterdir() if p.is_dir())
+    assert left == [
+        "_c000000000000001", "_m000000000000002_000000000000003",
+    ], left
 
 
 def test_index_fold_crash_windows(spark, tmp_path, monkeypatch):
@@ -936,6 +983,14 @@ def test_index_meta_lsh_shape_guard(spark, tmp_path):
     # shape-less probe reads the index's own shape from _META and works
     got = {r["id"] for r in probe_near_dup_index(spark, index, probe_docs).collect()}
     assert got == {10}
+    # compact_every=1 is rejected up front (single-dir folds would
+    # double reader rows — see _plan_index_fold)
+    with pytest.raises(ValueError, match="compact_every=1"):
+        maintain_near_dup_index(
+            spark, str(src), index, str(tmp_path / "ckpt1"),
+            k=1, n_hashes=16, bands=16, hash_family="sha256",
+            compact_every=1,
+        )
 
 
 def test_near_dup_index_stray_dirs_and_marker_fallback(spark, tmp_path):
