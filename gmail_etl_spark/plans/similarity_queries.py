@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -333,7 +335,27 @@ def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lloyd-convergence properties stay pinned in tests/test_operators.py.
 # ---------------------------------------------------------------------------
 
-_Q75_K, _Q75_ITERS, _Q75_DIM = 8, 3, 64
+_Q75_K, _Q75_DIM = 8, 64
+#: Lloyd iteration count — the q75/q110 smoke knob (the q259/q255
+#: precedent): each iteration is a fixed-overhead collect job whose
+#: cost dwarfs the row work at the sf0.001 smoke tier, so
+#: tools/sweep.py sets SPARK_GRAFT_Q75_ITERS=2 there.  Spark plan AND
+#: DuckDB oracle are both generated from this constant, so the two
+#: engines always replay the same training loop; the sf0.01
+#: driver-gate tier and the default keep the 3-iteration production
+#: shape.  Values are bounded so a typo cannot silently train a
+#: degenerate (0-iteration) or pathological quantizer.
+_Q75_ITERS_RAW = os.environ.get("SPARK_GRAFT_Q75_ITERS", "3")
+try:
+    _Q75_ITERS = int(_Q75_ITERS_RAW)
+    if not 1 <= _Q75_ITERS <= 8:
+        raise ValueError
+except ValueError:
+    raise ValueError(
+        f"SPARK_GRAFT_Q75_ITERS={_Q75_ITERS_RAW!r} is not supported; "
+        "use an integer in 1..8 (the q75/q110 k-means smoke-tier "
+        "iteration knob)"
+    ) from None
 
 
 def _kmeans_ctes(corpus_cte: str, k: int, iters: int, dim: int) -> tuple[str, str]:

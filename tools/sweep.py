@@ -92,6 +92,9 @@ def main() -> int:
     if args.sf.rstrip("/").endswith("sf0.001"):
         os.environ.setdefault("SPARK_GRAFT_Q255_STATE_PARTITIONS", "4")
         os.environ.setdefault("SPARK_GRAFT_Q259_BATCHES", "2")
+        # q75/q110 k-means: 2 Lloyd iterations instead of 3 (plan and
+        # oracle regenerate together; cross-engine hash gate unweakened)
+        os.environ.setdefault("SPARK_GRAFT_Q75_ITERS", "2")
 
     from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
     from gmail_etl_spark.session import get_spark
