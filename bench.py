@@ -144,6 +144,10 @@ def _run_prev_bench(sf_dir: str) -> dict:
         env["SPARK_GRAFT_PREV_AB"] = "0"  # no recursion
         env["SPARK_GRAFT_SF_DIR"] = sf_dir
         env["PYTHONPATH"] = tmp + os.pathsep + env.get("PYTHONPATH", "")
+        # bound the child's quiet-wait: it mostly absorbs THIS run's
+        # self-heat, which decays in ~1-2 min; don't let a driver-timed
+        # bench stall the full 300 s default on a genuinely busy host
+        env.setdefault("SPARK_GRAFT_LOAD_GATE_MAX_WAIT", "150")
         proc = subprocess.run(
             [sys.executable, "bench.py"],
             cwd=tmp, env=env, capture_output=True, text=True,
