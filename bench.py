@@ -129,12 +129,16 @@ def _run_prev_bench(sf_dir: str) -> dict:
     from io import BytesIO
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    ref = _resolve_prev_ref(repo)
-    if ref is None:
-        return {"error": "no prior round-boundary commit found"}
-    sha, subject = ref
+    sha = subject = None
     tmp = tempfile.mkdtemp(prefix="bench_prev_")
     try:
+        # inside the try: a bad SPARK_GRAFT_PREV_REF, a non-git tree,
+        # or a missing git binary must degrade to an error FIELD — the
+        # timed run's JSON line has already been earned at this point
+        ref = _resolve_prev_ref(repo)
+        if ref is None:
+            return {"error": "no prior round-boundary commit found"}
+        sha, subject = ref
         tar_bytes = subprocess.check_output(
             ["git", "archive", "--format=tar", sha], cwd=repo
         )
@@ -166,7 +170,10 @@ def _run_prev_bench(sf_dir: str) -> dict:
             }
         return {"ref": sha, "subject": subject, "result": parsed}
     except Exception as exc:  # A/B is evidence, never a bench-breaker
-        return {"ref": sha, "subject": subject, "error": repr(exc)}
+        out = {"error": repr(exc)}
+        if sha is not None:
+            out["ref"], out["subject"] = sha, subject
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -436,6 +443,11 @@ def main() -> None:
     head_total = round(sum(times.values()), 3)
     prev_ab: dict = {"enabled": PREV_AB}
     if PREV_AB:
+        # release this run's JVM (up to 24g heap + cached frames) before
+        # the child measures: a resident parent biases prev_total via
+        # memory/GC pressure and page-cache eviction the HEAD run never
+        # saw — the A/B must be symmetric to be binding
+        spark.stop()
         got = _run_prev_bench(sf_dir)
         prev_ab.update({k: got[k] for k in ("ref", "subject") if k in got})
         if "error" in got:

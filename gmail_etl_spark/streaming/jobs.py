@@ -863,26 +863,28 @@ def _index_dir_entry(name: str) -> tuple[int, int] | None:
     return None
 
 
-def _index_live_entries(
+def _index_entries(
     spark: SparkSession, index_dir: str, head: int
-) -> list[tuple[int, int, str]]:
-    """COMMITTED, un-shadowed index dirs at ``head``, as ``(lo, hi,
-    name)`` sorted oldest-first (by ``lo``).
+) -> tuple[list[tuple[int, int, str]], list[tuple[int, int, str]]]:
+    """One directory scan → ``(committed, live)`` entries at ``head``,
+    each as ``(lo, hi, name)`` with ``live`` sorted oldest-first.
 
-    The one reader rule of the index log: a dir is live iff no other
-    committed dir's interval strictly contains it.  A fold dir
+    The one reader rule of the index log: a committed dir is live iff
+    no other committed dir's interval strictly contains it.  A fold dir
     ``_m<lo>_<hi>`` therefore shadows exactly the dirs it folded even
     BEFORE their physical cleanup runs — a crash between the fold's
     commit and the folded dirs' deletion changes nothing for readers,
     and cleanup can complete opportunistically at any later point.  The
     committed check matters for fold dirs specifically: their interval
     hi is below ``head``, so a crash mid-fold-write leaves a partial
-    ``_m`` dir that the ≤ head gate alone would admit."""
+    ``_m`` dir that the ≤ head gate alone would admit.  Readers and the
+    shadowed-dir cleaner BOTH derive from this single function, so they
+    can never disagree about what is live."""
     if head < 0:
-        return []
+        return [], []
     jvm, fs, base = _rollup_fs(spark, index_dir)
     if not fs.exists(base):
-        return []
+        return [], []
     entries = []
     for s in fs.listStatus(base):
         name = s.getPath().getName()
@@ -894,15 +896,22 @@ def _index_live_entries(
         if not _is_committed(jvm, fs, index_dir, name):
             continue
         entries.append((ent[0], ent[1], name))
-    live = [
+    live = sorted(
         (lo, hi, name)
         for lo, hi, name in entries
         if not any(
             (olo <= lo and hi <= ohi) and (olo, ohi) != (lo, hi)
             for olo, ohi, _ in entries
         )
-    ]
-    return sorted(live)
+    )
+    return entries, live
+
+
+def _index_live_entries(
+    spark: SparkSession, index_dir: str, head: int
+) -> list[tuple[int, int, str]]:
+    """Live entries only (see :func:`_index_entries`)."""
+    return _index_entries(spark, index_dir, head)[1]
 
 
 def _index_batch_dirs(spark: SparkSession, index_dir: str, head: int) -> list[str]:
@@ -1234,36 +1243,17 @@ def _plan_index_fold(
 def _cleanup_shadowed_index_dirs(
     spark: SparkSession, index_dir: str, head: int
 ) -> list[str]:
-    """Delete committed dirs ≤ head whose interval is strictly contained
-    in another committed dir's — folded history whose removal a crash
-    interrupted.  Runs after every fold AND opportunistically at
-    maintainer startup, so an interrupted cleanup converges at the next
-    run instead of waiting for (or never seeing) another fold.  Returns
-    the deleted names."""
-    if head < 0:
-        return []
-    jvm, fs, base = _rollup_fs(spark, index_dir)
-    if not fs.exists(base):
-        return []
-    entries = []
-    for s in fs.listStatus(base):
-        name = s.getPath().getName()
-        if not s.isDirectory():
-            continue
-        ent = _index_dir_entry(name)
-        if ent is None or ent[1] > head:
-            continue
-        if not _is_committed(jvm, fs, index_dir, name):
-            continue
-        entries.append((ent[0], ent[1], name))
-    shadowed = [
-        name
-        for lo, hi, name in entries
-        if any(
-            (olo <= lo and hi <= ohi) and (olo, ohi) != (lo, hi)
-            for olo, ohi, _ in entries
-        )
-    ]
+    """Delete committed dirs ≤ head that are NOT live — folded history
+    whose removal a crash interrupted.  Runs after every fold AND
+    opportunistically at maintainer startup, so an interrupted cleanup
+    converges at the next run instead of waiting for (or never seeing)
+    another fold.  Derives the shadowed set from the same single scan
+    readers use (:func:`_index_entries`), so it can never delete a dir
+    a reader at this head still considers live.  Returns the deleted
+    names."""
+    entries, live = _index_entries(spark, index_dir, head)
+    live_names = {name for _, _, name in live}
+    shadowed = [name for _, _, name in entries if name not in live_names]
     _delete_index_dirs(spark, index_dir, shadowed)
     return shadowed
 
@@ -1571,11 +1561,17 @@ def maintain_near_dup_index(
                 "count is a layout constant (probe pruning would miss shards)"
             )
         _check_index_lsh_shape(index_dir, meta, lsh_shape)
-        if int(meta.get("layout", -1)) == 2 and compact_every:
-            # this maintainer folds with _m dirs — stamp the upgrade so
-            # a hypothetical layout-2-only reader fails loudly instead
-            # of silently skipping fold dirs
-            _write_index_meta(spark, index_dir, {**meta, "layout": 3})
+        # backfill: a pre-shape _META (r10-built index) validated
+        # vacuously above — stamp the shape THIS maintainer is now
+        # appending so every future maintainer/probe is guarded against
+        # the silent zero-match mismatch, and stamp layout 3 when this
+        # maintainer may write _m fold dirs (a layout-2-only reader
+        # must fail loudly rather than silently skip folds)
+        upgraded = {**meta, **lsh_shape}
+        if compact_every:
+            upgraded["layout"] = 3
+        if upgraded != meta:
+            _write_index_meta(spark, index_dir, upgraded)
         # opportunistic convergence of an interrupted fold cleanup: a
         # crash between a fold's commit and its folded dirs' deletion
         # leaves committed-but-shadowed dirs that readers already

@@ -114,3 +114,55 @@ def planted_embedding_corpus(
         )
         .repartition(partitions)
     )
+
+
+def write_mtime_ordered_batches(
+    corpus: DataFrame,
+    src_dir: str,
+    chunk: int,
+    id_col: str = "doc_id",
+    prefix: str = "b",
+) -> int:
+    """Materialize ``corpus`` as one parquet FILE per ``chunk``-sized
+    ``id_col`` range under ``src_dir``, with strictly increasing mtimes
+    — the micro-batch fixture shape every streaming harness feeds to
+    ``maxFilesPerTrigger=1`` sources (file order IS batch order).
+
+    Single distributed pass: rows route to their batch via
+    ``floor(id/chunk)`` and ``partitionBy`` writes them together, so
+    the generator executes ONCE regardless of batch count (the per-
+    range filter-rewrite shape re-executed it once per batch — O(batches
+    × n) generation) and nothing flows through the driver (a 2M-row
+    corpus does not fit ``toPandas``/driver.maxResultSize).  Returns the
+    number of batch files written."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="_batches_", dir=os.path.dirname(src_dir) or ".")
+    try:
+        (
+            corpus.withColumn(
+                "__batch", F.floor(F.col(id_col) / F.lit(chunk)).cast("int")
+            )
+            .repartition("__batch")
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .parquet(stage)
+        )
+        os.makedirs(src_dir, exist_ok=True)
+        n_files = 0
+        for bdir in sorted(
+            _glob.glob(os.path.join(stage, "__batch=*")),
+            key=lambda p: int(p.rsplit("=", 1)[1]),
+        ):
+            parts = _glob.glob(os.path.join(bdir, "part-*.parquet"))
+            assert len(parts) == 1, (bdir, parts)  # one hash partition per batch
+            path = os.path.join(src_dir, f"{prefix}{n_files:04d}.parquet")
+            os.replace(parts[0], path)
+            os.utime(path, (1_000_000_000 + n_files,) * 2)
+            n_files += 1
+        return n_files
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

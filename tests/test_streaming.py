@@ -992,6 +992,25 @@ def test_index_meta_lsh_shape_guard(spark, tmp_path):
             compact_every=1,
         )
 
+    # pre-shape _META (r10-built index): the next maintainer BACKFILLS
+    # the shape it is now appending (and the layout-3 stamp), so the
+    # guard is permanent, not vacuous-forever
+    from gmail_etl_spark.streaming.jobs import _write_index_meta
+
+    _write_index_meta(spark, index, {"layout": 2, "n_shards": 16})
+    maintain_near_dup_index(
+        spark, str(src), index, str(tmp_path / "ckpt2"),
+        k=1, n_hashes=16, bands=16, hash_family="sha256",
+    )
+    meta2 = _read_index_meta(spark, index)
+    assert meta2["layout"] == 3
+    assert (meta2["k"], meta2["n_hashes"], meta2["bands"], meta2["hash_family"]) == (
+        1, 16, 16, "sha256",
+    )
+    # and the backfilled shape now binds
+    with pytest.raises(ValueError, match="layout constant"):
+        probe_near_dup_index(spark, index, probe_docs, bands=8)
+
 
 def test_near_dup_index_stray_dirs_and_marker_fallback(spark, tmp_path):
     """Robustness of the resolve/list protocol: a stray non-numeric

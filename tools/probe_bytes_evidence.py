@@ -29,7 +29,6 @@ Usage: PYTHONPATH=. python tools/probe_bytes_evidence.py
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import tempfile
@@ -83,29 +82,21 @@ def main() -> None:
     spark = get_spark("probe-bytes-evidence")
     spark.sparkContext.setLogLevel("ERROR")
 
+    import atexit
+    import shutil
+
+    from gmail_etl_spark.synthetic import write_mtime_ordered_batches
+
     work = tempfile.mkdtemp(prefix="probe_bytes_")
+    # reclaim the multi-GB fixture on EVERY exit path — a failed assert
+    # must not leak corpora into /tmp across retries (q259 convention)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     src = os.path.join(work, "docs")
     os.makedirs(src)
     n, group, bands = args.n, args.group, 8
     chunk = (n // args.batches // 10) * 10 + 5
     corpus = planted_near_dup_corpus(spark, n, group=group, n_tokens=60)
-    import shutil
-
-    n_files = 0
-    for i in range(0, n, chunk):
-        stage = os.path.join(work, "_stage")
-        (
-            corpus.filter((F.col("doc_id") >= i) & (F.col("doc_id") < i + chunk))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        path = os.path.join(src, f"b{n_files:04d}.parquet")
-        os.replace(part, path)
-        shutil.rmtree(stage, ignore_errors=True)
-        os.utime(path, (1_000_000_000 + n_files,) * 2)
-        n_files += 1
+    write_mtime_ordered_batches(corpus, src, chunk)
     index = os.path.join(work, "index")
     J.maintain_near_dup_index(
         spark, src, index, os.path.join(work, "ckpt"),
@@ -244,7 +235,6 @@ def main() -> None:
     if args.out:
         with open(args.out, "w") as f:
             f.write(line + "\n")
-    shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -78,32 +78,12 @@ def main() -> None:
     # chunk size ends in 5 (coprime to group=10), so every batch
     # boundary splits a duplicate group across batches
     chunk = (n // args.batches // 10) * 10 + 5
-    # batch files are written DISTRIBUTED (one coalesced part per
-    # doc_id range, renamed into mtime order): a 2M-doc corpus no
-    # longer fits through toPandas/driver.maxResultSize, and the
-    # generator is deterministic in doc_id so per-range re-execution
-    # yields identical rows
-    import glob as _glob
-    import shutil
+    from gmail_etl_spark.synthetic import write_mtime_ordered_batches
 
     corpus = planted_near_dup_corpus(spark, n, group=group, n_tokens=args.n_tokens)
-    n_files = 0
-    for i in range(0, n, chunk):
-        stage = os.path.join(work, "_stage")
-        (
-            corpus.filter(
-                (F.col("doc_id") >= i) & (F.col("doc_id") < i + chunk)
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        path = os.path.join(src, f"b{n_files:04d}.parquet")
-        os.replace(part, path)
-        shutil.rmtree(stage, ignore_errors=True)
-        os.utime(path, (1_000_000_000 + n_files, 1_000_000_000 + n_files))
-        n_files += 1
+    # one distributed pass writes every mtime-ordered batch file (a 2M
+    # corpus fits through neither toPandas nor per-range re-generation)
+    n_files = write_mtime_ordered_batches(corpus, src, chunk)
 
     index = os.path.join(work, "index")
     # per-batch wall deltas (publish-completion timestamps): the v2
