@@ -896,7 +896,16 @@ def _index_entries(
         if not _is_committed(jvm, fs, index_dir, name):
             continue
         entries.append((ent[0], ent[1], name))
-    live = sorted(
+    return entries, _live_of(entries)
+
+
+def _live_of(
+    entries: list[tuple[int, int, str]]
+) -> list[tuple[int, int, str]]:
+    """The pure shadowing rule, factored so the property test pins the
+    exact production predicate: an entry is live iff no other entry's
+    interval strictly contains it; sorted oldest-first."""
+    return sorted(
         (lo, hi, name)
         for lo, hi, name in entries
         if not any(
@@ -904,7 +913,6 @@ def _index_entries(
             for olo, ohi, _ in entries
         )
     )
-    return entries, live
 
 
 def _index_live_entries(

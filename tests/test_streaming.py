@@ -802,6 +802,83 @@ def test_index_fold_planner_pure():
     assert _plan_index_fold(lo_tier, 1, 16) is None
 
 
+def test_index_fold_algebra_properties():
+    """Property test over the fold/shadow algebra with the PRODUCTION
+    predicates (_plan_index_fold + _live_of + _index_dir_entry): for
+    any publish count, fanout, width cap, optional legacy ``_c`` seed,
+    and any pattern of crash-interrupted cleanups, after every publish
+
+    - the live dirs' intervals are disjoint and tile [0..head] exactly
+      (no batch lost, none double-counted — the invariant q259's
+      correctness rests on),
+    - every fold's input run itself tiles the fold's interval (a fold
+      can never absorb a batch twice or skip one),
+    - re-planning after a crash never produces a name collision with a
+      LIVE dir (idempotent overwrite is only ever of shadowed/partial
+      dirs).
+    """
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gmail_etl_spark.streaming.jobs import (
+        _index_dir_entry,
+        _live_of,
+        _plan_index_fold,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n_batches=st.integers(2, 60),
+        fanout=st.integers(2, 5),
+        max_width=st.integers(2, 40),
+        legacy_seed=st.integers(0, 6),  # 0 = none, else _c covering [0, s-1]
+        cleanups=st.lists(st.booleans(), min_size=60, max_size=60),
+    )
+    def run(n_batches, fanout, max_width, legacy_seed, cleanups):
+        # model the fs as name -> interval (re-publish overwrites)
+        disk: dict[str, tuple[int, int]] = {}
+        first_b = 0
+        if legacy_seed:
+            s = legacy_seed - 1
+            disk[f"_c{s:015d}"] = (0, s)
+            first_b = legacy_seed
+        for b in range(first_b, first_b + n_batches):
+            disk[f"_b{b:015d}"] = (b, b)
+            head = b
+            entries = [(lo, hi, n) for n, (lo, hi) in disk.items()]
+            live = _live_of(entries)
+            plan = _plan_index_fold(live, fanout, max_width)
+            if plan is not None:
+                i, j = plan
+                run_ = live[i:j]
+                lo, hi = run_[0][0], run_[-1][1]
+                # the folded run tiles its own interval exactly
+                covered = sorted(
+                    x for rlo, rhi, _ in run_ for x in range(rlo, rhi + 1)
+                )
+                assert covered == list(range(lo, hi + 1)), (run_, lo, hi)
+                name = f"_m{lo:015d}_{hi:015d}"
+                # never collide with a live dir (overwriting one would
+                # race readers); shadowed leftovers may be rewritten
+                assert name not in {n for _, _, n in live}, name
+                assert _index_dir_entry(name) == (lo, hi)
+                disk[name] = (lo, hi)
+                if cleanups[b - first_b]:  # cleanup ran (no crash)
+                    entries = [(l, h, n) for n, (l, h) in disk.items()]
+                    keep = {n for _, _, n in _live_of(entries)}
+                    disk = {n: iv for n, iv in disk.items() if n in keep}
+            # reader invariant: live intervals disjoint, tiling [0..head]
+            entries = [(lo, hi, n) for n, (lo, hi) in disk.items()]
+            tiles = sorted(
+                x
+                for lo, hi, _ in _live_of(entries)
+                for x in range(lo, hi + 1)
+            )
+            assert tiles == list(range(head + 1)), (disk, head)
+
+    run()
+
+
 def test_index_interval_reader_legacy_and_partial_dirs(spark, tmp_path):
     """The interval containment rule reproduces the legacy layouts
     exactly: a pre-tiered ``_c<seq>`` full-compaction dir (covers
