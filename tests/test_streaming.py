@@ -802,6 +802,39 @@ def test_index_fold_planner_pure():
     assert _plan_index_fold(lo_tier, 1, 16) is None
 
 
+def test_write_mtime_ordered_batches(spark, tmp_path):
+    """The shared streaming-fixture writer: one distributed pass, one
+    FILE per id-range batch, strictly increasing mtimes (file order IS
+    batch order under maxFilesPerTrigger=1), rows partitioned by
+    floor(id/chunk) with the helper column dropped, nothing lost."""
+    from pyspark.sql import functions as F
+
+    from gmail_etl_spark.synthetic import write_mtime_ordered_batches
+
+    corpus = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+    )
+    src = tmp_path / "docs"
+    n_files = write_mtime_ordered_batches(corpus, str(src), chunk=30)
+    assert n_files == 4  # ceil(100/30)
+    files = sorted(src.iterdir())
+    assert [f.name for f in files] == [f"b{i:04d}.parquet" for i in range(4)]
+    mtimes = [f.stat().st_mtime for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
+
+    import pandas as pd
+
+    seen = []
+    for i, f in enumerate(files):
+        pdf = pd.read_parquet(f)
+        assert sorted(pdf.columns) == ["doc_id", "text"]  # __batch dropped
+        lo, hi = pdf["doc_id"].min(), pdf["doc_id"].max()
+        assert lo // 30 == hi // 30 == i  # the file IS its id range
+        seen.extend(pdf["doc_id"].tolist())
+    assert sorted(seen) == list(range(100))
+
+
 def test_index_fold_algebra_properties():
     """Property test over the fold/shadow algebra with the PRODUCTION
     predicates (_plan_index_fold + _live_of + _index_dir_entry): for
