@@ -143,7 +143,14 @@ def _run_prev_bench(sf_dir: str) -> dict:
             ["git", "archive", "--format=tar", sha], cwd=repo
         )
         with tarfile.open(fileobj=BytesIO(tar_bytes)) as tf:
-            tf.extractall(tmp, filter="data")
+            try:
+                tf.extractall(tmp, filter="data")
+            except TypeError:
+                # Python < 3.12 without the filter backport: the archive
+                # is our own git tree (trusted), so plain extraction is
+                # safe — and the A/B evidence beats a silent skip
+                # (ADVICE r11)
+                tf.extractall(tmp)
         env = dict(os.environ)
         env["SPARK_GRAFT_PREV_AB"] = "0"  # no recursion
         env["SPARK_GRAFT_SF_DIR"] = sf_dir

@@ -173,40 +173,17 @@ def rows_only_reason_map() -> dict[str, str]:
 #: budget.  Policy: never-driver-tested entries first, then the rows the
 #: driver has not re-checked for the longest time — so evidence coverage
 #: grows every round and stale rows rotate back into the budget.
-#: Round-10 order (every oracled query driver-green at least once):
-#: stalest-first rotation — rows last verified in round 4 lead, then
-#: rounds 5-9 (the r9 sample re-greened the r4 backlog and every new
-#: oracle conversion).  The 6 rows-only queries (oracle=None) go LAST: a
+#: Round-12 order (every oracled query driver-green at least once):
+#: stalest-first rotation — rows last verified in round 6 lead, then
+#: rounds 7-11 (the r11 sample re-greened the r5 backlog with zero
+#: overlap vs r10).  The 6 rows-only queries (oracle=None) go LAST: a
 #: driver visit can only ever record ``err: no_oracle`` for them (their
 #: evidence is the local tolerance/recall gates), so spending any of
 #: the ~50-row budget on them is pure waste — r6 burned 2 samples on
-#: q83/q84 this way.  Generated from CORRECTNESS_r{01..10}.json by
+#: q83/q84 this way.  Generated from CORRECTNESS_r{01..11}.json by
 #: tools/gen_sweep_priority.py.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # -- (6) last verified round 5 (5) --
-    "q248_wilson_error_rates", "q249_source_concentration",
-    "q250_sequential_monitoring", "q253_dow_adjusted_anomalies",
-    "q254_peak_concurrency",
-    # -- (7) last verified round 6 (48) --
-    "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
-    "q04_priority_semi_join", "q05_customers_without_orders",
-    "q06_order_size_histogram", "q07_top_orders_per_customer",
-    "q08_running_customer_spend", "q09_top_lineitems",
-    "q10_distinct_flags", "q11_intersect_custkeys", "q12_except_custkeys",
-    "q13_rollup_flags", "q14_conditional_agg", "q15_segment_stats",
-    "q16_extract_batch", "q17_cube_status_priority", "q18_pivot_status",
-    "q19_quantity_percentiles", "q80_window_lag_lead",
-    "q81_window_range_frame", "q82_window_distribution",
-    "q85_scalar_subquery", "q86_correlated_subquery",
-    "q89_full_outer_join", "q90_cross_join_grid", "q91_min_by_max_by",
-    "q56_shipping_priority", "q57_forecast_revenue", "q58_returned_items",
-    "q76_large_orders", "q78_window_navigation",
-    "q77_promo_revenue_share", "q92_cohort_retention", "q99_top_supplier",
-    "q100_monthly_revenue_dense", "q104_nation_revenue_share",
-    "q209_quantile_normalize", "q210_nb_token_likelihoods",
-    "q211_chi2_feature_selection", "q216_window_distribution_suite",
-    "q217_unpivot_round_trip", "q218_roc_auc",
-    "q228_activity_bitmask_streaks", "q229_capped_running_balance",
+    # -- (7) last verified round 6 (3) --
     "q230_best_stump_threshold", "q231_sorted_group_concat",
     "q245_levenshtein_linkage",
     # -- (8) last verified round 7 (50) --
@@ -300,6 +277,29 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q233_dedup_savings", "q239_cuped_adjustment",
     "q240_quantile_treatment_effect", "q243_power_analysis",
     "q244_simpson_check", "q246_median_confidence_interval",
+    # -- (12) last verified round 11 (50) --
+    "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
+    "q04_priority_semi_join", "q05_customers_without_orders",
+    "q06_order_size_histogram", "q07_top_orders_per_customer",
+    "q08_running_customer_spend", "q09_top_lineitems",
+    "q10_distinct_flags", "q11_intersect_custkeys", "q12_except_custkeys",
+    "q13_rollup_flags", "q14_conditional_agg", "q15_segment_stats",
+    "q16_extract_batch", "q17_cube_status_priority", "q18_pivot_status",
+    "q19_quantity_percentiles", "q80_window_lag_lead",
+    "q81_window_range_frame", "q82_window_distribution",
+    "q85_scalar_subquery", "q86_correlated_subquery",
+    "q89_full_outer_join", "q90_cross_join_grid", "q91_min_by_max_by",
+    "q56_shipping_priority", "q57_forecast_revenue", "q58_returned_items",
+    "q76_large_orders", "q78_window_navigation",
+    "q77_promo_revenue_share", "q92_cohort_retention", "q99_top_supplier",
+    "q100_monthly_revenue_dense", "q104_nation_revenue_share",
+    "q248_wilson_error_rates", "q249_source_concentration",
+    "q250_sequential_monitoring", "q253_dow_adjusted_anomalies",
+    "q254_peak_concurrency", "q209_quantile_normalize",
+    "q210_nb_token_likelihoods", "q211_chi2_feature_selection",
+    "q216_window_distribution_suite", "q217_unpivot_round_trip",
+    "q218_roc_auc", "q228_activity_bitmask_streaks",
+    "q229_capped_running_balance",
     # -- (last) rows-only by design (6) — a driver visit yields only err:no_oracle; never spend budget here --
     "q83_approx_count_distinct", "q146_compression_ratio",
     "q132_pq_adc_topk", "q136_ivf_pq_topk", "q190_pca_project",

@@ -18,6 +18,8 @@ late data.
 from __future__ import annotations
 
 import json
+import logging
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -904,13 +906,25 @@ def _live_of(
 ) -> list[tuple[int, int, str]]:
     """The pure shadowing rule, factored so the property test pins the
     exact production predicate: an entry is live iff no other entry's
-    interval strictly contains it; sorted oldest-first."""
+    interval strictly contains it; sorted oldest-first.
+
+    Equal-interval tie-break (ADVICE r11): two distinct committed dirs
+    covering the SAME interval are mutually non-containing under the
+    strict rule, so both would read as live and double-count rows.
+    This engine's own writes never produce that state (a fold interval
+    always strictly contains its members'), but the rule is the
+    load-bearing safety invariant, so it is made TOTAL: among equal
+    intervals only the lexicographically greatest name is live — a
+    pure, deterministic choice (and ``_m`` > ``_c`` > ``_b``
+    lexicographically, so a fold dir beats the append dirs it would
+    tie with)."""
     return sorted(
         (lo, hi, name)
         for lo, hi, name in entries
         if not any(
-            (olo <= lo and hi <= ohi) and (olo, ohi) != (lo, hi)
-            for olo, ohi, _ in entries
+            ((olo <= lo and hi <= ohi) and (olo, ohi) != (lo, hi))
+            or ((olo, ohi) == (lo, hi) and oname > name)
+            for olo, ohi, oname in entries
         )
     )
 
@@ -1225,10 +1239,19 @@ def _plan_index_fold(
     Adjacency in the sorted live list is what makes the fold SAFE: live
     intervals are pairwise disjoint, so every live dir inside the folded
     interval is a member of the folded run — the new ``_m<lo>_<hi>`` dir
-    shadows exactly what it absorbed.  Fanout < 2 never folds: a
-    single-dir "fold" would publish an ``_m`` dir with an interval
-    EQUAL to its member's, which shadows nothing — readers would see
-    both (doubled rows)."""
+    shadows exactly what it absorbed (true for ANY fanout-window of the
+    run, which is why the max_width slide below stays safe).  Fanout < 2
+    never folds: a single-dir "fold" would publish an ``_m`` dir with an
+    interval EQUAL to its member's, which shadows nothing — readers
+    would see both (doubled rows).
+
+    The fanout window SLIDES within a run (ADVICE r11): testing
+    max_width only against the oldest window would let one over-wide
+    legacy dir (e.g. an r10-era ``_c`` whose width is off tier
+    alignment) permanently block its whole tier from folding — dir
+    count, and with it listing/planning cost, would then grow without
+    bound.  Sliding picks the OLDEST window that fits max_width; the
+    over-wide head dir is left behind exactly as if sealed."""
     if fanout < 2:
         return None
     best: tuple[int, int, int] | None = None  # (tier, i, j)
@@ -1239,11 +1262,12 @@ def _plan_index_fold(
         j = i
         while j < n and _fold_tier_of(entries[j][1] - entries[j][0] + 1, fanout) == t:
             j += 1
-        if j - i >= fanout:
-            k = i + fanout
-            width = entries[k - 1][1] - entries[i][0] + 1
-            if width <= max_width and (best is None or t < best[0]):
-                best = (t, i, k)
+        if j - i >= fanout and (best is None or t < best[0]):
+            for s in range(i, j - fanout + 1):
+                width = entries[s + fanout - 1][1] - entries[s][0] + 1
+                if width <= max_width:
+                    best = (t, s, s + fanout)
+                    break
         i = j
     return None if best is None else (best[1], best[2])
 
@@ -1258,7 +1282,18 @@ def _cleanup_shadowed_index_dirs(
     another fold.  Derives the shadowed set from the same single scan
     readers use (:func:`_index_entries`), so it can never delete a dir
     a reader at this head still considers live.  Returns the deleted
-    names."""
+    names.
+
+    CONCURRENCY (ADVICE r11): "never deletes what a reader considers
+    live" holds for readers that list AFTER the fold commits.  A probe
+    that listed dirs before the commit can have the old (now-shadowed)
+    dirs deleted under its in-flight scan and fail with a transient
+    FileNotFoundException — a visible failure, never silent wrongness,
+    and rerunning the probe (which re-lists) succeeds.  The index's
+    concurrency contract is therefore: ONE maintainer (Structured
+    Streaming already serializes micro-batches); concurrent read-only
+    probes are safe against a quiesced maintainer and retry-on-failure
+    against a live one."""
     entries, live = _index_entries(spark, index_dir, head)
     live_names = {name for _, _, name in live}
     shadowed = [name for _, _, name in entries if name not in live_names]
@@ -1318,6 +1353,20 @@ def _maybe_fold_index(
     return stats
 
 
+_log = logging.getLogger(__name__)
+
+#: Uncapped-probe visibility threshold (ADVICE r11): with
+#: ``max_bucket=None`` a boilerplate-hot index bucket can expand
+#: |index-bucket| × |batch-in-bucket| candidate rows; the expansion is
+#: the documented recall contract, but a runaway bucket should be
+#: VISIBLE, not silent — past this many candidates the probe logs a
+#: warning naming the knob.  Env-tunable; checked only on the persisted
+#: pruned path, where the count is a cheap cache scan.
+_UNCAPPED_CAND_WARN = int(
+    os.environ.get("SPARK_GRAFT_UNCAPPED_CAND_WARN", "5000000")
+)
+
+
 def _probe_dup_ids(
     spark: SparkSession,
     hist_dirs: list[str],
@@ -1327,6 +1376,7 @@ def _probe_dup_ids(
     max_bucket: int | None,
     n_shards: int,
     pins: list | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Batch ids that near-duplicate a retained doc — the pruned history
     probe of the v2 index layout.
@@ -1353,10 +1403,20 @@ def _probe_dup_ids(
        broadcast candidate-id set before the exact Jaccard verify.
 
     ``max_bucket=None`` disables step 2 (no cap, no recall sacrifice —
-    the read-only decontamination default).  When ``pins`` is given,
-    frames persisted to stop the candidate stage executing twice (once
-    for the shard collect, once at action time) are appended to it; the
-    CALLER unpersists them after consuming the result.
+    the read-only decontamination default); past
+    :data:`_UNCAPPED_CAND_WARN` candidates the uncapped expansion logs
+    a warning so a runaway boilerplate bucket is visible.  When
+    ``pins`` is given, frames persisted to stop the candidate stage
+    executing twice (once for the shard collect, once at action time)
+    are appended to it; the CALLER unpersists them after consuming the
+    result.  ``stats`` (when a dict) receives probe-plan accounting —
+    ``prune`` (bool), ``probe_shards`` / ``cand_shards`` (the pruned
+    partition sets, None when unpruned), ``bytes_buckets`` /
+    ``bytes_hsh`` (on-disk bytes one scan of the matched shards reads,
+    measured at probe time because folds may later delete the dirs),
+    ``n_candidates`` (persisted path only) — for the scale-evidence
+    harnesses; zero hot-path cost when None beyond what the plan
+    already executed.
     """
     hist_buckets = _read_index_sub(spark, hist_dirs, _IDX_BUCKETS)
     if hist_buckets is None:
@@ -1365,16 +1425,36 @@ def _probe_dup_ids(
         _data_file_count(spark, hist_dirs, _IDX_BUCKETS, _PRUNE_MIN_FILES)
         >= _PRUNE_MIN_FILES
     )
+    if stats is not None:
+        stats["prune"] = prune
+        stats["probe_shards"] = stats["cand_shards"] = None
+        stats["bytes_buckets"] = stats["bytes_hsh"] = 0
     if prune:
         shard = F.pmod(F.col("bucket"), F.lit(n_shards)).cast("int")
         probe_shards = sorted(
             r[0] for r in bkeys.select(shard.alias("shard")).distinct().collect()
         )
+        if stats is not None:
+            stats["probe_shards"] = probe_shards
+            # bytes one scan of the matched shards reads — measured NOW
+            # because a later fold may delete these dirs (harness-only)
+            stats["bytes_buckets"] = _bytes_under(
+                spark,
+                [
+                    f"{d.rstrip('/')}/{_IDX_BUCKETS}/shard={s}"
+                    for d in hist_dirs
+                    for s in probe_shards
+                ],
+            )
         if not probe_shards:
             return b_hsh.select("id").limit(0)
         hb = hist_buckets.filter(F.col("shard").isin(probe_shards))
     else:
         hb = hist_buckets
+        if stats is not None:
+            stats["bytes_buckets"] = _bytes_under(
+                spark, [f"{d.rstrip('/')}/{_IDX_BUCKETS}" for d in hist_dirs]
+            )
     bucket_set = bkeys.select("bucket").distinct()
     if max_bucket is not None:
         over = (
@@ -1408,11 +1488,41 @@ def _probe_dup_ids(
         cand_shards = sorted(
             r[0] for r in h_ids.select(idshard.alias("s")).distinct().collect()
         )
+        if stats is not None:
+            stats["cand_shards"] = cand_shards
+            stats["bytes_hsh"] = _bytes_under(
+                spark,
+                [
+                    f"{d.rstrip('/')}/{_IDX_HSH}/idshard={s}"
+                    for d in hist_dirs
+                    for s in cand_shards
+                ],
+            )
+        if (max_bucket is None or stats is not None) and pins:
+            # cheap on the just-persisted frame; makes a runaway
+            # uncapped expansion visible (ADVICE r11) and feeds the
+            # harness accounting
+            n_cand = cand.count()
+            if stats is not None:
+                stats["n_candidates"] = n_cand
+            if max_bucket is None and n_cand > _UNCAPPED_CAND_WARN:
+                _log.warning(
+                    "uncapped near-dup probe expanded %d candidate pairs "
+                    "(> %d); a boilerplate-hot index bucket may dominate "
+                    "cost — pass max_bucket to cap it (recall trade, see "
+                    "probe_near_dup_index docstring)",
+                    n_cand,
+                    _UNCAPPED_CAND_WARN,
+                )
         if not cand_shards:
             return b_hsh.select("id").limit(0)
         hh = hist_hsh.filter(F.col("idshard").isin(cand_shards))
     else:
         hh = hist_hsh
+        if stats is not None:
+            stats["bytes_hsh"] = _bytes_under(
+                spark, [f"{d.rstrip('/')}/{_IDX_HSH}" for d in hist_dirs]
+            )
     h_hsh = hh.join(F.broadcast(h_ids), "id").select(
         F.col("id").alias("h_id"), F.col("hsh").alias("h_hsh")
     )
@@ -1449,6 +1559,7 @@ def maintain_near_dup_index(
     compact_every: int = 16,
     max_fold_width: int | None = None,
     fold_log: list | None = None,
+    probe_log: list | None = None,
 ) -> None:
     """Incremental near-duplicate curation: each micro-batch is deduped
     IN-BATCH (MinHash-LSH pairs → connected components, exactly the
@@ -1512,8 +1623,11 @@ def maintain_near_dup_index(
     I/O per fold), and no single publish rewrites more than one
     tier-run of ``compact_every`` dirs.  ``compact_every=0`` disables
     folding (pure append log); ``fold_log`` (when a list) receives one
-    stats dict per fold with byte-level amplification accounting —
-    measurement harnesses only, zero hot-path cost when None.  String
+    stats dict per fold with byte-level amplification accounting, and
+    ``probe_log`` one per batch with the history probe's plan
+    (``prune``/``probe_shards``/``cand_shards``/``n_candidates`` plus
+    the ``hist_dirs`` probed) — measurement harnesses only, zero
+    hot-path cost when None.  String
     content never enters the index — band buckets and 64-bit shingle
     hashes only.  ``n_shards`` is a LAYOUT constant and the LSH shape
     (``k``/``n_hashes``/``bands``/``hash_family``) determines every
@@ -1613,6 +1727,7 @@ def maintain_near_dup_index(
         try:
             bkeys = _banded_keys(sigs, n_hashes, bands)
             hist_dirs = _index_batch_dirs(spark_l, index_dir, head)
+            pstats: dict | None = {} if probe_log is not None else None
             if hist_dirs:
                 dup_ids = _probe_dup_ids(
                     spark_l,
@@ -1623,6 +1738,7 @@ def maintain_near_dup_index(
                     max_bucket,
                     n_shards,
                     pins=pins,
+                    stats=pstats,
                 )
                 # persist: the anti-join's lineage embeds the whole
                 # index probe (scans + verify), and downstream it feeds
@@ -1672,6 +1788,14 @@ def maintain_near_dup_index(
                 if stats is not None:
                     entry.update(stats)
                 fold_log.append(entry)
+            if probe_log is not None:
+                probe_log.append(
+                    {
+                        "batch_id": batch_id,
+                        "hist_dirs": list(hist_dirs),
+                        **(pstats or {}),
+                    }
+                )
         finally:
             sigs.unpersist()
             if fresh_persisted is not None:
@@ -1723,7 +1847,15 @@ def probe_near_dup_index(
     DECONTAMINATION probe silently returns false negatives for docs
     whose only collisions are boilerplate-hot buckets — a contaminated
     doc would pass.  Set ``max_bucket`` explicitly to opt into the
-    recall sacrifice when probing adversarial corpora."""
+    recall sacrifice when probing adversarial corpora.  Uncapped
+    expansions past :data:`_UNCAPPED_CAND_WARN` candidates log a
+    warning so a runaway bucket is visible without changing results.
+
+    Probing CONCURRENTLY with a live maintainer is retry-on-failure:
+    a fold that commits between this probe's dir listing and its scan
+    deletes the now-shadowed dirs, which surfaces as a transient
+    FileNotFoundException at action time — rerun the probe (it
+    re-lists).  See :func:`_cleanup_shadowed_index_dirs`."""
     from gmail_etl_spark.operators.dedup import _banded_keys, _lsh_sigs
 
     head = _resolve_index_head(spark, index_dir)

@@ -700,7 +700,7 @@ def test_sweep_priority_covers_catalog_and_frontloads_backlog():
     under a ~50-row budget, so the priority list IS the evidence
     mechanism: it must name every catalog query exactly once; every
     oracled query with no driver CORRECTNESS row yet must come before
-    every query that already has one (rounds 1-10 committed artifacts);
+    every query that already has one (rounds 1-11 committed artifacts);
     and the rows-only queries (oracle=None) must all come LAST — a
     driver visit can only record ``err: no_oracle`` for them, so any
     budget spent there is wasted."""
@@ -728,7 +728,7 @@ def test_sweep_priority_covers_catalog_and_frontloads_backlog():
     )
 
     tested: set[str] = set()
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11):
         tested |= set(json.load(open(f"CORRECTNESS_r{r:02d}.json")))
     seen_tested = False
     for name in order:

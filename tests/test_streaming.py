@@ -802,6 +802,52 @@ def test_index_fold_planner_pure():
     assert _plan_index_fold(lo_tier, 1, 16) is None
 
 
+def test_index_fold_planner_slides_past_overwide_head():
+    """ADVICE r11: an off-tier-alignment legacy dir at a run's head
+    whose fanout-window exceeds max_width must not block the tier
+    forever — the window slides to the oldest fitting position, leaving
+    the over-wide head behind as if sealed."""
+    from gmail_etl_spark.streaming.jobs import _plan_index_fold
+
+    # fanout=4, max_width=16: a legacy width-5 dir (tier 1, same tier
+    # as width-4 dirs) heads a run of four width-4 dirs.  Oldest window
+    # [0,4): width 5+4*3 = 21 > 16 — the pre-fix planner returned None
+    # here permanently; the slide picks [1,5): width 16 <= 16.
+    run = [(0, 4, "_c000000000000004")] + [
+        (5 + 4 * i, 8 + 4 * i, f"_m{5 + 4 * i:015d}_{8 + 4 * i:015d}")
+        for i in range(4)
+    ]
+    assert _plan_index_fold(run, 4, 16) == (1, 5)
+    # and a genuinely sealed run (every window over max_width) still
+    # never folds
+    wide = [(i * 16, i * 16 + 15, f"_m{i * 16:015d}") for i in range(4)]
+    assert _plan_index_fold(wide, 4, 16) is None
+    # lowest tier still wins over a slid higher-tier window
+    lo = [(21 + i, 21 + i, f"_b{21 + i:015d}") for i in range(4)]
+    assert _plan_index_fold(run + lo, 4, 16) == (5, 9)
+
+
+def test_live_of_equal_interval_tie_break():
+    """ADVICE r11: _live_of is TOTAL — two committed dirs with the same
+    interval never both read as live (doubled rows); the
+    lexicographically greatest name wins, so _m beats _b/_c."""
+    from gmail_etl_spark.streaming.jobs import _live_of
+
+    b = (3, 3, "_b000000000000003")
+    m = (3, 3, "_m000000000000003_000000000000003")
+    assert _live_of([b, m]) == [m]
+    assert _live_of([m, b]) == [m]  # order-independent
+    c = (0, 3, "_c000000000000003")
+    m2 = (0, 3, "_m000000000000000_000000000000003")
+    # equal-interval _m beats _c, and the winner still shadows members
+    assert _live_of([c, m2, b, m]) == [m2]
+    # strict containment unchanged: distinct intervals keep both
+    assert _live_of([(0, 1, "_m0_1"), (2, 2, "_b2")]) == [
+        (0, 1, "_m0_1"),
+        (2, 2, "_b2"),
+    ]
+
+
 def test_write_mtime_ordered_batches(spark, tmp_path):
     """The shared streaming-fixture writer: one distributed pass, one
     FILE per id-range batch, strictly increasing mtimes (file order IS
@@ -1041,6 +1087,70 @@ def test_index_fold_crash_windows(spark, tmp_path, monkeypatch):
     )
     out = [r["id"] for r in J.read_near_dup_index(spark, str(index2)).collect()]
     assert sorted(out) == sorted(expected)  # set-equal AND no dup rows
+
+
+def test_index_fold_boundary_streaming_restart(spark, tmp_path, monkeypatch):
+    """VERDICT r11 #7 backlog: kill the REAL streaming job immediately
+    after a fold fully commits (fold dir + cleanup done) but BEFORE the
+    micro-batch's checkpoint offset commits — the one fold window the
+    crash-injection suite didn't cover.  On restart Structured Streaming
+    replays that batch; the ``batch_id <= head`` replay guard must skip
+    it (its data was published before the fold ran), the interrupted
+    stream must resume, and the final retained set must equal the
+    fault-free run's exactly — no lost batch, no duplicate rows."""
+    import pandas as pd
+    import pytest
+
+    import gmail_etl_spark.streaming.jobs as J
+
+    rows = [
+        (i, f"doc {i} body " + " ".join(f"t{i}_{j}" for j in range(25)))
+        for i in range(12)
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(6):
+        pd.DataFrame(
+            rows[i * 2 : (i + 1) * 2], columns=["doc_id", "text"]
+        ).to_parquet(src / f"{i}.parquet")
+        os.utime(src / f"{i}.parquet", (1_000_000_000 + i,) * 2)
+    index = tmp_path / "ndindex"
+    expected = set(range(12))  # all dissimilar: everything survives
+
+    orig_fold = J._maybe_fold_index
+
+    def crash_after_first_fold(*a, **k):
+        stats = orig_fold(*a, **k)
+        if stats is not None:  # a fold COMPLETED (committed + cleaned)
+            raise RuntimeError("injected: crash after fold commit")
+        return stats
+
+    monkeypatch.setattr(J, "_maybe_fold_index", crash_after_first_fold)
+    with pytest.raises(Exception, match="injected: crash after fold commit"):
+        J.maintain_near_dup_index(
+            spark, str(src), str(index), str(tmp_path / "ckpt"), compact_every=2
+        )
+    monkeypatch.undo()
+    # the fold committed and batch data is durable, but the batch's
+    # offset never reached the checkpoint — head is ahead of the
+    # checkpoint's committed batches
+    names = sorted(p.name for p in index.iterdir() if p.is_dir())
+    assert any(n.startswith("_m") for n in names), names
+    head_at_crash = J._resolve_index_head(spark, str(index))
+    assert head_at_crash >= 1
+
+    # restart with the SAME checkpoint: the replayed batch is skipped
+    # by the batch_id <= head guard, the rest stream, result exact
+    J.maintain_near_dup_index(
+        spark, str(src), str(index), str(tmp_path / "ckpt"), compact_every=2
+    )
+    out = [r["id"] for r in J.read_near_dup_index(spark, str(index)).collect()]
+    assert sorted(out) == sorted(expected)  # set-equal AND no dup rows
+    # layout converged: live intervals tile [0..head] disjointly
+    head = J._resolve_index_head(spark, str(index))
+    live = J._index_live_entries(spark, str(index), head)
+    tiles = sorted(x for lo, hi, _ in live for x in range(lo, hi + 1))
+    assert tiles == list(range(head + 1)), live
 
 
 def test_index_meta_lsh_shape_guard(spark, tmp_path):

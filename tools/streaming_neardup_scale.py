@@ -53,6 +53,12 @@ def main() -> None:
         help="pass through: seal dirs covering this many batches "
         "(default compact_every**2) — never rewritten again",
     )
+    ap.add_argument(
+        "--n-shards", type=int, default=16,
+        help="pass through: index layout shard count — the documented "
+        "probe-pruning lever (VERDICT r11 #3); per-batch probe bytes "
+        "are recorded so the lever's effect is measured, not assumed",
+    )
     ap.add_argument("--workdir", type=str, default=None)
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
@@ -102,14 +108,17 @@ def main() -> None:
 
     J._publish_index_batch = publish_timed
     fold_log: list = []
+    probe_log: list = []
     t0 = time.perf_counter()
     try:
         maintain_near_dup_index(
             spark, src, index, os.path.join(work, "ckpt"),
             k=3, n_hashes=16, bands=16, threshold=0.5,
+            n_shards=args.n_shards,
             compact_every=args.compact_every,
             max_fold_width=args.max_fold_width,
             fold_log=fold_log,
+            probe_log=probe_log,
         )
     finally:
         J._publish_index_batch = orig_publish
@@ -186,9 +195,11 @@ def main() -> None:
             maintain_near_dup_index(
                 spark, src, index, os.path.join(work, "ckpt"),
                 k=3, n_hashes=16, bands=16, threshold=0.5,
+                n_shards=args.n_shards,
                 compact_every=args.compact_every,
                 max_fold_width=args.max_fold_width,
                 fold_log=fold_log,
+                probe_log=probe_log,
             )
         finally:
             J._publish_index_batch = orig_publish
@@ -226,6 +237,16 @@ def main() -> None:
         )
         for b in sorted({e["batch_id"] for e in fold_log})
     ]
+    # per-batch probe accounting (VERDICT r11 #3): bytes a single scan
+    # of the matched shards reads, buckets + hsh, measured at probe
+    # time by _probe_dup_ids — the column that makes the n_shards
+    # lever's effect (or non-effect) visible instead of argued
+    def _pbytes(e: dict) -> int:
+        return int(e.get("bytes_buckets", 0)) + int(e.get("bytes_hsh", 0))
+
+    bulk_probe = [e for e in probe_log if e["batch_id"] < n_files]
+    trickle_probe = [e for e in probe_log if e["batch_id"] >= n_files]
+
     result = {
         "metric": "streaming_neardup_scale",
         "n_docs": n,
@@ -233,6 +254,7 @@ def main() -> None:
         "n_tokens": args.n_tokens,
         "batches": n_files,
         "chunk": chunk,
+        "n_shards": args.n_shards,
         "retained": agg["cnt"],
         "retained_id_sum_exact": True,
         "wall_s": wall,
@@ -251,8 +273,28 @@ def main() -> None:
                                "bytes_folded_in", "bytes_folded_out")}
             for e in folds
         ],
+        "probe_bytes_per_batch": [_pbytes(e) for e in bulk_probe],
+        "probe_shards_hit_per_batch": [
+            [
+                len(e["probe_shards"]) if e.get("probe_shards") is not None
+                else None,
+                len(e["cand_shards"]) if e.get("cand_shards") is not None
+                else None,
+            ]
+            for e in bulk_probe
+        ],
         "trickle_batches": args.trickle,
         "trickle_batch_walls_s": trickle_walls,
+        "trickle_probe_bytes_per_batch": [_pbytes(e) for e in trickle_probe],
+        "trickle_probe_shards_hit": [
+            [
+                len(e["probe_shards"]) if e.get("probe_shards") is not None
+                else None,
+                len(e["cand_shards"]) if e.get("cand_shards") is not None
+                else None,
+            ]
+            for e in trickle_probe
+        ],
         "trickle_retained_exact": trickle_exact,
         "docs_per_sec": round(n / wall, 1),
         "index_bytes": index_bytes,

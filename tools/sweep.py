@@ -9,19 +9,41 @@ equal but the driver's hash does not.  This tool reproduces the strict
 semantics so regressions are caught locally before a driver round.
 
 Usage:
-    python tools/sweep.py [--sf DIR] [--json OUT] [query ...]
+    python tools/sweep.py [--sf DIR] [--json OUT] [--recycle N]
+                          [--decompose-tail SECS] [query ...]
 
 ``--json OUT`` additionally writes a per-query artifact
 (name → {status, rows, secs, hash}) so a whole-catalog local sweep is
 committable evidence, not just a terminal scroll.
+
+Warm-session noise control (VERDICT r11 #1): a single shared
+SparkSession accumulates JVM/GC/code-cache state over a 259-query
+catalog, and by r11 the sweep tail rows read up to 5× their standalone
+walls (q110: 29.6 s in LOCAL_SWEEP_r11_sf001 vs 5.9 s fresh) — numbers
+no artifact explained.  Two controls turn that argument into an
+artifact:
+
+* ``--recycle N`` — run the sweep as sequential child processes of at
+  most N queries each (a REAL JVM recycle, not just a new session: in
+  local mode SparkContext.stop() keeps the py4j JVM alive, so only a
+  fresh process sheds heap/code-cache history).  Each in-process chunk
+  additionally clears the catalog cache between queries.
+* ``--decompose-tail SECS`` — after the sweep, every query whose
+  shared-session wall exceeded SECS is re-run ALONE in a fresh process
+  and its ``standalone_secs`` recorded next to ``secs``, so a tail row
+  carries its own decomposition instead of needing a forensic follow-up.
 """
 
 from __future__ import annotations
 
 import argparse
 import hashlib
+import json
 import math
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 TABLES = [
@@ -66,15 +88,7 @@ def canon(df) -> tuple[list[str], str, int]:
     return cols, h.hexdigest(), len(rows)
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("--json", default=None, help="write per-query results JSON")
-    ap.add_argument("queries", nargs="*")
-    args = ap.parse_args()
-
-    import duckdb
-
+def _apply_smoke_knobs(sf: str) -> None:
     # smoke-tier knobs (BEFORE the catalog import — q259's oracle is
     # generated at module-import time from the batch tuple):
     # * q255 state sizing (VERDICT r8 #8): the stream-stream join's
@@ -87,20 +101,86 @@ def main() -> int:
     #   and the oracle regenerates from the same tuple so the hash gate
     #   is unweakened in kind.  The sf0.01 driver-gate tier keeps the
     #   3-batch production shape.
-    import os
-
-    if args.sf.rstrip("/").endswith("sf0.001"):
+    if sf.rstrip("/").endswith("sf0.001"):
         os.environ.setdefault("SPARK_GRAFT_Q255_STATE_PARTITIONS", "4")
         os.environ.setdefault("SPARK_GRAFT_Q259_BATCHES", "2")
         # q75/q110 k-means: 2 Lloyd iterations instead of 3 (plan and
         # oracle regenerate together; cross-engine hash gate unweakened)
         os.environ.setdefault("SPARK_GRAFT_Q75_ITERS", "2")
 
+
+def _catalog_names() -> list[str]:
+    from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
+
+    _ensure_loaded()
+    return sorted(CATALOG)
+
+
+def _run_child(sf: str, names: list[str]) -> dict[str, dict]:
+    """One fresh-process sweep over ``names``; returns its per-query
+    results dict (a failed child degrades to error rows, never kills
+    the parent sweep)."""
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        out_path = tf.name
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--sf", sf, "--json", out_path, "--recycle", "0", *names],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env={**os.environ, "PYTHONPATH": "."},
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        try:
+            with open(out_path) as f:
+                return json.load(f)["queries"]
+        except (OSError, ValueError, KeyError):
+            return {
+                n: {
+                    "status": "child_error",
+                    "error": (proc.stderr or "")[-300:],
+                }
+                for n in names
+            }
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", default=None, help="write per-query results JSON")
+    ap.add_argument(
+        "--recycle", type=int, default=0,
+        help="run as child processes of at most N queries each "
+        "(a real JVM recycle; 0 = single shared session)",
+    )
+    ap.add_argument(
+        "--decompose-tail", type=float, default=0.0,
+        help="re-run every query slower than this many seconds ALONE "
+        "in a fresh process and record standalone_secs (0 = off)",
+    )
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    _apply_smoke_knobs(args.sf)
+
+    if args.recycle:
+        return _main_recycled(args)
+
+    import duckdb
+
     from gmail_etl_spark.plans.catalog import CATALOG, _ensure_loaded
     from gmail_etl_spark.session import get_spark
 
     _ensure_loaded()
     spark = get_spark()
+    # warm-up action: JVM/session startup is a per-process constant, not
+    # a property of whichever query happens to run first in a recycled
+    # chunk — pay it before the first timed row
+    spark.range(1).count()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -112,6 +192,9 @@ def main() -> int:
     results: dict[str, dict] = {}
     for name in names:
         cq = CATALOG[name]
+        # shed cross-query cached-frame state (VERDICT r11 #1): any
+        # cache a prior query leaked must not tax this one's wall
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             spdf = cq.builder(spark, args.sf).toPandas()
@@ -160,16 +243,71 @@ def main() -> int:
     print(f"\n{len(names) - len(failed)}/{len(names)} green")
     if failed:
         print("failed:", " ".join(failed))
+    if args.decompose_tail:
+        _decompose_tails(args.sf, results, args.decompose_tail)
     if args.json:
-        import json
+        _write_artifact(args, names, results, failed, recycle=0)
+    return 1 if failed else 0
 
-        with open(args.json, "w") as f:
-            json.dump(
-                {"sf_dir": args.sf, "n_queries": len(names),
-                 "n_green": len(names) - len(failed), "queries": results},
-                f, indent=1, sort_keys=True,
-            )
-        print(f"wrote {args.json}")
+
+def _write_artifact(args, names, results, failed, recycle: int) -> None:
+    with open(args.json, "w") as f:
+        json.dump(
+            {
+                "sf_dir": args.sf,
+                "n_queries": len(names),
+                "n_green": len(names) - len(failed),
+                "recycle_every": recycle,
+                "decompose_tail_secs": args.decompose_tail or None,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+                "queries": results,
+            },
+            f, indent=1, sort_keys=True,
+        )
+    print(f"wrote {args.json}")
+
+
+def _decompose_tails(sf: str, results: dict[str, dict], tail_secs: float) -> None:
+    """Re-run every over-threshold row ALONE in a fresh process; the
+    standalone wall lands next to the sweep wall so a slow row carries
+    its own shared-session-noise decomposition (VERDICT r11 #1)."""
+    tails = sorted(
+        n for n, r in results.items() if r.get("secs", 0) > tail_secs
+    )
+    for name in tails:
+        got = _run_child(sf, [name]).get(name, {})
+        results[name]["standalone_secs"] = got.get("secs")
+        results[name]["standalone_status"] = got.get("status")
+        print(
+            f"tail {name}: shared {results[name]['secs']}s -> "
+            f"standalone {got.get('secs')}s ({got.get('status')})"
+        )
+
+
+def _main_recycled(args) -> int:
+    """Parent mode: chunk the catalog into fresh-process sweeps of at
+    most ``--recycle`` queries, merge the children's per-query rows,
+    then decompose the tails."""
+    names = args.queries or _catalog_names()
+    results: dict[str, dict] = {}
+    for i in range(0, len(names), args.recycle):
+        chunk = names[i : i + args.recycle]
+        print(
+            f"-- chunk {i // args.recycle + 1}: {len(chunk)} queries "
+            f"(fresh JVM), loadavg {os.getloadavg()[0]:.1f}"
+        )
+        results.update(_run_child(args.sf, chunk))
+    failed = [
+        n for n, r in sorted(results.items())
+        if r.get("status") not in ("match", "rows_only")
+    ]
+    print(f"\n{len(names) - len(failed)}/{len(names)} green")
+    if failed:
+        print("failed:", " ".join(failed))
+    if args.decompose_tail:
+        _decompose_tails(args.sf, results, args.decompose_tail)
+    if args.json:
+        _write_artifact(args, names, results, failed, recycle=args.recycle)
     return 1 if failed else 0
 
 
