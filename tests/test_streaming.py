@@ -1331,6 +1331,61 @@ def test_probe_dup_ids_hot_bucket_cap_and_prune_equality(spark, tmp_path):
         J._PRUNE_MIN_FILES = saved
 
 
+def test_probe_dup_ids_stats_and_uncapped_warning(
+    spark, tmp_path, monkeypatch, caplog
+):
+    """The probe's optional ``stats`` out-param records the executed
+    plan (prune flag, shard sets, per-sub-table bytes measured at probe
+    time, candidate count), and an uncapped expansion past the
+    visibility threshold logs a warning (ADVICE r11) without changing
+    the result."""
+    import logging
+
+    from pyspark.sql import Row
+
+    import gmail_etl_spark.streaming.jobs as J
+
+    buckets_df = spark.createDataFrame(
+        [Row(bucket=77, id=i) for i in range(10)] + [Row(bucket=12, id=9000)]
+    )
+    hsh_df = spark.createDataFrame(
+        [Row(id=i, hsh=[100 + i, 200 + i]) for i in range(10)]
+        + [Row(id=9000, hsh=[1, 2, 3, 4])]
+    )
+    index = str(tmp_path / "handindex")
+    J._write_index_meta(spark, index, {"layout": 2, "n_shards": 16})
+    J._publish_index_batch(spark, index, buckets_df, hsh_df, 0, n_shards=16)
+    dirs = J._index_batch_dirs(spark, index, J._resolve_index_head(spark, index))
+
+    bkeys = spark.createDataFrame([Row(id=1, bucket=77), Row(id=2, bucket=12)])
+    b_hsh = spark.createDataFrame(
+        [Row(id=1, hsh=[100, 200]), Row(id=2, hsh=[1, 2, 3])]
+    )
+
+    monkeypatch.setattr(J, "_PRUNE_MIN_FILES", 0)  # force the pruned path
+    monkeypatch.setattr(J, "_UNCAPPED_CAND_WARN", 3)  # force the warning
+    stats: dict = {}
+    pins: list = []
+    with caplog.at_level(logging.WARNING, logger=J.__name__):
+        got = {
+            r["id"]
+            for r in J._probe_dup_ids(
+                spark, dirs, bkeys, b_hsh, 0.5, None, 16,
+                pins=pins, stats=stats,
+            ).collect()
+        }
+    for frame in pins:
+        frame.unpersist()
+    assert got == {1, 2}
+    assert stats["prune"] is True
+    assert stats["probe_shards"] == sorted({77 % 16, 12 % 16})
+    assert stats["cand_shards"]  # non-empty: candidates exist
+    assert stats["bytes_buckets"] > 0 and stats["bytes_hsh"] > 0
+    # 10 hot-bucket pairs + 1 cold pair, all distinct (b_id, h_id)
+    assert stats["n_candidates"] == 11
+    assert any("uncapped near-dup probe" in r.message for r in caplog.records)
+
+
 def test_probe_near_dup_index_public_api(spark, tmp_path):
     """Read-only decontamination probe: near-dups of retained docs are
     flagged, novel docs are not, and the index is unchanged."""
