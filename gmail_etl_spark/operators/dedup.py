@@ -135,6 +135,18 @@ def minhash_signature(
         base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P)))
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
+    return _sig_from_base(base, n_hashes)
+
+
+def _sig_from_base(base: Column, n_hashes: int) -> Column:
+    """Signature array from a PRE-HASHED base array (values in [0, p)):
+    n_hashes Carter–Wegman permutation minima.  ``base`` should be a
+    bare column reference when n_hashes is large — the expression tree
+    is embedded once per permutation, and higher-order functions are
+    interpreted (no codegen), so common-subexpression elimination never
+    deduplicates an inlined base: an embedded hash chain would be
+    re-evaluated n_hashes times per row (measured 4× the whole sig+bucket
+    stage on the 100k-doc bench — see ``_lsh_sigs``)."""
     cols = []
     for i in range(n_hashes):
         a, b = _mh_ab(i)
@@ -338,17 +350,46 @@ def _lsh_sigs(
     cross-engine family (signature base = :func:`_sha_base31`; verify
     set elements = the first 16 sha256 hex chars per shingle) so a SQL
     oracle can replay the whole pipeline value-for-value.
+
+    Each shingle string is hashed EXACTLY ONCE: ``hsh`` (the verify-set
+    hashes) is materialized first and the signature's base array derives
+    from it with integer/substring ops, fed to the permutation fold as a
+    materialized ``_base`` column.  Both layers matter because transform/
+    array_min are interpreted (no codegen ⇒ no common-subexpression
+    elimination): inlining the base chain into the n_hashes permutation
+    expressions re-evaluates it per permutation.  Measured on the
+    100k-doc bench corpus (sig+bucket stage, best-of-3): inlined-base
+    7.13 s, materialized-base-but-rehash 4.26 s, this form 1.80 s —
+    identical bucket checksums (guide §1.2 "per-task work", §4 boundary
+    discipline applied to JVM expression evaluation).
+
+    Bit-equivalence of deriving base from the DEDUPED ``hsh`` array:
+    ``shingles`` is already distinct, so dedup only fires on a 64-bit
+    (or 16-hex-char) hash collision between distinct shingles — and the
+    signature consumes base only through per-permutation minima, which
+    are invariant under dropping duplicate values.
     """
     if hash_family == "sha256":
         hsh = "array_distinct(transform(shingles, s -> substring(sha2(s, 256), 1, 16)))"
+        # first 8 hex chars of sha256 are a prefix of the 16 stored in
+        # hsh — _sha_base31 recomputed without a second sha2
+        base = F.transform(
+            F.col("hsh"),
+            lambda h: F.pmod(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(_MH_P)
+            ),
+        )
     else:
         hsh = "array_distinct(transform(shingles, s -> xxhash64(s)))"
+        base = F.transform(F.col("hsh"), lambda h: F.pmod(h, F.lit(_MH_P)))
     return (
         df.select(
             F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shingles")
         )
-        .withColumn("sig", minhash_signature(F.col("shingles"), n_hashes, hash_family))
         .withColumn("hsh", F.expr(hsh))
+        .withColumn("_base", base)
+        .withColumn("sig", _sig_from_base(F.col("_base"), n_hashes))
+        .select("id", "shingles", "sig", "hsh")
     )
 
 
