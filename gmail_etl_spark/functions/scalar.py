@@ -136,6 +136,25 @@ _DATE_FORMATS = (
 )
 
 
+def clean_date_header(date_str: Column) -> Column:
+    """The pre-parse normalization of :func:`lenient_timestamp`: drop a
+    trailing "(UTC)"-style comment and a leading "Mon, " weekday (Spark's
+    proleptic parser rejects 'EEE' in parse patterns).  Exposed so a
+    caller can MATERIALIZE the cleaned value as a column once — inlined
+    into the 6-format coalesce it is re-evaluated per format attempt
+    (two regexes × up to 6 tries per row; see ``transform_stage1``)."""
+    cleaned = F.regexp_replace(date_str, r"\s*\(.*\)$", "")  # drop "(UTC)" comments
+    return F.regexp_replace(cleaned, r"^[A-Za-z]{3},\s*", "")  # drop "Mon, " weekday
+
+
+def lenient_timestamp_cleaned(cleaned: Column) -> Column:
+    """``try_to_timestamp`` coalesce chain over an ALREADY-cleaned
+    header (see :func:`clean_date_header`)."""
+    return F.coalesce(
+        *[F.try_to_timestamp(cleaned, F.lit(fmt)) for fmt in _DATE_FORMATS]
+    )
+
+
 def lenient_timestamp(date_str: Column) -> Column:
     """Best-effort parse of an email Date header.
 
@@ -145,10 +164,7 @@ def lenient_timestamp(date_str: Column) -> Column:
     path off the hot rows, mirroring the reference's try/except-fuzzy
     split (``resources/gmail_functions.py:274-277``).
     """
-    cleaned = F.regexp_replace(date_str, r"\s*\(.*\)$", "")  # drop "(UTC)" comments
-    cleaned = F.regexp_replace(cleaned, r"^[A-Za-z]{3},\s*", "")  # drop "Mon, " weekday
-    attempts = [F.try_to_timestamp(cleaned, F.lit(fmt)) for fmt in _DATE_FORMATS]
-    return F.coalesce(*attempts)
+    return lenient_timestamp_cleaned(clean_date_header(date_str))
 
 
 def format_date_string(ts: Column) -> Column:
