@@ -458,6 +458,7 @@ def minhash_lsh_pairs(
     target_recall: float | None = None,
     max_hashes: int = 256,
     hash_family: str = "xxhash64",
+    checkpoint_sigs: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
 
@@ -504,6 +505,21 @@ def minhash_lsh_pairs(
             threshold, target_recall, max_hashes=max_hashes
         )
     sigs = _lsh_sigs(df, id_col, text_col, k, n_hashes, hash_family)
+    if checkpoint_sigs:
+        # The signature frame feeds TWO sub-plans (band buckets and the
+        # verify side), and without a barrier each recomputes the full
+        # shingle+hash pass over the corpus.  localCheckpoint
+        # materializes the narrow (id, sig, hsh) frame once —
+        # shingles are dropped first, they never leave this stage —
+        # measured −1.5 s median on the 100k-doc bench entry
+        # (interleaved A/B, 5/6 rounds faster; guide §5 cache-vs-
+        # recompute rule: the string shingling is the expensive pass).
+        # At cluster scale the materialized frame is ~300 B/doc in
+        # executor memory/disk, replacing a second full text pass;
+        # callers that prefer recompute (CPU-rich, storage-tight) pass
+        # checkpoint_sigs=False.  Note this makes the builder EAGER
+        # (the signature pass runs at plan-build time).
+        sigs = sigs.select("id", "sig", "hsh").localCheckpoint(eager=True)
     return _pairs_from_sigs(
         sigs, n_hashes, bands, threshold, max_bucket, broadcast_verify
     )
