@@ -140,25 +140,42 @@ def minhash_signature(
 
 def _sig_from_base(base: Column, n_hashes: int) -> Column:
     """Signature array from a PRE-HASHED base array (values in [0, p)):
-    n_hashes Carter–Wegman permutation minima.  ``base`` should be a
-    bare column reference when n_hashes is large — the expression tree
-    is embedded once per permutation, and higher-order functions are
-    interpreted (no codegen), so common-subexpression elimination never
-    deduplicates an inlined base: an embedded hash chain would be
-    re-evaluated n_hashes times per row (measured 4× the whole sig+bucket
-    stage on the 100k-doc bench — see ``_lsh_sigs``)."""
-    cols = []
-    for i in range(n_hashes):
-        a, b = _mh_ab(i)
-        cols.append(
-            F.array_min(
-                F.transform(
-                    base,
-                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_P)),
-                )
-            )
-        )
-    return F.array(*cols)
+    n_hashes Carter–Wegman permutation minima, folded in ONE pass.
+
+    Two layers of per-row-work discipline (both measured on the 100k-doc
+    bench, identical bucket checksums):
+
+    * ``base`` should be a bare column reference — HOFs are interpreted
+      (no codegen), so common-subexpression elimination never
+      deduplicates an inlined base and an embedded hash chain would be
+      re-evaluated per permutation (see ``_lsh_sigs``).
+    * The fold is a single ``aggregate`` over ``base`` carrying all
+      n_hashes running minima (``acc[i] = min(acc[i], (a_i·h+b_i) mod
+      p)``), instead of n_hashes separate ``array_min(transform(...))``
+      traversals — one pass and one accumulator allocation per element
+      vs n_hashes full-array materializations per row (interleaved med
+      1.92 → 1.70 s on the sig+bucket stage).
+
+    Equivalence with the per-permutation ``array_min`` form: identical
+    minima for any non-empty base (``shingles`` guarantees ≥1 element
+    per row, so the empty-array corner — null under array_min, the p
+    sentinel under the fold — is unreachable); p itself is never a hash
+    value since pmod yields [0, p)."""
+    a_arr = F.array(*[F.lit(_mh_ab(i)[0]) for i in range(n_hashes)])
+    b_arr = F.array(*[F.lit(_mh_ab(i)[1]) for i in range(n_hashes)])
+    init = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda _: F.lit(_MH_P).cast("long"),
+    )
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: F.pmod(h * a + b, F.lit(_MH_P))),
+            lambda mn, v: F.least(mn, v),
+        ),
+    )
 
 
 def _pair_expansion(ids: str) -> str:
