@@ -52,6 +52,13 @@ def strip_html(html: str | None) -> str | None:
     """``BeautifulSoup(html,'html.parser').get_text(strip=True)``."""
     if html is None:
         return None
+    if "<" not in html and "&" not in html:
+        # plain-text fast path: with no tag-open and no entity the whole
+        # input is ONE text node under either parser, so get_text(strip=
+        # True) ≡ str.strip() — parity pinned by the randomized test in
+        # tests/test_functions.py (guide §4.2: skip the parser when the
+        # row provably doesn't need it)
+        return html.strip()
     if _HAS_BS4:
         return BeautifulSoup(html, "html.parser").get_text(strip=True)
     parser = _TextExtractor()

@@ -473,3 +473,31 @@ def test_golden_strip_html_agrees_on_wellformed():
     ]
     for html in wellformed:
         assert _golden_strip_html(html) == strip_html(html), html
+
+
+def test_strip_html_plaintext_fast_path_parity():
+    """Rows without '<' or '&' take a str.strip() fast path (r12
+    optimization).  Mechanism lock: the fast path must be bit-equal to
+    the parser on every such input — randomized plain strings plus the
+    whitespace/unicode edge cases, compared against a fast-path-free
+    reimplementation of the parser route."""
+    import random
+    import string
+
+    from gmail_etl_spark.functions.html import _TextExtractor, strip_html
+
+    def parser_route(s: str) -> str:
+        p = _TextExtractor()
+        p.feed(s)
+        p.close()
+        return "".join(p.chunks)
+
+    rng = random.Random(12012)
+    alphabet = string.ascii_letters + string.digits + " \t\r\n.,;:!?'\"()-_/>«é☃"
+    cases = [
+        "", " ", "\r\n", "  padded  ", "a  b", "line1\r\nline2",
+        "trailing>", ">leading", "unicode é☃ text", "\x00ctl\x7f",
+    ] + ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120))) for _ in range(200)]
+    for s in cases:
+        assert "<" not in s and "&" not in s, s
+        assert strip_html(s) == parser_route(s), repr(s)
