@@ -128,7 +128,16 @@ def minhash_signature(
     ``hash_family`` picks the base hash: ``"xxhash64"`` (default, the
     JVM-codegen production family) or ``"sha256"`` (the portable
     cross-engine family of :func:`_sha_base31`, exactly replayable by a
-    DuckDB oracle — the hash-oracled catalog gate q44 runs on it)."""
+    DuckDB oracle — the hash-oracled catalog gate q44 runs on it).
+
+    Degenerate inputs (unreachable via ``shingles``, which always emits
+    ≥ 1 element, but this is a public function over arbitrary array
+    columns): an EMPTY array yields an array of the 2^31−1 sentinel
+    (the fold's init value — the r12 one-pass ``aggregate`` fold; the
+    pre-r12 per-permutation ``array_min`` form yielded an array of
+    nulls), and a NULL array yields NULL (pre-r12: an array of nulls).
+    Gate degenerate rows upstream if the older null convention matters
+    to a caller."""
     if hash_family == "sha256":
         base = F.transform(sh, _sha_base31)
     elif hash_family == "xxhash64":
@@ -176,6 +185,39 @@ def _sig_from_base(base: Column, n_hashes: int) -> Column:
             lambda mn, v: F.least(mn, v),
         ),
     )
+
+
+def _score_barrier(x: Column, seed: int = 42) -> Column:
+    """Pass-through for a similarity/Jaccard score column that stops the
+    optimizer from duplicating the (non-cheap) score expression.
+
+    ``greatest(x, rand(seed) - 3.0)`` is value-identical to ``x`` for
+    every value these operators can produce — Jaccard is in [0, 1],
+    cosine in [-1-ε, 1+ε], NaN wins ``greatest`` under Spark's NaN-is-
+    largest ordering, and the rand term lies in [-3, -2) — but the
+    expression is NON-DETERMINISTIC, which (a) stops CollapseProject
+    from inlining the score back over its materialized inputs and (b)
+    stops PushPredicateThroughNonJoin from cloning a ``score >=
+    threshold`` filter (and with it the full score expression) into the
+    join condition below.  Without it, the committed r12 plan evaluated
+    ``array_intersect`` up to 4× per verified pair: twice inside the
+    join condition (no subexpression elimination there) and twice more
+    in the output projection (see
+    ``plans/r12/near_dedup_pairs_subplan_after.txt:140-143``); measured
+    on the 100k-doc bench verify stage at 8 cores: med 0.871 → 0.541 s,
+    faster 6/6 interleaved rounds, identical (count, xor) checksums
+    (``tools/exp_verify_r13.py``; guide §1.2 per-task work and §4.4's
+    mark-non-deterministic-to-stop-duplication principle applied to a
+    JVM expression).  A plain ``rand() < -1`` OR-guard on the filter
+    does NOT work: Spark 4 folds comparisons outside Rand's known
+    [0, 1) range.
+
+    Only sound where (1) the wrapped score is NaN or ≥ -2 (so the rand
+    arm never wins; ±Infinity scores — possible only from Infinity
+    inputs — are filtered identically either way because every caller
+    thresholds at > -2), and (2) under task retries a re-drawn rand
+    changes nothing because the rand arm is never selected."""
+    return F.greatest(x, F.rand(seed) - F.lit(3.0))
 
 
 def _pair_expansion(ids: str) -> str:
@@ -507,6 +549,15 @@ def minhash_lsh_pairs(
     ceiling passes through instead of being silently replaced by the
     library default; ``max_hashes`` is only consulted on this path).
 
+    ``checkpoint_sigs`` (default True) materializes the signature frame
+    once between its two consumers via ``localCheckpoint`` — which makes
+    this builder EAGER (a Spark job runs at plan-build time) and
+    non-fault-tolerant for that intermediate (lineage truncated:
+    executor loss between build and action fails the downstream job
+    instead of recomputing).  Pass ``checkpoint_sigs=False`` for a fully
+    lazy, recompute-on-failure plan at the cost of a second
+    shingle+hash pass over the corpus.
+
     ``hash_family="sha256"`` swaps the signature base hash and the
     verify-set hash for the portable cross-engine family (see
     :func:`_sha_base31`): every value in the pipeline is then exactly
@@ -536,6 +587,16 @@ def minhash_lsh_pairs(
         # callers that prefer recompute (CPU-rich, storage-tight) pass
         # checkpoint_sigs=False.  Note this makes the builder EAGER
         # (the signature pass runs at plan-build time).
+        #
+        # Fault-tolerance caveat (ADVICE r12): localCheckpoint is
+        # NON-RELIABLE — lineage is truncated, so losing an executor
+        # between build and action fails the downstream job instead of
+        # recomputing, and the checkpointed storage lives until the
+        # executors do (an unpersist handle would be unsafe: releasing
+        # blocks whose lineage is gone breaks every later action on the
+        # returned frame).  On clusters with decommissioning/spot
+        # executors, or when the frame must outlive failures, pass
+        # checkpoint_sigs=False and pay the second corpus pass.
         sigs = sigs.select("id", "sig", "hsh").localCheckpoint(eager=True)
     return _pairs_from_sigs(
         sigs, n_hashes, bands, threshold, max_bucket, broadcast_verify
@@ -569,22 +630,48 @@ def _pairs_from_sigs(
     # ONE broadcast replaces two candidate-side shuffles — measured
     # ~1.5 s (25%) on the 100k-doc bench.  Same join keys either way;
     # output is strategy-independent.
-    sh = sigs.select("id", "hsh")
+    # Per-side set sizes are materialized BELOW the join (once per doc,
+    # not twice per pair), and the intersection is materialized in ONE
+    # projection whose consumer is the _score_barrier-wrapped jaccard —
+    # so array_intersect runs exactly once per candidate pair (plan-
+    # pinned by tests/test_operators.py; was up to 4× — see
+    # _score_barrier's docstring for the r12 plan evidence and the
+    # 8-core A/B).  jaccard = inter/(a_n+b_n-inter) is the identical
+    # double expression tree as size-based union, and jaccard ∈ [0, 1]
+    # (union ≥ 1: hsh always has ≥ 1 element), so the barrier is exact.
+    sh = sigs.select("id", "hsh", F.size("hsh").alias("n"))
     sh = F.broadcast(sh) if broadcast_verify else sh.hint("shuffle_hash")
     candidates = (
-        candidates.join(sh.select(F.col("id").alias("a_id"), F.col("hsh").alias("a_sh")), "a_id")
-        .join(sh.select(F.col("id").alias("b_id"), F.col("hsh").alias("b_sh")), "b_id")
-    )
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size("a_sh") + F.size("b_sh") - inter
-    return (
-        candidates.select(
+        candidates.join(
+            sh.select(
+                F.col("id").alias("a_id"),
+                F.col("hsh").alias("a_sh"),
+                F.col("n").alias("a_n"),
+            ),
             "a_id",
-            "b_id",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .join(
+            sh.select(
+                F.col("id").alias("b_id"),
+                F.col("hsh").alias("b_sh"),
+                F.col("n").alias("b_n"),
+            ),
+            "b_id",
+        )
     )
+    with_inter = candidates.select(
+        "a_id",
+        "b_id",
+        "a_n",
+        "b_n",
+        F.size(F.array_intersect("a_sh", "b_sh")).alias("_inter"),
+    )
+    jaccard = F.col("_inter").cast("double") / (
+        F.col("a_n") + F.col("b_n") - F.col("_inter")
+    ).cast("double")
+    return with_inter.select(
+        "a_id", "b_id", _score_barrier(jaccard).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -764,10 +851,23 @@ def connected_components(
     # pre-converged, so a leading probe is a wasted job on every call;
     # an already-star input (idempotent re-runs) just pays one no-op
     # round, which the probe then certifies.
+    #
+    # The per-round checkpoint is LAZY (r13, VERDICT item 4): the
+    # probe's aggregation is always the next action, and its shuffle-map
+    # stage computes EVERY partition of the round's edge set before any
+    # reduce task runs, so the probe job itself materializes the
+    # checkpoint — one job per round instead of a materialize job plus a
+    # probe job, with lineage truncated exactly as before and the probe
+    # invariants untouched.  (Lazy is only safe here because the probe
+    # is a blocking single consumer that fully materializes the frame
+    # before the next round or the readout scans it twice via union —
+    # the pre-contraction checkpoints above keep eager=True because
+    # their consumers are concurrent stages that would otherwise race to
+    # recompute the expensive upstream.)
     converged = False
     for _ in range(max_iter):
         e = _star(_directed(e), large=True)
-        e = _star(_directed(e), large=False).localCheckpoint(eager=True)
+        e = _star(_directed(e), large=False).localCheckpoint(eager=False)
         if _is_star_forest(e):
             converged = True
             break
@@ -1013,19 +1113,40 @@ def jaccard_pairs_prefix(
     # function's exactness contract.  Complete chunk-pair expansion
     # keeps every pair at bounded (max_bucket²) per-task cost.
     candidates = capped_pair_candidates(buckets, max_bucket=1024, complete=True)
-    side = per_doc.hint("shuffle_hash")
+    # same single-intersect verify discipline as _pairs_from_sigs: per-
+    # side sizes below the join, intersection materialized once, score
+    # wrapped in _score_barrier so the threshold filter cannot clone the
+    # intersect into the join condition
+    side = per_doc.select("id", "ranks", F.size("ranks").alias("n")).hint(
+        "shuffle_hash"
+    )
     joined = (
         candidates.join(
-            side.select(F.col("id").alias("a_id"), F.col("ranks").alias("a_r")),
+            side.select(
+                F.col("id").alias("a_id"),
+                F.col("ranks").alias("a_r"),
+                F.col("n").alias("a_n"),
+            ),
             "a_id",
         ).join(
-            side.select(F.col("id").alias("b_id"), F.col("ranks").alias("b_r")),
+            side.select(
+                F.col("id").alias("b_id"),
+                F.col("ranks").alias("b_r"),
+                F.col("n").alias("b_n"),
+            ),
             "b_id",
         )
     )
-    inter = F.size(F.array_intersect("a_r", "b_r"))
-    union = F.size("a_r") + F.size("b_r") - inter
-    jac = inter.cast("double") / union.cast("double")
-    return joined.select(
-        "a_id", "b_id", jac.alias("jaccard")
+    with_inter = joined.select(
+        "a_id",
+        "b_id",
+        "a_n",
+        "b_n",
+        F.size(F.array_intersect("a_r", "b_r")).alias("_inter"),
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("a_n") + F.col("b_n") - F.col("_inter")
+    ).cast("double")
+    return with_inter.select(
+        "a_id", "b_id", _score_barrier(jac).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)

@@ -1523,20 +1523,43 @@ def _probe_dup_ids(
             stats["bytes_hsh"] = _bytes_under(
                 spark, [f"{d.rstrip('/')}/{_IDX_HSH}" for d in hist_dirs]
             )
+    # single-intersect verify (r13, the _pairs_from_sigs discipline):
+    # per-side set sizes below the joins, intersection materialized once
+    # behind _score_barrier — without the barrier the threshold filter
+    # is pushed into the join condition, where array_intersect evaluates
+    # twice per candidate (no subexpression elimination there)
+    from gmail_etl_spark.operators.dedup import _score_barrier
+
     h_hsh = hh.join(F.broadcast(h_ids), "id").select(
-        F.col("id").alias("h_id"), F.col("hsh").alias("h_hsh")
+        F.col("id").alias("h_id"),
+        F.col("hsh").alias("h_hsh"),
+        F.size("hsh").alias("h_n"),
     )
-    inter = F.size(F.array_intersect("b_hsh", "h_hsh"))
-    union = F.size("b_hsh") + F.size("h_hsh") - inter
-    return (
+    with_inter = (
         cand.join(h_hsh, "h_id")
         .join(
             F.broadcast(
-                b_hsh.select(F.col("id").alias("b_id"), F.col("hsh").alias("b_hsh"))
+                b_hsh.select(
+                    F.col("id").alias("b_id"),
+                    F.col("hsh").alias("b_hsh"),
+                    F.size("hsh").alias("b_n"),
+                )
             ),
             "b_id",
         )
-        .filter(inter.cast("double") / union.cast("double") >= threshold)
+        .select(
+            "b_id",
+            "b_n",
+            "h_n",
+            F.size(F.array_intersect("b_hsh", "h_hsh")).alias("_inter"),
+        )
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("b_n") + F.col("h_n") - F.col("_inter")
+    ).cast("double")
+    return (
+        with_inter.select("b_id", _score_barrier(jac).alias("_j"))
+        .filter(F.col("_j") >= threshold)
         .select(F.col("b_id").alias("id"))
         .distinct()
     )

@@ -505,6 +505,35 @@ def test_vectorized_knn_matches_jvm_path(spark):
         assert abs(vsim - sim) <= 1e-6
 
 
+def test_vectorized_knn_rejects_null_and_ragged_vectors(spark):
+    """ADVICE r12 contract guard: a null or ragged-dim corpus vector
+    must raise a clear error from the Arrow kernel, never silently
+    misalign the reshaped matrix (the failure mode: total element count
+    still divides num_rows and every following row shifts)."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from gmail_etl_spark.operators.similarity import cosine_topk_vectorized
+
+    queries = spark.createDataFrame(
+        [(900, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    null_vec = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    with pytest.raises(PythonException, match="null"):
+        cosine_topk_vectorized(queries, null_vec, k=2).collect()
+    # ragged: rows of dim 2 and dim 4 in one batch, 3 rows x total 8
+    # elements does NOT divide — and 2+2+4 with 4 rows of dim 2 would;
+    # use the divisible case to pin the offsets check specifically
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0, 0.5, 0.5]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    with pytest.raises(PythonException, match="ragged"):
+        cosine_topk_vectorized(queries, ragged, k=2).collect()
+
+
 def test_hyperplane_lsh_recall_and_no_false_positives(spark):
     """Planted exact copies share every signature bit, so they collide in
     every band → recall 1.0 on them; and the exact-cosine verify step
@@ -1922,6 +1951,53 @@ def test_minhash_verify_strategy_independence(spark):
             ).collect()
         }
     assert out[False] == out[True] and len(out[True]) > 0
+
+
+def test_verify_stage_single_intersect_plan(spark):
+    """Mechanism lock for the r13 single-intersect verify: the optimized
+    plan of both Jaccard verify joins must evaluate ``array_intersect``
+    exactly ONCE, and never inside a join condition.  Without the
+    _score_barrier the threshold filter is pushed into the join
+    condition and the non-cheap intersect is cloned — the committed r12
+    plan paid up to 4 evaluations per verified pair (see
+    plans/r12/near_dedup_pairs_subplan_after.txt:140-143 and
+    tools/exp_verify_r13.py for the 8-core A/B: med 0.871 -> 0.541 s)."""
+    from gmail_etl_spark.operators.dedup import jaccard_pairs_prefix
+
+    d = _docs(spark, 80).select("doc_id", "text")
+    for df in (
+        # checkpoint_sigs=False keeps the builder lazy — this test reads
+        # the plan, it never executes the corpus pass
+        minhash_lsh_pairs(
+            d, "doc_id", "text", threshold=0.3, checkpoint_sigs=False
+        ),
+        jaccard_pairs_prefix(d, "doc_id", "text", 0.5),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("array_intersect") == 1, plan
+        join_lines = [l for l in plan.splitlines() if "Join" in l]
+        assert join_lines and not any("array_intersect" in l for l in join_lines), plan
+
+
+def test_score_barrier_is_value_identity(spark):
+    """_score_barrier must be a bit-exact pass-through on the whole
+    range the verify/similarity operators produce: [0, 1] Jaccard,
+    [-1-eps, 1+eps] cosine, and NaN (which Spark's greatest treats as
+    largest, same as the `NaN >= t` comparisons it replaces)."""
+    from gmail_etl_spark.operators.dedup import _score_barrier
+
+    vals = [0.0, 1.0, 0.5, 1e-300, -1.0, -1.0000000000000002, 1.0000000000000002, -2.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        "x", _score_barrier(F.col("x")).alias("b")
+    )
+    for r in df.collect():
+        assert r["b"] == r["x"], r
+    nan = (
+        spark.sql("select cast('NaN' as double) as x")
+        .select(_score_barrier(F.col("x")).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert nan != nan  # stays NaN
 
 
 def test_capped_pair_candidates_complete_mode_exact(spark):
