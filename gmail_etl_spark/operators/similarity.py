@@ -238,12 +238,19 @@ def hyperplane_lsh_pairs(
     candidates = capped_pair_candidates(buckets, max_bucket)
     # per-vector norms computed once below the join (cosine_topk's
     # pre-norm discipline): a vector in many candidate pairs would
-    # otherwise pay its norm per pair — and twice more per pair, since
-    # the threshold Filter and the output Project each evaluate the sim
-    # expression (HOFs are interpreted: no subexpression elimination).
+    # otherwise pay its norm per pair.  The sim expression itself is
+    # materialized ONCE per pair behind _score_barrier (r13): without
+    # the barrier the threshold filter is pushed into the join condition
+    # and the interpreted-HOF dot product runs twice per surviving pair
+    # (once in the condition, once in the output projection).  cosine is
+    # in [-1-ε, 1+ε] ≥ -2 (or NaN), so the barrier is exact, and
+    # round(sim, 6) for survivors only sees sim ≥ threshold where the
+    # barrier is the identity.
+    from gmail_etl_spark.operators.dedup import _score_barrier
+
     vecs = sig.select("id", "v", _norm(F.col("v")).alias("nrm")).hint("shuffle_hash")
     sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    scored = (
         candidates.join(
             vecs.select(
                 F.col("id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -256,8 +263,11 @@ def hyperplane_lsh_pairs(
             ),
             "b_id",
         )
-        .filter(sim >= threshold)
-        .select("a_id", "b_id", F.round(sim, 6).alias("sim"))
+        .select("a_id", "b_id", _score_barrier(sim).alias("_sim"))
+    )
+    return (
+        scored.filter(F.col("_sim") >= threshold)
+        .select("a_id", "b_id", F.round("_sim", 6).alias("sim"))
     )
 
 
@@ -320,13 +330,33 @@ def cosine_topk_vectorized(
     np.divide(q_mat, q_norms, out=q_mat, where=q_norms > 0)
 
     # id types follow the input schemas (the pq_topk discipline): a
-    # string-keyed corpus must not crash a generic signature
-    from pyspark.sql.pandas.types import to_arrow_type
-
+    # string-keyed corpus must not crash a generic signature.
+    # to_arrow_type lives in a private PySpark module whose location has
+    # moved across releases (ADVICE r12) — fall back to an explicit map
+    # of the id types this operator supports rather than crash on a
+    # version bump.
     q_id_type = queries.schema[id_col].dataType.simpleString()
     c_id_type = corpus.schema[id_col].dataType.simpleString()
-    q_id_pa = to_arrow_type(queries.schema[id_col].dataType)
-    c_id_pa = to_arrow_type(corpus.schema[id_col].dataType)
+    try:
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        q_id_pa = to_arrow_type(queries.schema[id_col].dataType)
+        c_id_pa = to_arrow_type(corpus.schema[id_col].dataType)
+    except ImportError:  # pragma: no cover - exercised on other Spark versions
+        _PA_BY_SIMPLE = {
+            "tinyint": pa.int8(), "smallint": pa.int16(), "int": pa.int32(),
+            "bigint": pa.int64(), "float": pa.float32(), "double": pa.float64(),
+            "string": pa.string(), "binary": pa.binary(), "boolean": pa.bool_(),
+        }
+        try:
+            q_id_pa = _PA_BY_SIMPLE[q_id_type]
+            c_id_pa = _PA_BY_SIMPLE[c_id_type]
+        except KeyError as exc:
+            raise TypeError(
+                f"cosine_topk_vectorized: unsupported id column type "
+                f"{exc} (supported without pyspark's to_arrow_type: "
+                f"{sorted(_PA_BY_SIMPLE)})"
+            ) from None
 
     def _kernel(batches):
         for b in batches:
@@ -335,9 +365,28 @@ def cosine_topk_vectorized(
             ids = b.column(0).to_numpy(zero_copy_only=False)
             # list<double> values buffer → (batch, dim), no per-row
             # Python objects; copy=True so the in-place normalize never
-            # writes into the shared Arrow buffer
+            # writes into the shared Arrow buffer.  Contract guard
+            # (ADVICE r12): a null vector or ragged dims would make
+            # flatten() drop/shift elements, and when the total still
+            # divides num_rows the reshape would silently misalign every
+            # following row — reject both explicitly instead.
+            vec_col = b.column(1)
+            if vec_col.null_count:
+                raise ValueError(
+                    "cosine_topk_vectorized: corpus batch contains null "
+                    f"{vec_col.null_count} embedding(s); drop or impute "
+                    "null vectors before calling"
+                )
+            offs = vec_col.offsets.to_numpy(zero_copy_only=False)
+            widths = offs[1:] - offs[:-1]
+            if widths.size and (widths != widths[0]).any():
+                raise ValueError(
+                    "cosine_topk_vectorized: ragged embedding dims in "
+                    f"batch (saw lengths {sorted(set(widths.tolist()))[:5]}"
+                    "...); all corpus vectors must share one dimension"
+                )
             c = (
-                b.column(1)
+                vec_col
                 .flatten()
                 .to_numpy(zero_copy_only=False)
                 .reshape(b.num_rows, -1)
