@@ -20,6 +20,8 @@ from __future__ import annotations
 from html.parser import HTMLParser
 
 import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
@@ -73,3 +75,35 @@ def strip_html(html: str | None) -> str | None:
 @pandas_udf(StringType())
 def html_to_text(col: pd.Series) -> pd.Series:
     return col.map(strip_html)
+
+
+#: Every character Python's ``str.strip()`` (i.e. ``str.isspace()``)
+#: treats as whitespace, as a Java regex character class.  NOT the same
+#: set as Java's ``\s`` (ASCII-only) or ``(?U)\s`` (Unicode White_Space,
+#: which misses U+001C-001F) — the class is enumerated so the JVM fast
+#: path below is byte-identical to the Python fast path in
+#: :func:`strip_html`; membership is pinned against a full-codepoint
+#: ``str.isspace()`` scan by tests/test_functions.py.
+_PY_STRIP_WS_CLASS = (
+    "[\\x09-\\x0D\\x1C-\\x20\\x85\\xA0\\u1680\\u2000-\\u200A"
+    "\\u2028-\\u2029\\u202F\\u205F\\u3000]"
+)
+
+
+def plain_text_no_markup(col: Column) -> Column:
+    """True exactly where :func:`strip_html` takes its plain-text fast
+    path: non-null input containing neither ``<`` (no tag can open) nor
+    ``&`` (no character/entity reference) — the whole input is ONE text
+    node under either parser flavor."""
+    return col.isNotNull() & ~(col.contains("<") | col.contains("&"))
+
+
+def strip_plain_text(col: Column) -> Column:
+    """JVM-side ``str.strip()``: trims exactly Python's whitespace set
+    (``_PY_STRIP_WS_CLASS``), so for rows satisfying
+    :func:`plain_text_no_markup` this equals ``strip_html`` without
+    crossing the Arrow boundary (guide §4.1 filter-before-UDF; parity
+    pinned by the randomized test in tests/test_functions.py)."""
+    return F.regexp_replace(
+        col, f"^{_PY_STRIP_WS_CLASS}+|{_PY_STRIP_WS_CLASS}+$", ""
+    )

@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmail_etl_spark.functions.dates import fuzzy_parse_ts
-from gmail_etl_spark.functions.html import html_to_text
+from gmail_etl_spark.functions.html import (
+    html_to_text,
+    plain_text_no_markup,
+    strip_plain_text,
+)
 from gmail_etl_spark.functions.scalar import (
     ascii_sanitize,
     body_text_fixed_depth,
@@ -91,7 +95,23 @@ def transform_stage1(raw: DataFrame) -> DataFrame:
             )
         ),
     )
-    base = base.withColumn("body", ascii_sanitize(html_to_text(F.col("raw_body"))))
+    # U1 gate pushed JVM-side (r13, guide §4.1): rows with neither '<'
+    # nor '&' are a single text node, so strip_html reduces to
+    # str.strip() — those rows never cross the Arrow boundary (the UDF
+    # input is NULLed for them; a null crosses as a validity bit, not
+    # body bytes) and the JVM strip_plain_text produces the byte-
+    # identical value (whitespace-set parity pinned by
+    # tests/test_functions.py).  _plain is materialized so the two
+    # contains() scans of the body run once per row.
+    base = base.withColumn("_plain", plain_text_no_markup(F.col("raw_body")))
+    base = base.withColumn(
+        "body",
+        ascii_sanitize(
+            F.when(F.col("_plain"), strip_plain_text(F.col("raw_body"))).otherwise(
+                html_to_text(F.when(~F.col("_plain"), F.col("raw_body")))
+            )
+        ),
+    )
     # P5 gate: only Indeed rows cross the Python boundary for U3.
     indeed = extract_indeed(
         F.when(F.col("from") == INDEED_SENDER, F.col("raw_body"))

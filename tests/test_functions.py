@@ -501,3 +501,63 @@ def test_strip_html_plaintext_fast_path_parity():
     for s in cases:
         assert "<" not in s and "&" not in s, s
         assert strip_html(s) == parser_route(s), repr(s)
+
+
+def test_py_strip_ws_class_matches_str_isspace():
+    """The JVM fast path's whitespace class must equal Python's
+    str.strip() set EXACTLY — full-codepoint scan, so a unicode-table
+    drift or a class typo can never silently desync the two paths."""
+    import re
+
+    from gmail_etl_spark.functions.html import _PY_STRIP_WS_CLASS
+
+    pat = re.compile(_PY_STRIP_WS_CLASS)
+    for cp in range(0x110000):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue  # unpaired surrogates: not valid text either side
+        c = chr(cp)
+        assert bool(pat.fullmatch(c)) == c.isspace(), hex(cp)
+
+
+def test_strip_plain_text_jvm_gate_parity(spark):
+    """The r13 JVM-side U1 gate (pipeline.py): for every row, the gated
+    column — strip_plain_text for no-markup rows, the pandas UDF (fed
+    NULL on gated rows) otherwise — must be byte-identical to the
+    ungated html_to_text(raw_body).  Hostile inputs: exotic unicode
+    whitespace at both ends, control chars, entities, tags, null,
+    empty."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gmail_etl_spark.functions.html import (
+        html_to_text,
+        plain_text_no_markup,
+        strip_plain_text,
+    )
+
+    ws = "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0      　"
+    rng = random.Random(13013)
+    rows = [
+        (None,), ("",), ("   ",), (ws,), (f"{ws}padded{ws}",),
+        (" line ",), ("\x1cctl\x1f",), ("no markup at all",),
+        ("x < y maybe",), ("a &amp; b",), ("<p> html </p>",),
+        ("<div> &nbsp;</div>",), ("ends with amp &",), ("< not a tag",),
+    ] + [
+        (
+            "".join(rng.choice(ws)) * rng.randrange(0, 3)
+            + "".join(rng.choice("abcXYZ09 é☃.:" + ws) for _ in range(rng.randrange(0, 60)))
+            + "".join(rng.choice(ws)) * rng.randrange(0, 3),
+        )
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "raw_body string")
+    plain = plain_text_no_markup(F.col("raw_body"))
+    gated = F.when(plain, strip_plain_text(F.col("raw_body"))).otherwise(
+        html_to_text(F.when(~plain, F.col("raw_body")))
+    )
+    out = df.select(
+        gated.alias("gated"), html_to_text(F.col("raw_body")).alias("ungated")
+    ).collect()
+    for r in out:
+        assert r["gated"] == r["ungated"], repr(r)
